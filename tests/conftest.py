@@ -2,14 +2,24 @@
 
 Multi-chip sharding paths are validated on a virtual CPU mesh (no pod
 available); the real-TPU benchmark path is exercised by bench.py.
-Must run before any jax import.
+
+The image's sitecustomize exports JAX_PLATFORMS=axon (a real-TPU tunnel) and
+pytest plugins may import jax before this conftest runs, so setting the env
+var alone is not enough — jax.config.update works as long as no backend has
+been initialized yet.
 """
 
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
-flags = os.environ.get("XLA_FLAGS", "")
-if "xla_force_host_platform_device_count" not in flags:
+os.environ["JAX_PLATFORMS"] = "cpu"
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (
-        flags + " --xla_force_host_platform_device_count=8"
+        _flags + " --xla_force_host_platform_device_count=8"
     ).strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+assert jax.devices()[0].platform == "cpu", jax.devices()
+assert jax.device_count() == 8, jax.devices()

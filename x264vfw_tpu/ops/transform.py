@@ -1,0 +1,178 @@
+"""H.264 integer transform + quantization — JAX device implementation.
+
+Bit-exact mirror of `transform_np.py` (the spec-derived golden model); all
+arithmetic is int32 (value ranges proven to fit: |W|<=9180 for 8-bit
+residuals, |W|*MF <= 1.2e8 < 2^31).  These run on the TPU VPU as fused
+elementwise/butterfly ops; the 4x4 transforms are butterfly adds/shifts, not
+matmuls, because exactness matters more than MXU utilization and the VPU is
+not the bottleneck for them.
+
+Shapes: all functions are batched over arbitrary leading dims; blocks are
+(..., 4, 4) int32; qp is a scalar or an array broadcastable against
+blocks.shape[:-2] (per-MB adaptive quant).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import transform_np as tnp
+
+DEQUANT_TABLE = jnp.asarray(tnp.DEQUANT_TABLE, dtype=jnp.int32)   # (6,4,4)
+QUANT_TABLE = jnp.asarray(tnp.QUANT_TABLE, dtype=jnp.int32)       # (6,4,4)
+QUANT_MF0 = jnp.asarray(tnp.QUANT_MF[:, 0], dtype=jnp.int32)      # (6,)
+DEQUANT_V0 = jnp.asarray(tnp.DEQUANT_V[:, 0], dtype=jnp.int32)    # (6,)
+ZIGZAG_4x4 = jnp.asarray(tnp.ZIGZAG_4x4, dtype=jnp.int32)
+CHROMA_QP_TABLE = jnp.asarray(tnp._CHROMA_QP_TABLE, dtype=jnp.int32)
+
+
+def chroma_qp(qp_luma, chroma_qp_offset: int = 0):
+    qpi = jnp.clip(qp_luma + chroma_qp_offset, 0, 51)
+    idx = jnp.clip(qpi - 30, 0, 21)
+    return jnp.where(qpi < 30, qpi, CHROMA_QP_TABLE[idx]).astype(jnp.int32)
+
+
+def fdct4x4(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward 4x4 integer transform via butterflies (x264 dct4x4 structure).
+
+    Equivalent to Cf @ X @ Cf^T with Cf = [[1,1,1,1],[2,1,-1,-2],
+    [1,-1,-1,1],[1,-2,2,-1]].
+    """
+    x = x.astype(jnp.int32)
+    # columns pass (transform along axis -2)
+    s0 = x[..., 0, :] + x[..., 3, :]
+    s3 = x[..., 0, :] - x[..., 3, :]
+    s1 = x[..., 1, :] + x[..., 2, :]
+    s2 = x[..., 1, :] - x[..., 2, :]
+    t0 = s0 + s1
+    t2 = s0 - s1
+    t1 = 2 * s3 + s2
+    t3 = s3 - 2 * s2
+    y = jnp.stack([t0, t1, t2, t3], axis=-2)
+    # rows pass (transform along axis -1)
+    s0 = y[..., 0] + y[..., 3]
+    s3 = y[..., 0] - y[..., 3]
+    s1 = y[..., 1] + y[..., 2]
+    s2 = y[..., 1] - y[..., 2]
+    t0 = s0 + s1
+    t2 = s0 - s1
+    t1 = 2 * s3 + s2
+    t3 = s3 - 2 * s2
+    return jnp.stack([t0, t1, t2, t3], axis=-1)
+
+
+def _expand_qp(qp, extra_dims: int):
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    for _ in range(extra_dims):
+        qp = qp[..., None]
+    return qp
+
+
+def quant4x4(w: jnp.ndarray, qp, intra: bool, dc_mode: bool = False) -> jnp.ndarray:
+    """Dead-zone quant: sign * ((|w| * MF + f) >> qbits)."""
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    if dc_mode:
+        mf = _expand_qp(jnp.take(QUANT_MF0, qp % 6), 2)
+        qbits = 16 + qp // 6
+    else:
+        mf = jnp.take(QUANT_TABLE, qp % 6, axis=0)
+        qbits = 15 + qp // 6
+    f = (jnp.int32(1) << qbits) // (3 if intra else 6)
+    f = _expand_qp(f, 2)
+    qbits = _expand_qp(qbits, 2)
+    w = w.astype(jnp.int32)
+    level = (jnp.abs(w) * mf + f) >> qbits
+    return jnp.sign(w) * level
+
+
+def dequant4x4(coef: jnp.ndarray, qp) -> jnp.ndarray:
+    """d = c * V[qp%6][pos] << (qp/6)."""
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    v = jnp.take(DEQUANT_TABLE, qp % 6, axis=0)
+    shift = _expand_qp(qp // 6, 2)
+    return (coef.astype(jnp.int32) * v) << shift
+
+
+def idct4x4_core(d: jnp.ndarray) -> jnp.ndarray:
+    """Inverse 4x4 butterflies + (x+32)>>6 (§8.5.12.2)."""
+    d = d.astype(jnp.int32)
+    d0, d1, d2, d3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
+    e0 = d0 + d2
+    e1 = d0 - d2
+    e2 = (d1 >> 1) - d3
+    e3 = d1 + (d3 >> 1)
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
+    g0, g1, g2, g3 = f[..., 0], f[..., 1], f[..., 2], f[..., 3]
+    h0 = g0 + g2
+    h1 = g0 - g2
+    h2 = (g1 >> 1) - g3
+    h3 = g1 + (g3 >> 1)
+    r = jnp.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-1)
+    return (r + 32) >> 6
+
+
+def hadamard4x4(x: jnp.ndarray) -> jnp.ndarray:
+    """H X H^T with H = +-1 butterfly matrix (self-structure, exact)."""
+    x = x.astype(jnp.int32)
+    s0 = x[..., 0, :] + x[..., 2, :]
+    s1 = x[..., 0, :] - x[..., 2, :]
+    s2 = x[..., 1, :] + x[..., 3, :]
+    s3 = x[..., 1, :] - x[..., 3, :]
+    y = jnp.stack([s0 + s2, s1 + s3, s1 - s3, s0 - s2], axis=-2)
+    s0 = y[..., 0] + y[..., 2]
+    s1 = y[..., 0] - y[..., 2]
+    s2 = y[..., 1] + y[..., 3]
+    s3 = y[..., 1] - y[..., 3]
+    return jnp.stack([s0 + s2, s1 + s3, s1 - s3, s0 - s2], axis=-1)
+
+
+def luma_dc_fwd_quant(dc: jnp.ndarray, qp, intra: bool = True) -> jnp.ndarray:
+    """Encoder luma DC: Hadamard, >>1 (floor, == numpy //2), DC-mode quant."""
+    w = hadamard4x4(dc) >> 1
+    return quant4x4(w, qp, intra=intra, dc_mode=True)
+
+
+def luma_dc_dequant(levels: jnp.ndarray, qp) -> jnp.ndarray:
+    """Decoder §8.5.10: inverse Hadamard then LevelScale."""
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    f = hadamard4x4(levels)
+    ls = _expand_qp(16 * jnp.take(DEQUANT_V0, qp % 6), 2)
+    qp6 = _expand_qp(qp // 6, 2)
+    qpe = _expand_qp(qp, 2)
+    hi = (f * ls) << jnp.maximum(qp6 - 6, 0)
+    lo = (f * ls + (jnp.int32(1) << jnp.maximum(5 - qp6, 0))) >> jnp.maximum(6 - qp6, 0)
+    return jnp.where(qpe >= 36, hi, lo)
+
+
+def hadamard2x2(x: jnp.ndarray) -> jnp.ndarray:
+    x = x.astype(jnp.int32)
+    a, b = x[..., 0, 0], x[..., 0, 1]
+    c, d = x[..., 1, 0], x[..., 1, 1]
+    r0 = jnp.stack([a + b + c + d, a - b + c - d], axis=-1)
+    r1 = jnp.stack([a + b - c - d, a - b - c + d], axis=-1)
+    return jnp.stack([r0, r1], axis=-2)
+
+
+def chroma_dc_fwd_quant(dc: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
+    w = hadamard2x2(dc)
+    return quant4x4(w, qp, intra=intra, dc_mode=True)
+
+
+def chroma_dc_dequant(levels: jnp.ndarray, qp) -> jnp.ndarray:
+    qp = jnp.asarray(qp, dtype=jnp.int32)
+    f = hadamard2x2(levels)
+    ls = _expand_qp(16 * jnp.take(DEQUANT_V0, qp % 6), 2)
+    qp6 = _expand_qp(qp // 6, 2)
+    return ((f * ls) << qp6) >> 5
+
+
+def zigzag_scan(blocks: jnp.ndarray) -> jnp.ndarray:
+    flat = blocks.reshape(*blocks.shape[:-2], 16)
+    return jnp.take(flat, ZIGZAG_4x4, axis=-1)
+
+
+def zigzag_unscan(scanned: jnp.ndarray) -> jnp.ndarray:
+    inv = jnp.asarray(np.argsort(tnp.ZIGZAG_4x4), dtype=jnp.int32)
+    out = jnp.take(scanned, inv, axis=-1)
+    return out.reshape(*scanned.shape[:-1], 4, 4)
