@@ -83,6 +83,10 @@ def quant4x4(w: jnp.ndarray, qp, intra: bool, dc_mode: bool = False) -> jnp.ndar
     qbits = _expand_qp(qbits, 2)
     w = w.astype(jnp.int32)
     level = (jnp.abs(w) * mf + f) >> qbits
+    if not dc_mode:
+        # int16 dynamic-range clamp (see transform_np.quant4x4)
+        v = jnp.take(DEQUANT_TABLE, qp % 6, axis=0) << _expand_qp(qp // 6, 2)
+        level = jnp.minimum(level, 32767 // v)
     return jnp.sign(w) * level
 
 

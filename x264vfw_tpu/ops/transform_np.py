@@ -167,6 +167,15 @@ def quant4x4(w: np.ndarray, qp: np.ndarray | int, intra: bool,
         qbits = qbits[..., None, None]
     w64 = w.astype(np.int64)
     level = (np.abs(w64) * mf + f) >> qbits
+    if not dc_mode:
+        # dynamic-range discipline: keep dequantized coefficients within
+        # int16 so decoder IDCT intermediates meet the spec's 16-bit
+        # constraint (§8.5 bitstream conformance). Binds only on
+        # adversarial content at very low QP.
+        v = DEQUANT_TABLE[qp % 6].astype(np.int64) << np.expand_dims(
+            np.expand_dims((qp // 6).astype(np.int64), -1), -1) if np.ndim(qp) \
+            else DEQUANT_TABLE[qp % 6].astype(np.int64) << int(qp // 6)
+        level = np.minimum(level, 32767 // v)
     return (np.sign(w64) * level).astype(np.int32)
 
 
