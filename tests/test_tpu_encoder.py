@@ -1,0 +1,102 @@
+"""TPU encoder conformance: device pipeline + vectorized host entropy must
+produce streams that decode bit-exactly in our decoder AND stock FFmpeg."""
+
+import numpy as np
+import pytest
+
+import oracle
+from x264vfw_tpu.decode.decoder import H264Decoder
+from x264vfw_tpu.encode.ref_encoder import EncoderConfig
+from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
+
+
+def roundtrip(w, h, n_frames, qp, seed=0, keyint=25, search_range=4, clip=None):
+    if clip is None:
+        clip = oracle.make_test_clip(w, h, n_frames, seed=seed)
+    enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=qp, keyint=keyint,
+                                   search_range=search_range))
+    bs = b""
+    recons = []
+    fsz, csz = w * h, w * h // 4
+    for i in range(n_frames):
+        y = clip[i, :fsz].reshape(h, w)
+        u = clip[i, fsz:fsz + csz].reshape(h // 2, w // 2)
+        v = clip[i, fsz + csz:].reshape(h // 2, w // 2)
+        bs += enc.encode_frame(y, u, v)
+        recons.append([p.copy() for p in enc.last_recon])
+
+    dec = H264Decoder()
+    frames = dec.decode(bs)
+    assert len(frames) == n_frames
+    for i, f in enumerate(frames):
+        ry, ru, rv = recons[i]
+        np.testing.assert_array_equal(f.y, ry[:h, :w], err_msg=f"own-dec y f{i}")
+        np.testing.assert_array_equal(f.u, ru[:h // 2, :w // 2], err_msg=f"own-dec u f{i}")
+        np.testing.assert_array_equal(f.v, rv[:h // 2, :w // 2], err_msg=f"own-dec v f{i}")
+
+    ref = oracle.decode_h264_planes(bs)
+    assert ref is not None, "FFmpeg could not decode TPU stream"
+    fy, fu, fv = ref
+    assert fy.shape[0] == n_frames
+    for i in range(n_frames):
+        ry, ru, rv = recons[i]
+        np.testing.assert_array_equal(fy[i], ry[:h, :w].astype(np.uint8),
+                                      err_msg=f"ffmpeg y f{i}")
+        np.testing.assert_array_equal(fu[i], ru[:h // 2, :w // 2].astype(np.uint8),
+                                      err_msg=f"ffmpeg u f{i}")
+        np.testing.assert_array_equal(fv[i], rv[:h // 2, :w // 2].astype(np.uint8),
+                                      err_msg=f"ffmpeg v f{i}")
+
+    src_y = clip[:, :fsz].astype(np.float64)
+    rec_y = np.stack([r[0][:h, :w].ravel() for r in recons]).astype(np.float64)
+    mse = ((src_y - rec_y) ** 2).mean()
+    return 99.0 if mse == 0 else 10 * np.log10(255 ** 2 / mse)
+
+
+@pytest.mark.parametrize("qp", [16, 26, 38, 48])
+def test_i_frame_only(qp):
+    psnr = roundtrip(64, 64, 1, qp, seed=qp)
+    if qp <= 16:
+        assert psnr > 38, psnr
+
+
+def test_i_frame_rect():
+    roundtrip(96, 48, 1, 28, seed=3)
+
+
+@pytest.mark.parametrize("qp", [18, 26, 40])
+def test_p_frames(qp):
+    psnr = roundtrip(64, 64, 5, qp, seed=qp + 7)
+    assert psnr > 22
+
+
+def test_static_scene_skips():
+    """Static content must produce (and correctly code) skip runs."""
+    clip = oracle.make_test_clip(64, 64, 4, seed=5, motion=False)
+    clip[1:] = clip[0]
+    roundtrip(64, 64, 4, 30, clip=clip)
+
+
+def test_gop_refresh():
+    roundtrip(64, 64, 6, 28, seed=9, keyint=3)
+
+
+def test_matches_ref_encoder_quality():
+    """TPU encoder PSNR should be in the same ballpark as the behavioral
+    reference encoder (restricted intra modes cost a little)."""
+    from x264vfw_tpu.encode.ref_encoder import RefEncoder
+    clip = oracle.make_test_clip(64, 64, 3, seed=11)
+    qp = 26
+    psnr_tpu = roundtrip(64, 64, 3, qp, clip=clip)
+    # reference encoder PSNR
+    enc = RefEncoder(EncoderConfig(width=64, height=64, qp=qp, search_range=4))
+    rec = []
+    for i in range(3):
+        y = clip[i, :4096].reshape(64, 64)
+        u = clip[i, 4096:5120].reshape(32, 32)
+        v = clip[i, 5120:].reshape(32, 32)
+        enc.encode_frame(y, u, v)
+        rec.append(enc.last_recon[0][:64, :64].ravel())
+    mse = ((clip[:, :4096].astype(np.float64) - np.stack(rec)) ** 2).mean()
+    psnr_ref = 10 * np.log10(255 ** 2 / mse)
+    assert psnr_tpu > psnr_ref - 2.5, (psnr_tpu, psnr_ref)

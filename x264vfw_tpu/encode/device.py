@@ -1,0 +1,412 @@
+"""TPU device encode pipeline (JAX/XLA).
+
+The per-macroblock compute of the encoder as batched, jit-compiled device
+functions:
+
+* P frames are fully data-parallel over macroblocks: motion search, motion
+  compensation, residual transform+quant, and reconstruction all run as one
+  fused XLA program over the (nMB, ...) batch.
+* I frames use a row-scan: the top MB row is a left-to-right `lax.scan`
+  (DC prediction from the left neighbor's recon), subsequent rows use
+  vertical (V) prediction so each row depends only on the previous row's
+  bottom recon line — a `lax.scan` over rows with full-width vectorization.
+
+Outputs are syntax tensors (levels in zigzag+block-coding order, CBPs, MVs,
+modes, total-coeff maps) consumed by the numpy-vectorized host entropy stage
+(bitstream/cavlc_vec.py) — the tensor->bitstream ABI from SURVEY.md §7.
+
+Capability replaced: libx264's analyse/encode inner loops
+(/root/reference/codec.c:1693).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops import transform as tj
+from ..ops.transform_np import ZIGZAG_4x4
+
+# luma 4x4 block coding order <-> raster within MB
+BLK_X = jnp.asarray([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+ZZ = jnp.asarray(ZIGZAG_4x4)
+
+
+def mbize(plane: jnp.ndarray, bs: int = 16) -> jnp.ndarray:
+    """(H, W) -> (H//bs * W//bs, bs, bs) in MB raster order."""
+    H, W = plane.shape
+    return (plane.reshape(H // bs, bs, W // bs, bs)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, bs, bs))
+
+
+def unmbize(mbs: jnp.ndarray, H: int, W: int, bs: int = 16) -> jnp.ndarray:
+    return (mbs.reshape(H // bs, W // bs, bs, bs)
+            .transpose(0, 2, 1, 3)
+            .reshape(H, W))
+
+
+def mb_to_blocks(mbs: jnp.ndarray) -> jnp.ndarray:
+    """(n, 16, 16) -> (n, 16, 4, 4) in block coding order."""
+    n = mbs.shape[0]
+    q = (mbs.reshape(n, 4, 4, 4, 4).transpose(0, 1, 3, 2, 4))
+    # q[n, by, bx, 4, 4] raster blocks
+    raster = q.reshape(n, 16, 4, 4)
+    idx = BLK_Y * 4 + BLK_X
+    return jnp.take(raster, idx, axis=1)
+
+
+def blocks_to_mb(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(n, 16, 4, 4) block coding order -> (n, 16, 16)."""
+    n = blocks.shape[0]
+    inv = jnp.zeros(16, jnp.int32).at[BLK_Y * 4 + BLK_X].set(jnp.arange(16, dtype=jnp.int32))
+    raster = jnp.take(blocks, inv, axis=1).reshape(n, 4, 4, 4, 4)
+    return raster.transpose(0, 1, 3, 2, 4).reshape(n, 16, 16)
+
+
+def c8_to_blocks(c8: jnp.ndarray) -> jnp.ndarray:
+    """(n, 8, 8) -> (n, 4, 4, 4) raster sub-block order."""
+    n = c8.shape[0]
+    return c8.reshape(n, 2, 4, 2, 4).transpose(0, 1, 3, 2, 4).reshape(n, 4, 4, 4)
+
+
+def blocks_to_c8(blocks: jnp.ndarray) -> jnp.ndarray:
+    n = blocks.shape[0]
+    return (blocks.reshape(n, 2, 2, 4, 4).transpose(0, 1, 3, 2, 4)
+            .reshape(n, 8, 8))
+
+
+def zigzag16(blocks: jnp.ndarray) -> jnp.ndarray:
+    """(..., 4, 4) -> (..., 16) zigzag order."""
+    return jnp.take(blocks.reshape(*blocks.shape[:-2], 16), ZZ, axis=-1)
+
+
+# --------------------------------------------------------------------------
+# P-frame pipeline
+# --------------------------------------------------------------------------
+
+def _motion_search_int(src_mbs, ref_pad, mb_y0, mb_x0, rng: int):
+    """Full-search integer-pel SAD over a +-rng window.
+
+    src_mbs: (n, 16, 16) int32; ref_pad: (H+2P, W+2P) padded with P=rng;
+    mb_y0/mb_x0: (n,) top-left coords in unpadded frame.
+    Returns mv: (n, 2) int32 (x, y) in integer pels.
+    """
+    n = src_mbs.shape[0]
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(-rng, rng + 1),
+                                  jnp.arange(-rng, rng + 1),
+                                  indexing="ij"), axis=-1).reshape(-1, 2)  # (K, [dy,dx])
+
+    ys = mb_y0[:, None] + jnp.arange(16)[None, :]   # (n, 16)
+    xs = mb_x0[:, None] + jnp.arange(16)[None, :]
+
+    def sad_at(off):
+        dy, dx = off[0], off[1]
+        cand = ref_pad[(ys + dy + rng)[:, :, None], (xs + dx + rng)[:, None, :]]
+        return jnp.abs(src_mbs - cand).sum(axis=(1, 2))  # (n,)
+
+    sads = jax.lax.map(sad_at, offs)                 # (K, n)
+    # prefer smaller |mv| on ties: add tiny bias by offset cost
+    cost = jnp.abs(offs[:, 0]) + jnp.abs(offs[:, 1])
+    best = jnp.argmin(sads * 4 + cost[:, None], axis=0)  # (n,)
+    dy = offs[best, 0]
+    dx = offs[best, 1]
+    return jnp.stack([dx, dy], axis=-1).astype(jnp.int32)
+
+
+def _gather_mb(ref_pad, mb_y0, mb_x0, mv_xy, pad, size):
+    ys = mb_y0[:, None] + mv_xy[:, 1:2] + jnp.arange(size)[None, :] + pad
+    xs = mb_x0[:, None] + mv_xy[:, 0:1] + jnp.arange(size)[None, :] + pad
+    return ref_pad[ys[:, :, None], xs[:, None, :]]
+
+
+def _chroma_mc_int(ref_pad_c, cb_y0, cb_x0, mv_q, pad):
+    """Chroma MC for quarter-pel luma MV (here integer-pel => frac 0 or 4).
+
+    ref_pad_c: padded chroma plane; cb_y0/cb_x0 (n,) chroma block origins.
+    mv_q: (n, 2) quarter-pel luma MV.
+    """
+    xi = mv_q[:, 0:1] >> 3
+    yi = mv_q[:, 1:2] >> 3
+    xf = (mv_q[:, 0] & 7)[:, None, None]
+    yf = (mv_q[:, 1] & 7)[:, None, None]
+    ys = cb_y0[:, None] + yi + jnp.arange(9)[None, :] + pad
+    xs = cb_x0[:, None] + xi + jnp.arange(9)[None, :] + pad
+    win = ref_pad_c[ys[:, :, None], xs[:, None, :]]  # (n, 9, 9)
+    A = win[:, :8, :8]
+    B = win[:, :8, 1:9]
+    C = win[:, 1:9, :8]
+    D = win[:, 1:9, 1:9]
+    out = ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+           + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+    return out
+
+
+def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
+    """fdct+quant+zigzag and the decoder-exact recon residual.
+
+    Returns (levels_zz (n,16,16), recon_res (n,16,16))."""
+    resid = src_mbs - pred_mbs
+    blocks = mb_to_blocks(resid)
+    coef = tj.fdct4x4(blocks)
+    q = tj.quant4x4(coef, qp, intra=intra)
+    levels = zigzag16(q)                            # (n, 16, 16)
+    d = tj.dequant4x4(q, qp)
+    res = tj.idct4x4_core(d)
+    return levels, blocks_to_mb(res)
+
+
+def _chroma_residual_pipeline(src_c8, pred_c8, qpc, intra: bool):
+    """Chroma 8x8: DC Hadamard + AC. Returns (dc_levels (n,2,2),
+    ac_levels (n,4,15), recon (n,8,8) given final cbp known later).
+
+    Recon here assumes both DC and AC coded; caller masks by cbp.
+    """
+    resid = src_c8 - pred_c8
+    blocks = c8_to_blocks(resid)                    # (n,4,4,4)
+    coef = tj.fdct4x4(blocks)
+    dc = jnp.stack([jnp.stack([coef[:, 0, 0, 0], coef[:, 1, 0, 0]], axis=-1),
+                    jnp.stack([coef[:, 2, 0, 0], coef[:, 3, 0, 0]], axis=-1)],
+                   axis=-2)                         # (n,2,2)
+    dc_lv = tj.chroma_dc_fwd_quant(dc, qpc, intra=intra)
+    q = tj.quant4x4(coef, qpc, intra=intra)
+    q = q.at[:, :, 0, 0].set(0)
+    ac_lv = zigzag16(q)[:, :, 1:]                   # (n,4,15)
+    return dc_lv, ac_lv
+
+
+def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
+    """Decoder-exact chroma recon with cbp masking.
+
+    use_dc/use_ac: (n,) bool."""
+    n = pred_c8.shape[0]
+    dc_lv = jnp.where(use_dc[:, None, None], dc_lv, 0)
+    ac_lv = jnp.where(use_ac[:, None, None], ac_lv, 0)
+    dc_rec = tj.chroma_dc_dequant(dc_lv, qpc)       # (n,2,2)
+    full = jnp.concatenate([jnp.zeros((n, 4, 1), jnp.int32), ac_lv], axis=-1)
+    blocks = tj.zigzag_unscan(full)                 # (n,4,4,4)
+    d = tj.dequant4x4(blocks, qpc)
+    dc_flat = dc_rec.reshape(n, 4)                  # raster sb order
+    d = d.at[:, :, 0, 0].set(dc_flat)
+    res = tj.idct4x4_core(d)
+    rec = pred_c8 + blocks_to_c8(res)
+    return jnp.clip(rec, 0, 255)
+
+
+@partial(jax.jit, static_argnames=("rng",))
+def encode_p_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc, rng=8):
+    """Device P-frame encode. All planes int32, MB-multiple dims.
+
+    Returns syntax tensors + recon planes (pre-deblock).
+    """
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
+    src_mbs = mbize(src_y)
+    mb_y0 = (jnp.arange(n) // mbw) * 16
+    mb_x0 = (jnp.arange(n) % mbw) * 16
+
+    ref_pad = jnp.pad(ref_y, rng, mode="edge")
+    mv_int = _motion_search_int(src_mbs, ref_pad, mb_y0, mb_x0, rng)
+    mv_q = mv_int * 4
+
+    pred = _gather_mb(ref_pad, mb_y0, mb_x0, mv_int, rng, 16)
+    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
+
+    # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
+    nz_blk = (levels != 0).any(axis=-1)             # (n, 16)
+    cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)    # (n, 4)
+    cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
+
+    # luma recon with cbp masking (uncoded quadrants contribute no residual)
+    keep = jnp.repeat(cbp_q, 4, axis=-1)            # (n,16) per block
+    res_mb = blocks_to_mb(mb_to_blocks(recon_res) * keep[:, :, None, None])
+    recon_y_mbs = jnp.clip(pred + res_mb, 0, 255)
+
+    # chroma
+    cpad = (rng // 2) + 2
+    cb_y0, cb_x0 = mb_y0 // 2, mb_x0 // 2
+    ref_pad_u = jnp.pad(ref_u, cpad, mode="edge")
+    ref_pad_v = jnp.pad(ref_v, cpad, mode="edge")
+    pred_u = _chroma_mc_int(ref_pad_u, cb_y0, cb_x0, mv_q, cpad)
+    pred_v = _chroma_mc_int(ref_pad_v, cb_y0, cb_x0, mv_q, cpad)
+    src_u_mbs = mbize(src_u, 8)
+    src_v_mbs = mbize(src_v, 8)
+    dc_u, ac_u = _chroma_residual_pipeline(src_u_mbs, pred_u, qpc, False)
+    dc_v, ac_v = _chroma_residual_pipeline(src_v_mbs, pred_v, qpc, False)
+
+    has_ac = (ac_u != 0).any(axis=(1, 2)) | (ac_v != 0).any(axis=(1, 2))
+    has_dc = (dc_u != 0).any(axis=(1, 2)) | (dc_v != 0).any(axis=(1, 2))
+    cbp_chroma = jnp.where(has_ac, 2, jnp.where(has_dc, 1, 0)).astype(jnp.int32)
+
+    use_dc = cbp_chroma >= 1
+    use_ac = cbp_chroma == 2
+    rec_u = _chroma_recon(pred_u, dc_u, ac_u, qpc, use_dc, use_ac)
+    rec_v = _chroma_recon(pred_v, dc_v, ac_v, qpc, use_dc, use_ac)
+
+    return {
+        "mv": mv_q,                     # (n,2) quarter-pel
+        "levels": levels,               # (n,16,16) zigzag, block order
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "dc_u": dc_u, "dc_v": dc_v,     # (n,2,2)
+        "ac_u": ac_u, "ac_v": ac_v,     # (n,4,15)
+        "recon_y": unmbize(recon_y_mbs, H, W),
+        "recon_u": unmbize(rec_u, H // 2, W // 2, 8),
+        "recon_v": unmbize(rec_v, H // 2, W // 2, 8),
+    }
+
+
+# --------------------------------------------------------------------------
+# I-frame pipeline (row scan, V/DC modes)
+# --------------------------------------------------------------------------
+
+@jax.jit
+def encode_i_frame(src_y, src_u, src_v, qp, qpc):
+    """Device I-frame encode: top MB row via left-to-right scan (DC mode),
+    remaining rows via vertical prediction (row-parallel scan).
+
+    Returns syntax tensors + recon planes.  Modes emitted:
+      top row:  I16 DC (mode 2), chroma DC (mode 0)
+      others:   I16 V (mode 0), chroma V (mode 2)
+    """
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+
+    # ---------- top row: scan MB by MB (left->right) ----------
+    row_y = src_y[:16]                   # (16, W)
+    row_u = src_u[:8]
+    row_v = src_v[:8]
+
+    def mb_step(carry, x):
+        lcol_y, lcol_u, lcol_v, first = carry
+        sy = jax.lax.dynamic_slice(row_y, (0, x * 16), (16, 16))
+        su = jax.lax.dynamic_slice(row_u, (0, x * 8), (8, 8))
+        sv = jax.lax.dynamic_slice(row_v, (0, x * 8), (8, 8))
+        dc = jnp.where(first, 128, (lcol_y.sum() + 8) >> 4)
+        pred = jnp.full((16, 16), dc, jnp.int32)
+        levels, res = _luma_residual_pipeline_i16(sy[None], pred[None], qp)
+        # chroma DC pred: left-only (§8.3.4.1): top quads use left[0:4],
+        # bottom quads use left[4:8]; unavailable -> 128
+        dcu_t = jnp.where(first, 128, (lcol_u[:4].sum() + 2) >> 2)
+        dcu_b = jnp.where(first, 128, (lcol_u[4:].sum() + 2) >> 2)
+        dcv_t = jnp.where(first, 128, (lcol_v[:4].sum() + 2) >> 2)
+        dcv_b = jnp.where(first, 128, (lcol_v[4:].sum() + 2) >> 2)
+        pu = jnp.concatenate([jnp.full((4, 8), dcu_t, jnp.int32),
+                              jnp.full((4, 8), dcu_b, jnp.int32)])
+        pv = jnp.concatenate([jnp.full((4, 8), dcv_t, jnp.int32),
+                              jnp.full((4, 8), dcv_b, jnp.int32)])
+        out = _finish_intra_mb(sy[None], pred[None], levels, res,
+                               su[None], pu[None], sv[None], pv[None], qp, qpc)
+        carry = (out["recon_y"][0, :, -1], out["recon_u"][0, :, -1],
+                 out["recon_v"][0, :, -1], jnp.zeros((), jnp.bool_))
+        return carry, jax.tree.map(lambda a: a[0], out)
+
+    init = (jnp.zeros(16, jnp.int32), jnp.zeros(8, jnp.int32),
+            jnp.zeros(8, jnp.int32), jnp.ones((), jnp.bool_))
+    _, row0 = jax.lax.scan(mb_step, init, jnp.arange(mbw))
+
+    # ---------- remaining rows: V prediction, vectorized per row ----------
+    def row_step(carry, i):
+        bot_y, bot_u, bot_v = carry     # (W,), (W/2,), (W/2,)
+        sy = jax.lax.dynamic_slice(src_y, ((i + 1) * 16, 0), (16, W))
+        su = jax.lax.dynamic_slice(src_u, ((i + 1) * 8, 0), (8, W // 2))
+        sv = jax.lax.dynamic_slice(src_v, ((i + 1) * 8, 0), (8, W // 2))
+        sy_mbs = mbize(sy)              # (mbw,16,16)
+        su_mbs = mbize(su, 8)
+        sv_mbs = mbize(sv, 8)
+        pred_y = jnp.broadcast_to(bot_y.reshape(mbw, 16)[:, None, :], (mbw, 16, 16))
+        pred_u = jnp.broadcast_to(bot_u.reshape(mbw, 8)[:, None, :], (mbw, 8, 8))
+        pred_v = jnp.broadcast_to(bot_v.reshape(mbw, 8)[:, None, :], (mbw, 8, 8))
+        levels, res = _luma_residual_pipeline_i16(sy_mbs, pred_y, qp)
+        out = _finish_intra_mb(sy_mbs, pred_y, levels, res,
+                               su_mbs, pred_u, sv_mbs, pred_v, qp, qpc)
+        carry = (out["recon_y"][:, -1, :].reshape(W),
+                 out["recon_u"][:, -1, :].reshape(W // 2),
+                 out["recon_v"][:, -1, :].reshape(W // 2))
+        return carry, out
+
+    bot0 = (row0["recon_y"][:, -1, :].reshape(W),
+            row0["recon_u"][:, -1, :].reshape(W // 2),
+            row0["recon_v"][:, -1, :].reshape(W // 2))
+    if mbh > 1:
+        _, rows = jax.lax.scan(row_step, bot0, jnp.arange(mbh - 1))
+        # row0 fields: (mbw, ...); rows fields: (mbh-1, mbw, ...)
+        out = jax.tree.map(
+            lambda a, b: jnp.concatenate([a[None], b]).reshape(
+                mbh * mbw, *a.shape[1:]),
+            row0, rows)
+    else:
+        out = row0
+
+    recon_y = unmbize(out.pop("recon_y"), H, W)
+    recon_u = unmbize(out.pop("recon_u"), H // 2, W // 2, 8)
+    recon_v = unmbize(out.pop("recon_v"), H // 2, W // 2, 8)
+    out["recon_y"], out["recon_u"], out["recon_v"] = recon_y, recon_u, recon_v
+    return out
+
+
+def _luma_residual_pipeline_i16(src_mbs, pred_mbs, qp):
+    """I16x16: separate DC (Hadamard) + AC-only levels.
+
+    Returns (levels dict, recon residual mb) where levels contains
+    'dc' (n,16) zigzag of DC block and 'ac' (n,16,15)."""
+    resid = src_mbs - pred_mbs
+    blocks = mb_to_blocks(resid)
+    coef = tj.fdct4x4(blocks)
+    n = coef.shape[0]
+    # DC in raster layout
+    dc_r = jnp.zeros((n, 4, 4), jnp.int32)
+    dc_r = dc_r.at[:, BLK_Y, BLK_X].set(coef[:, :, 0, 0])
+    dc_lv = tj.luma_dc_fwd_quant(dc_r, qp)          # (n,4,4) raster
+    q = tj.quant4x4(coef, qp, intra=True)
+    q = q.at[:, :, 0, 0].set(0)
+    ac_lv = zigzag16(q)[:, :, 1:]                   # (n,16,15)
+    # recon
+    dc_rec = tj.luma_dc_dequant(dc_lv, qp)          # (n,4,4) raster
+    d = tj.dequant4x4(q, qp)
+    d = d.at[:, :, 0, 0].set(dc_rec[:, BLK_Y, BLK_X])
+    res = tj.idct4x4_core(d)
+    levels = {"dc": zigzag16(dc_lv), "ac": ac_lv}
+    return levels, blocks_to_mb(res)
+
+
+def _finish_intra_mb(sy, pred_y, levels, res_mb, su, pu, sv, pv, qp, qpc):
+    """Shared I16x16 tail: cbp, chroma, recon. All batched (n, ...)."""
+    n = sy.shape[0]
+    cbp_luma_nz = (levels["ac"] != 0).any(axis=(1, 2))
+    # I16x16 luma AC is all-or-nothing; recon keeps AC only when coded
+    keep = cbp_luma_nz[:, None, None]
+    # recompute recon residual with AC masked off when cbp==0:
+    # res_mb already includes AC; rebuild DC-only residual for masked case
+    dc_only = _dc_only_residual(levels["dc"], qp, n)
+    res_final = jnp.where(keep, res_mb, dc_only)
+    recon_y = jnp.clip(pred_y + res_final, 0, 255)
+
+    dc_u, ac_u = _chroma_residual_pipeline(su, pu, qpc, True)
+    dc_v, ac_v = _chroma_residual_pipeline(sv, pv, qpc, True)
+    has_ac = (ac_u != 0).any(axis=(1, 2)) | (ac_v != 0).any(axis=(1, 2))
+    has_dc = (dc_u != 0).any(axis=(1, 2)) | (dc_v != 0).any(axis=(1, 2))
+    cbp_chroma = jnp.where(has_ac, 2, jnp.where(has_dc, 1, 0)).astype(jnp.int32)
+    rec_u = _chroma_recon(pu, dc_u, ac_u, qpc, cbp_chroma >= 1, cbp_chroma == 2)
+    rec_v = _chroma_recon(pv, dc_v, ac_v, qpc, cbp_chroma >= 1, cbp_chroma == 2)
+    return {
+        "dc": levels["dc"], "ac": levels["ac"],
+        "cbp_luma_nz": cbp_luma_nz, "cbp_chroma": cbp_chroma,
+        "dc_u": dc_u, "dc_v": dc_v, "ac_u": ac_u, "ac_v": ac_v,
+        "recon_y": recon_y, "recon_u": rec_u, "recon_v": rec_v,
+    }
+
+
+def _dc_only_residual(dc_zz, qp, n):
+    """Residual contribution of the DC block alone (AC zeroed)."""
+    dc_r = tj.zigzag_unscan(dc_zz)                  # (n,4,4) raster
+    dc_rec = tj.luma_dc_dequant(dc_r, qp)
+    d = jnp.zeros((n, 16, 4, 4), jnp.int32)
+    d = d.at[:, :, 0, 0].set(dc_rec[:, BLK_Y, BLK_X])
+    res = tj.idct4x4_core(d)
+    return blocks_to_mb(res)

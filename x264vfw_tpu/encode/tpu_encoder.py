@@ -1,0 +1,408 @@
+"""TPU encoder session: device pipeline + vectorized host finalization.
+
+Mirrors the behavioral reference (ref_encoder.RefEncoder) but with:
+  * all per-MB compute on device (encode/device.py, jit-compiled)
+  * entropy coding fully vectorized on host (bitstream/cavlc_vec.py +
+    numpy exp-Golomb arrays), no per-MB Python loop
+  * reference frames kept on device between frames (no host roundtrip
+    of pixel data on the hot path)
+
+Current scope (round 1): CQP, IDR + P GOP, I16x16 V/DC intra, P16x16
+integer-pel inter with restricted skip, deblocking off.  The conformance
+tests require its streams to decode bit-exactly in the native decoder and
+stock FFmpeg.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bitstream import cavlc_vec
+from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_I, SLICE_P, P_L0_16X16
+from ..bitstream.nal import NAL_PPS, NAL_SLICE, NAL_SLICE_IDR, NAL_SPS, wrap_nal
+from ..bitstream.params import PPS, SPS, PROFILE_BASELINE
+from ..bitstream.slice import SliceHeader
+from ..ops import transform_np as tnp
+from ..utils.bitstream import BitWriter, escape_ebsp, pack_codes, se_codes, ue_codes
+from .device import encode_i_frame, encode_p_frame
+from .ref_encoder import EncoderConfig
+
+# block coding order maps (host copies)
+BLK_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+S = cavlc_vec.SLOTS
+
+
+class TpuEncoder:
+    def __init__(self, cfg: EncoderConfig) -> None:
+        self.cfg = cfg
+        assert cfg.width % 2 == 0 and cfg.height % 2 == 0
+        self.mbw = (cfg.width + 15) // 16
+        self.mbh = (cfg.height + 15) // 16
+        self.sps = SPS(
+            profile_idc=PROFILE_BASELINE,
+            constraint_set0=1, constraint_set1=1,
+            level_idc=_level_for(cfg.width, cfg.height, cfg.fps_num, cfg.fps_den),
+            log2_max_frame_num_minus4=4,
+            pic_order_cnt_type=2,
+            max_num_ref_frames=1,
+            pic_width_in_mbs_minus1=self.mbw - 1,
+            pic_height_in_map_units_minus1=self.mbh - 1,
+        )
+        if cfg.width % 16 or cfg.height % 16:
+            self.sps.frame_cropping_flag = 1
+            self.sps.frame_crop_right_offset = (self.mbw * 16 - cfg.width) // 2
+            self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
+        self.pps = PPS(entropy_coding_mode_flag=0,
+                       pic_init_qp_minus26=cfg.qp - 26,
+                       deblocking_filter_control_present_flag=1)
+        self.frame_idx = 0
+        self.frame_num = 0
+        self.idr_id = 0
+        self.ref: tuple | None = None  # device arrays (y, u, v)
+        self.qp = cfg.qp
+        self.qpc = int(tnp.chroma_qp(cfg.qp, self.pps.chroma_qp_index_offset))
+
+    def headers(self) -> bytes:
+        return (wrap_nal(3, NAL_SPS, self.sps.to_rbsp())
+                + wrap_nal(3, NAL_PPS, self.pps.to_rbsp()))
+
+    # ------------------------------------------------------------------
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        sy = jnp.asarray(_pad(y, H, W), jnp.int32)
+        su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
+        sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
+
+        is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if is_idr:
+            self.frame_num = 0
+            out = encode_i_frame(sy, su, sv, self.qp, self.qpc)
+            payload = self._finalize_i(out)
+            nal_type = NAL_SLICE_IDR
+        else:
+            out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
+                                 rng=cfg.search_range)
+            payload = self._finalize_p(out)
+            nal_type = NAL_SLICE
+
+        self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        self.last_recon = (np.asarray(out["recon_y"]),
+                           np.asarray(out["recon_u"]),
+                           np.asarray(out["recon_v"]))
+        bs = b""
+        if is_idr:
+            bs += self.headers()
+        bs += wrap_nal(3, nal_type, payload)
+        self.frame_idx += 1
+        self.frame_num = (self.frame_num + 1) % (1 << (self.sps.log2_max_frame_num_minus4 + 4))
+        if is_idr:
+            self.idr_id = (self.idr_id + 1) % 65536
+        return bs
+
+    # ------------------------------------------------------------------
+    def _slice_header_codes(self, slice_type: int, nal_type: int) -> BitWriter:
+        w = BitWriter()
+        h = SliceHeader(slice_type=slice_type + 5,
+                        frame_num=self.frame_num,
+                        idr_pic_id=self.idr_id,
+                        slice_qp_delta=0,
+                        disable_deblocking_filter_idc=1)
+        h.write(w, self.sps, self.pps, nal_type, 3)
+        return w
+
+    def _nc_luma_map(self, tc_blk: np.ndarray) -> np.ndarray:
+        """tc_blk: (nMB, 16) total coeffs in block coding order ->
+        nC per block (nMB, 16)."""
+        mbh, mbw = self.mbh, self.mbw
+        tcm = np.zeros((mbh * 4, mbw * 4), dtype=np.int64)
+        gy = (np.arange(mbh * mbw) // mbw * 4)[:, None] + BLK_Y[None, :]
+        gx = (np.arange(mbh * mbw) % mbw * 4)[:, None] + BLK_X[None, :]
+        tcm[gy, gx] = tc_blk
+        nc = _nc_from_map(tcm)
+        return nc[gy, gx]
+
+    def _nc_chroma_map(self, tc_c: np.ndarray) -> np.ndarray:
+        """tc_c: (nMB, 4) per chroma sub-block (raster) -> nC (nMB, 4)."""
+        mbh, mbw = self.mbh, self.mbw
+        sbx = np.array([0, 1, 0, 1])
+        sby = np.array([0, 0, 1, 1])
+        tcm = np.zeros((mbh * 2, mbw * 2), dtype=np.int64)
+        gy = (np.arange(mbh * mbw) // mbw * 2)[:, None] + sby[None, :]
+        gx = (np.arange(mbh * mbw) % mbw * 2)[:, None] + sbx[None, :]
+        tcm[gy, gx] = tc_c
+        nc = _nc_from_map(tcm)
+        return nc[gy, gx]
+
+    # ------------------------------------------------------------------
+    def _finalize_i(self, out) -> np.ndarray:
+        n = self.mbh * self.mbw
+        dc = np.asarray(out["dc"])            # (n,16)
+        ac = np.asarray(out["ac"])            # (n,16,15)
+        cbp_luma_nz = np.asarray(out["cbp_luma_nz"])
+        cbp_chroma = np.asarray(out["cbp_chroma"])
+        dc_u = np.asarray(out["dc_u"]).reshape(n, 4)
+        dc_v = np.asarray(out["dc_v"]).reshape(n, 4)
+        ac_u = np.asarray(out["ac_u"])        # (n,4,15)
+        ac_v = np.asarray(out["ac_v"])
+
+        # modes: top MB row -> DC (2) / chroma DC (0); others V (0) / ch V (2)
+        my = np.arange(n) // self.mbw
+        i16_mode = np.where(my == 0, 2, 0)
+        chroma_mode = np.where(my == 0, 0, 2)
+        mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma_nz
+
+        # suppress AC when cbp_luma == 0 (device already guarantees all-zero)
+        ac = np.where(cbp_luma_nz[:, None, None], ac, 0)
+        ac_u = np.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
+        ac_v = np.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
+        dc_u = np.where((cbp_chroma >= 1)[:, None], dc_u, 0)
+        dc_v = np.where((cbp_chroma >= 1)[:, None], dc_v, 0)
+
+        tc_blk = np.count_nonzero(ac, axis=-1)        # (n,16)
+        nc_l = self._nc_luma_map(tc_blk)
+        nc_dc = nc_l[:, 0]                            # block 0 context
+        tc_cu = np.count_nonzero(ac_u, axis=-1)
+        tc_cv = np.count_nonzero(ac_v, axis=-1)
+        nc_cu = self._nc_chroma_map(tc_cu)
+        nc_cv = self._nc_chroma_map(tc_cv)
+
+        # --- block codes ---
+        vdc, ldc = cavlc_vec.encode_blocks(dc, nc_dc, 16)
+        vac, lac = cavlc_vec.encode_blocks(ac.reshape(-1, 15),
+                                           nc_l.reshape(-1), 15)
+        vac = vac.reshape(n, 16, S)
+        lac = lac.reshape(n, 16, S)
+        lac = np.where(cbp_luma_nz[:, None, None], lac, 0)
+        vcdu, lcdu = cavlc_vec.encode_blocks(dc_u, np.full(n, -1), 4)
+        vcdv, lcdv = cavlc_vec.encode_blocks(dc_v, np.full(n, -1), 4)
+        has_cdc = (cbp_chroma >= 1)[:, None]
+        lcdu = np.where(has_cdc, lcdu, 0)
+        lcdv = np.where(has_cdc, lcdv, 0)
+        vcau, lcau = cavlc_vec.encode_blocks(ac_u.reshape(-1, 15),
+                                             nc_cu.reshape(-1), 15)
+        vcav, lcav = cavlc_vec.encode_blocks(ac_v.reshape(-1, 15),
+                                             nc_cv.reshape(-1), 15)
+        vcau = vcau.reshape(n, 4, S); lcau = lcau.reshape(n, 4, S)
+        vcav = vcav.reshape(n, 4, S); lcav = lcav.reshape(n, 4, S)
+        has_cac = (cbp_chroma == 2)[:, None, None]
+        lcau = np.where(has_cac, lcau, 0)
+        lcav = np.where(has_cac, lcav, 0)
+
+        # --- header codes: mb_type ue, chroma_mode ue, qp_delta se(0) ---
+        hv = np.zeros((n, 3), dtype=np.uint32)
+        hl = np.zeros((n, 3), dtype=np.int8)
+        tv, tl = ue_codes(mb_type)
+        hv[:, 0], hl[:, 0] = tv, tl
+        cv, cl = ue_codes(chroma_mode)
+        hv[:, 1], hl[:, 1] = cv, cl
+        hv[:, 2], hl[:, 2] = 1, 1  # se(0) = '1'
+
+        # --- assemble ---
+        vals = np.concatenate([
+            hv,
+            vdc,
+            vac.reshape(n, -1),
+            vcdu, vcdv,
+            vcau.reshape(n, -1), vcav.reshape(n, -1),
+        ], axis=1)
+        lens = np.concatenate([
+            hl,
+            ldc,
+            lac.reshape(n, -1),
+            lcdu, lcdv,
+            lcau.reshape(n, -1), lcav.reshape(n, -1),
+        ], axis=1)
+
+        w = self._slice_header_codes(SLICE_I, NAL_SLICE_IDR)
+        w.write_codes(vals.astype(np.uint64).ravel(), lens.astype(np.int64).ravel())
+        w.rbsp_trailing_bits()
+        return w.to_rbsp()
+
+    # ------------------------------------------------------------------
+    def _finalize_p(self, out) -> np.ndarray:
+        n = self.mbh * self.mbw
+        mbh, mbw = self.mbh, self.mbw
+        mv = np.asarray(out["mv"]).reshape(mbh, mbw, 2)       # quarter-pel
+        levels = np.asarray(out["levels"])                    # (n,16,16)
+        cbp_luma = np.asarray(out["cbp_luma"])
+        cbp_chroma = np.asarray(out["cbp_chroma"])
+        dc_u = np.asarray(out["dc_u"]).reshape(n, 4)
+        dc_v = np.asarray(out["dc_v"]).reshape(n, 4)
+        ac_u = np.asarray(out["ac_u"])
+        ac_v = np.asarray(out["ac_v"])
+
+        # mask chroma by cbp
+        ac_u = np.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
+        ac_v = np.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
+        dc_u = np.where((cbp_chroma >= 1)[:, None], dc_u, 0)
+        dc_v = np.where((cbp_chroma >= 1)[:, None], dc_v, 0)
+        cbp = (cbp_luma | (cbp_chroma << 4)).astype(np.int64)
+
+        # ---- MV prediction & skip decision (vectorized) ----
+        pmv, pmv_skip_zero = _p16_mv_pred(mv)
+        mv_flat = mv.reshape(n, 2)
+        skip = ((cbp == 0) & (mv_flat == 0).all(axis=1)
+                & pmv_skip_zero.reshape(n))
+        mvd = mv_flat - pmv.reshape(n, 2)
+
+        # skip runs: number of consecutive skips before each non-skip MB
+        nonskip_idx = np.nonzero(~skip)[0]
+        runs = np.zeros(n, dtype=np.int64)
+        if nonskip_idx.size:
+            prev = np.concatenate([[-1], nonskip_idx[:-1]])
+            runs[nonskip_idx] = nonskip_idx - prev - 1
+        trailing = n - 1 - (nonskip_idx[-1] if nonskip_idx.size else -1)
+
+        # ---- residual levels masked by cbp (device levels in uncoded
+        # quadrants are zero only if quant produced zero; cbp_luma is derived
+        # from nonzeros so coded quadrants match; suppress safety) ----
+        quad_coded = ((cbp_luma[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
+        levels = np.where(quad_coded[:, :, None], levels, 0)
+
+        tc_blk = np.count_nonzero(levels, axis=-1)
+        nc_l = self._nc_luma_map(tc_blk)
+        nc_cu = self._nc_chroma_map(np.count_nonzero(ac_u, axis=-1))
+        nc_cv = self._nc_chroma_map(np.count_nonzero(ac_v, axis=-1))
+
+        vlu, llu = cavlc_vec.encode_blocks(levels.reshape(-1, 16),
+                                           nc_l.reshape(-1), 16)
+        vlu = vlu.reshape(n, 16, S); llu = llu.reshape(n, 16, S)
+        llu = np.where(quad_coded[:, :, None], llu, 0)
+        vcdu, lcdu = cavlc_vec.encode_blocks(dc_u, np.full(n, -1), 4)
+        vcdv, lcdv = cavlc_vec.encode_blocks(dc_v, np.full(n, -1), 4)
+        has_cdc = (cbp_chroma >= 1)[:, None]
+        lcdu = np.where(has_cdc, lcdu, 0)
+        lcdv = np.where(has_cdc, lcdv, 0)
+        vcau, lcau = cavlc_vec.encode_blocks(ac_u.reshape(-1, 15),
+                                             nc_cu.reshape(-1), 15)
+        vcav, lcav = cavlc_vec.encode_blocks(ac_v.reshape(-1, 15),
+                                             nc_cv.reshape(-1), 15)
+        vcau = vcau.reshape(n, 4, S); lcau = lcau.reshape(n, 4, S)
+        vcav = vcav.reshape(n, 4, S); lcav = lcav.reshape(n, 4, S)
+        has_cac = (cbp_chroma == 2)[:, None, None]
+        lcau = np.where(has_cac, lcau, 0)
+        lcav = np.where(has_cac, lcav, 0)
+
+        # ---- header codes: [skip_run, mb_type(=ue 0), mvdx, mvdy, cbp, qpd]
+        hv = np.zeros((n, 6), dtype=np.uint32)
+        hl = np.zeros((n, 6), dtype=np.int8)
+        rv, rl = ue_codes(runs)
+        hv[:, 0], hl[:, 0] = rv, rl
+        hv[:, 1], hl[:, 1] = 1, 1  # ue(P_L0_16X16=0) = '1'
+        xv, xl = se_codes(mvd[:, 0])
+        yv, yl = se_codes(mvd[:, 1])
+        hv[:, 2], hl[:, 2] = xv, xl
+        hv[:, 3], hl[:, 3] = yv, yl
+        cbp_code = CBP_TO_CODE[0, cbp]
+        bv, bl = ue_codes(cbp_code)
+        hv[:, 4], hl[:, 4] = bv, bl
+        hv[:, 5] = 1
+        hl[:, 5] = np.where(cbp != 0, 1, 0)  # se(0) only when cbp != 0
+
+        vals = np.concatenate([
+            hv, vlu.reshape(n, -1), vcdu, vcdv,
+            vcau.reshape(n, -1), vcav.reshape(n, -1)], axis=1)
+        lens = np.concatenate([
+            hl, llu.reshape(n, -1), lcdu, lcdv,
+            lcau.reshape(n, -1), lcav.reshape(n, -1)], axis=1)
+        # zero out everything for skipped MBs
+        lens = np.where(skip[:, None], 0, lens)
+
+        w = self._slice_header_codes(SLICE_P, NAL_SLICE)
+        w.write_codes(vals.astype(np.uint64).ravel(), lens.astype(np.int64).ravel())
+        if trailing > 0:
+            w.ue(int(trailing))
+        w.rbsp_trailing_bits()
+        return w.to_rbsp()
+
+
+def _nc_from_map(tcm: np.ndarray) -> np.ndarray:
+    """Neighbor-averaged nC from a total-coeff map (availability = frame edge)."""
+    tA = np.zeros_like(tcm)
+    tA[:, 1:] = tcm[:, :-1]
+    tB = np.zeros_like(tcm)
+    tB[1:, :] = tcm[:-1, :]
+    availA = np.zeros(tcm.shape, dtype=bool)
+    availA[:, 1:] = True
+    availB = np.zeros(tcm.shape, dtype=bool)
+    availB[1:, :] = True
+    nc = np.where(availA & availB, (tA + tB + 1) >> 1,
+                  np.where(availA, tA, np.where(availB, tB, 0)))
+    return nc
+
+
+def _p16_mv_pred(mv: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Median MV prediction for an all-P16x16 frame (§8.4.1.3) + the
+    'pmv_skip forces zero' flag (§8.4.1.1).
+
+    mv: (mbh, mbw, 2). Returns (pmv (mbh,mbw,2), skip_zero (mbh,mbw) bool).
+    """
+    mbh, mbw, _ = mv.shape
+    zeros = np.zeros_like(mv)
+
+    def shift(arr, dy, dx):
+        out = np.zeros_like(arr)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        out[yd, xd] = arr[ys, xs]
+        return out
+
+    mvA = shift(mv, 0, -1)   # out[y,x] = mv[y, x-1] (left neighbor)
+    mvB = shift(mv, -1, 0)   # above
+    mvC = shift(mv, -1, 1)   # above-right
+    mvD = shift(mv, -1, -1)  # above-left
+    yy, xx = np.mgrid[0:mbh, 0:mbw]
+    availA = xx > 0
+    availB = yy > 0
+    availC_raw = (yy > 0) & (xx < mbw - 1)
+    availD = (yy > 0) & (xx > 0)
+    mvC_eff = np.where(availC_raw[..., None], mvC, mvD)
+    availC = availC_raw | availD
+
+    only_a = availA & ~availB & ~availC
+    nmatch = availA.astype(int) + availB.astype(int) + availC.astype(int)
+    mA = np.where(availA[..., None], mvA, zeros)
+    mB = np.where(availB[..., None], mvB, zeros)
+    mC = np.where(availC[..., None], mvC_eff, zeros)
+    med = np.median(np.stack([mA, mB, mC]), axis=0).astype(np.int64)
+    one = np.where(availA[..., None], mvA,
+                   np.where(availB[..., None], mvB, mvC_eff))
+    pmv = np.where(only_a[..., None], mvA,
+                   np.where((nmatch == 1)[..., None], one, med)).astype(np.int64)
+
+    zeroA = availA & (mvA == 0).all(-1)
+    zeroB = availB & (mvB == 0).all(-1)
+    skip_cond = (~availA) | (~availB) | zeroA | zeroB
+    pmv_skip = np.where(skip_cond[..., None], 0, pmv)
+    return pmv, (pmv_skip == 0).all(-1)
+
+
+def _pad(a: np.ndarray, H: int, W: int) -> np.ndarray:
+    a = np.asarray(a)
+    if a.shape == (H, W):
+        return a
+    return np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])), mode="edge")
+
+
+def _level_for(w: int, h: int, fps_num: int, fps_den: int) -> int:
+    """Minimal level_idc by MB count / MB rate (Table A-1 essentials)."""
+    mbs = ((w + 15) // 16) * ((h + 15) // 16)
+    mbps = mbs * fps_num / max(1, fps_den)
+    for level, max_fs, max_mbps in (
+            (10, 99, 1485), (11, 396, 3000), (12, 396, 6000), (13, 396, 11880),
+            (20, 396, 11880), (21, 792, 19800), (22, 1620, 20250),
+            (30, 1620, 40500), (31, 3600, 108000), (32, 5120, 216000),
+            (40, 8192, 245760), (41, 8192, 245760), (42, 8704, 522240),
+            (50, 22080, 589824), (51, 36864, 983040), (52, 36864, 2073600)):
+        if mbs <= max_fs and mbps <= max_mbps:
+            return level
+    return 52
