@@ -1,0 +1,61 @@
+"""Benchmark: 1080p encode throughput per TPU chip (BASELINE.json config).
+
+Runs the full encoder (device pipeline + host entropy + bitstream assembly)
+on the real TPU and prints one JSON line.  vs_baseline is measured fps over
+the 300 fps/chip north-star target from BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def make_clip(w, h, n, seed=0):
+    rng = np.random.default_rng(seed)
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = 64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+    tex = rng.integers(-10, 11, size=(h, w))
+    frames = []
+    for f in range(n):
+        y = np.clip(base + np.roll(tex, f * 2, axis=1), 0, 255).astype(np.uint8)
+        u = np.clip(128 + 24 * np.sin((xx[::2, ::2] + f) / 37.0), 0, 255).astype(np.uint8)
+        v = np.clip(128 + 24 * np.cos((yy[::2, ::2] - f) / 41.0), 0, 255).astype(np.uint8)
+        frames.append((y, u, v))
+    return frames
+
+
+def main():
+    from x264vfw_tpu.encode.ref_encoder import EncoderConfig
+    from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
+
+    W, H = 1920, 1080
+    n_frames = 24
+    frames = make_clip(W, H, 4)
+
+    enc = TpuEncoder(EncoderConfig(width=W, height=H, qp=26, keyint=250,
+                                   search_range=8))
+    # warmup: one IDR + two P (compiles both pipelines)
+    for i in range(3):
+        enc.encode_frame(*frames[i % len(frames)])
+
+    t0 = time.perf_counter()
+    total_bytes = 0
+    for i in range(n_frames):
+        total_bytes += len(enc.encode_frame(*frames[i % len(frames)]))
+    dt = time.perf_counter() - t0
+    fps = n_frames / dt
+
+    print(json.dumps({
+        "metric": "1080p_encode_fps_per_chip",
+        "value": round(fps, 2),
+        "unit": "fps",
+        "vs_baseline": round(fps / 300.0, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

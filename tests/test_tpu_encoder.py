@@ -100,3 +100,21 @@ def test_matches_ref_encoder_quality():
     mse = ((clip[:, :4096].astype(np.float64) - np.stack(rec)) ** 2).mean()
     psnr_ref = 10 * np.log10(255 ** 2 / mse)
     assert psnr_tpu > psnr_ref - 2.5, (psnr_tpu, psnr_ref)
+
+
+def test_device_entropy_matches_host_entropy():
+    """The device finalize must produce byte-identical streams to the
+    numpy reference finalization."""
+    clip = oracle.make_test_clip(64, 64, 3, seed=42)
+    outs = []
+    for host in (True, False):
+        enc = TpuEncoder(EncoderConfig(width=64, height=64, qp=26, search_range=4))
+        enc.host_entropy = host
+        bs = b""
+        for i in range(3):
+            y = clip[i, :4096].reshape(64, 64)
+            u = clip[i, 4096:5120].reshape(32, 32)
+            v = clip[i, 5120:].reshape(32, 32)
+            bs += enc.encode_frame(y, u, v)
+        outs.append(bs)
+    assert outs[0] == outs[1]

@@ -1,0 +1,169 @@
+"""CAVLC residual coding on device (JAX) — mirror of cavlc_vec.py.
+
+Entropy coding is usually called 'inherently serial'; CAVLC's table lookups
+and per-coefficient codes are in fact data-parallel per block — only the
+suffix-length adaptation is a short (<=16 step) chain, which we run as 16
+vectorized steps over all blocks of a frame at once.  Together with
+device_pack.py this keeps the whole entropy stage on the TPU; only packed
+bitstream bytes cross to the host.
+
+Slot layout matches cavlc_vec.SLOTS.  Codes here are capped at 31 bits per
+slot: any longer code (level escapes beyond ~2^13, zero-probability in real
+streams but legal) is emitted as leading-zero length in the SAME slot pair
+convention used by device_pack (value has <=31 significant bits; the
+remaining length is implicit leading zeros).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import cavlc_tables as T
+
+SLOTS = 33
+
+# dense tables as device constants
+CT_VAL = jnp.asarray(T.COEFF_TOKEN_VAL.astype(np.uint32))
+CT_LEN = jnp.asarray(T.COEFF_TOKEN_LEN.astype(np.int32))
+TZ_VAL = jnp.asarray(T.TOTAL_ZEROS_VAL.astype(np.uint32))
+TZ_LEN = jnp.asarray(T.TOTAL_ZEROS_LEN.astype(np.int32))
+TZC_VAL = jnp.asarray(T.TOTAL_ZEROS_CDC_VAL.astype(np.uint32))
+TZC_LEN = jnp.asarray(T.TOTAL_ZEROS_CDC_LEN.astype(np.int32))
+RB_VAL = jnp.asarray(T.RUN_BEFORE_VAL.astype(np.uint32))
+RB_LEN = jnp.asarray(T.RUN_BEFORE_LEN.astype(np.int32))
+
+
+def _ctx_from_nc(nC):
+    ctx = jnp.full(nC.shape, 4, jnp.int32)
+    ctx = jnp.where(nC < 8, 2, ctx)
+    ctx = jnp.where(nC < 4, 1, ctx)
+    ctx = jnp.where(nC < 2, 0, ctx)
+    ctx = jnp.where(nC < 0, 3, ctx)
+    return ctx
+
+
+def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
+    """(N, L) zigzag levels + (N,) nC -> (vals uint32, lens int32) (N, SLOTS)."""
+    levels = levels.astype(jnp.int32)
+    N, L = levels.shape
+    assert L == max_coeffs
+    nC = nC.astype(jnp.int32)
+
+    nz = levels != 0
+    tc = nz.sum(-1).astype(jnp.int32)
+    # stable partition: nonzeros first, in scan order
+    order = jnp.argsort(~nz, axis=-1, stable=True)
+    v_sorted = jnp.take_along_axis(levels, order, axis=-1)
+    p_sorted = order.astype(jnp.int32)
+
+    # trailing ones
+    t1 = jnp.zeros(N, jnp.int32)
+    cond = jnp.ones(N, jnp.bool_)
+    for k in range(1, 4):
+        idx = jnp.clip(tc - k, 0, L - 1)
+        vk = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        cond = cond & (tc >= k) & (jnp.abs(vk) == 1)
+        t1 = t1 + cond
+
+    vals = jnp.zeros((N, SLOTS), jnp.uint32)
+    lens = jnp.zeros((N, SLOTS), jnp.int32)
+
+    ctx = _ctx_from_nc(nC)
+    vals = vals.at[:, 0].set(CT_VAL[ctx, tc, t1])
+    lens = lens.at[:, 0].set(CT_LEN[ctx, tc, t1])
+
+    sign_val = jnp.zeros(N, jnp.uint32)
+    for i in range(3):
+        idx = jnp.clip(tc - 1 - i, 0, L - 1)
+        vk = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        neg = ((vk < 0) & (i < t1)).astype(jnp.uint32)
+        sign_val = jnp.where(i < t1, (sign_val << 1) | neg, sign_val)
+    vals = vals.at[:, 1].set(sign_val)
+    lens = lens.at[:, 1].set(t1)
+
+    # levels
+    sl = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
+    for k in range(L):
+        active = (k >= t1) & (k < tc)
+        idx = jnp.clip(tc - 1 - k, 0, L - 1)
+        lv = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        lv = jnp.where(active, lv, 1)
+        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
+        lc = lc - 2 * ((k == t1) & (t1 < 3))
+        sl1 = jnp.maximum(sl, 1)
+        p = jnp.zeros(N, jnp.int32)
+        suffix = jnp.zeros(N, jnp.int32)
+        ssz = jnp.zeros(N, jnp.int32)
+        a1 = (sl == 0) & (lc < 14)
+        p = jnp.where(a1, lc, p)
+        a2 = (sl == 0) & (lc >= 14) & (lc < 30)
+        p = jnp.where(a2, 14, p)
+        suffix = jnp.where(a2, lc - 14, suffix)
+        ssz = jnp.where(a2, 4, ssz)
+        b1 = (sl > 0) & (lc < (15 << sl1))
+        p = jnp.where(b1, lc >> sl1, p)
+        suffix = jnp.where(b1, lc & ((1 << sl1) - 1), suffix)
+        ssz = jnp.where(b1, sl, ssz)
+        esc = ((sl == 0) & (lc >= 30)) | ((sl > 0) & (lc >= (15 << sl1)))
+        base = jnp.where(sl == 0, 30, 15 << sl1)
+        rem = jnp.maximum(lc - base, 0)
+        # k_esc = floor(log2(rem/4096 + 1)) via float exponent (exact for
+        # rem < 2^24 which the int16 dynamic-range clamp guarantees)
+        kk = (jnp.frexp((rem.astype(jnp.float32) / 4096.0) + 1.0)[1] - 1)
+        kk = kk.astype(jnp.int32)
+        off = (jnp.int32(4096) << kk) - 4096
+        p = jnp.where(esc, 15 + kk, p)
+        suffix = jnp.where(esc, rem - off, suffix)
+        ssz = jnp.where(esc, 12 + kk, ssz)
+        code_val = (jnp.uint32(1) << ssz.astype(jnp.uint32)) | suffix.astype(jnp.uint32)
+        code_len = p + 1 + ssz
+        vals = vals.at[:, 2 + k].set(jnp.where(active, code_val, 0))
+        lens = lens.at[:, 2 + k].set(jnp.where(active, code_len, 0))
+        new_sl = jnp.maximum(sl, 1)
+        new_sl = new_sl + ((jnp.abs(lv) > (3 << jnp.maximum(new_sl - 1, 0)))
+                           & (new_sl < 6))
+        sl = jnp.where(active, new_sl, sl)
+
+    # total_zeros
+    last_idx = jnp.clip(tc - 1, 0, L - 1)
+    last_pos = jnp.take_along_axis(p_sorted, last_idx[:, None], axis=-1)[:, 0]
+    tz = jnp.where(tc > 0, last_pos + 1 - tc, 0)
+    need = (tc > 0) & (tc < max_coeffs)
+    if max_coeffs == 4:
+        tzv = TZC_VAL[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
+        tzl = TZC_LEN[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
+    else:
+        tzv = TZ_VAL[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
+        tzl = TZ_LEN[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
+    vals = vals.at[:, 18].set(jnp.where(need, tzv, 0))
+    lens = lens.at[:, 18].set(jnp.where(need, tzl, 0))
+
+    # run_before
+    zl = jnp.where(need | (tc == max_coeffs), tz, 0)
+    for k in range(min(L - 1, 14)):
+        active = (k < tc - 1) & (zl > 0)
+        hi_idx = jnp.clip(tc - 1 - k, 0, L - 1)
+        lo_idx = jnp.clip(tc - 2 - k, 0, L - 1)
+        hi = jnp.take_along_axis(p_sorted, hi_idx[:, None], axis=-1)[:, 0]
+        lo = jnp.take_along_axis(p_sorted, lo_idx[:, None], axis=-1)[:, 0]
+        run = jnp.clip(hi - lo - 1, 0, 14)
+        zli = jnp.clip(zl, 1, 7)
+        vals = vals.at[:, 19 + k].set(jnp.where(active, RB_VAL[zli, run], 0))
+        lens = lens.at[:, 19 + k].set(jnp.where(active, RB_LEN[zli, run], 0))
+        zl = jnp.where(active, zl - run, zl)
+    return vals, lens
+
+
+def ue_codes_j(v: jnp.ndarray):
+    """Vectorized unsigned exp-Golomb on device: (vals uint32, lens int32).
+
+    Valid for v < 2^30 (len <= 61 never occurs for our syntax: v < 2^16)."""
+    x = v.astype(jnp.int32) + 1
+    nb = jnp.frexp(x.astype(jnp.float32))[1]  # bit_length, exact < 2^24
+    return x.astype(jnp.uint32), (2 * nb - 1).astype(jnp.int32)
+
+
+def se_codes_j(v: jnp.ndarray):
+    code = jnp.where(v > 0, 2 * v - 1, -2 * v)
+    return ue_codes_j(code)

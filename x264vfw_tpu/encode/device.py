@@ -89,61 +89,82 @@ def zigzag16(blocks: jnp.ndarray) -> jnp.ndarray:
 # P-frame pipeline
 # --------------------------------------------------------------------------
 
-def _motion_search_int(src_mbs, ref_pad, mb_y0, mb_x0, rng: int):
-    """Full-search integer-pel SAD over a +-rng window.
+def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int):
+    """Full-search integer-pel SAD ME + MC, slice-formulated for TPU.
 
-    src_mbs: (n, 16, 16) int32; ref_pad: (H+2P, W+2P) padded with P=rng;
-    mb_y0/mb_x0: (n,) top-left coords in unpadded frame.
-    Returns mv: (n, 2) int32 (x, y) in integer pels.
+    Instead of per-MB window gathers (pathological on TPU), every candidate
+    offset is ONE static shift of the whole padded reference: elementwise
+    |src - shift(ref)| then a per-MB block-sum.  MC is a second masked-
+    accumulate pass over the same offsets — no gathers anywhere.
+
+    Returns (mv (mbh,mbw,2) integer pels, pred_y (H,W), pred_u, pred_v).
     """
-    n = src_mbs.shape[0]
-    offs = jnp.stack(jnp.meshgrid(jnp.arange(-rng, rng + 1),
-                                  jnp.arange(-rng, rng + 1),
-                                  indexing="ij"), axis=-1).reshape(-1, 2)  # (K, [dy,dx])
-
-    ys = mb_y0[:, None] + jnp.arange(16)[None, :]   # (n, 16)
-    xs = mb_x0[:, None] + jnp.arange(16)[None, :]
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    K = 2 * rng + 1
+    ref_pad = jnp.pad(ref_y, rng, mode="edge")
+    cr = rng // 2 + 1
+    ref_pad_u = jnp.pad(ref_u, cr, mode="edge")
+    ref_pad_v = jnp.pad(ref_v, cr, mode="edge")
+    offs = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
+                                  indexing="ij"), -1).reshape(-1, 2)  # dy,dx in [0,K)
 
     def sad_at(off):
-        dy, dx = off[0], off[1]
-        cand = ref_pad[(ys + dy + rng)[:, :, None], (xs + dx + rng)[:, None, :]]
-        return jnp.abs(src_mbs - cand).sum(axis=(1, 2))  # (n,)
+        cand = jax.lax.dynamic_slice(ref_pad, (off[0], off[1]), (H, W))
+        d = jnp.abs(src_y - cand)
+        return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
 
-    sads = jax.lax.map(sad_at, offs)                 # (K, n)
-    # prefer smaller |mv| on ties: add tiny bias by offset cost
-    cost = jnp.abs(offs[:, 0]) + jnp.abs(offs[:, 1])
-    best = jnp.argmin(sads * 4 + cost[:, None], axis=0)  # (n,)
-    dy = offs[best, 0]
-    dx = offs[best, 1]
-    return jnp.stack([dx, dy], axis=-1).astype(jnp.int32)
+    sads = jax.lax.map(sad_at, offs)                      # (K*K, mbh, mbw)
+    cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
+    best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)  # (mbh,mbw)
+    dy = best // K - rng
+    dx = best % K - rng
+    mv = jnp.stack([dx, dy], axis=-1).astype(jnp.int32)   # (mbh,mbw,[x,y])
 
+    # --- MC pass: accumulate the winning candidate per MB ---
+    mask_full = jnp.repeat(jnp.repeat(best, 16, 0), 16, 1)  # (H,W) slot ids
 
-def _gather_mb(ref_pad, mb_y0, mb_x0, mv_xy, pad, size):
-    ys = mb_y0[:, None] + mv_xy[:, 1:2] + jnp.arange(size)[None, :] + pad
-    xs = mb_x0[:, None] + mv_xy[:, 0:1] + jnp.arange(size)[None, :] + pad
-    return ref_pad[ys[:, :, None], xs[:, None, :]]
+    def mc_at(carry, k):
+        off = offs[k]
+        cand = jax.lax.dynamic_slice(ref_pad, (off[0], off[1]), (H, W))
+        sel = (mask_full == k)
+        return carry + jnp.where(sel, cand, 0), None
 
+    pred_y, _ = jax.lax.scan(mc_at, jnp.zeros((H, W), jnp.int32),
+                             jnp.arange(K * K))
 
-def _chroma_mc_int(ref_pad_c, cb_y0, cb_x0, mv_q, pad):
-    """Chroma MC for quarter-pel luma MV (here integer-pel => frac 0 or 4).
+    # chroma MC: offset = mv>>1 integer chroma pels + half-pel frac (mv&1)
+    # candidate chroma pred for luma offset (dy,dx):
+    #   bilinear with yf = 4*(dy&1), xf = 4*(dx&1) at (dy>>1, dx>>1)
+    maskc = jnp.repeat(jnp.repeat(best, 8, 0), 8, 1)      # (H/2, W/2)
 
-    ref_pad_c: padded chroma plane; cb_y0/cb_x0 (n,) chroma block origins.
-    mv_q: (n, 2) quarter-pel luma MV.
-    """
-    xi = mv_q[:, 0:1] >> 3
-    yi = mv_q[:, 1:2] >> 3
-    xf = (mv_q[:, 0] & 7)[:, None, None]
-    yf = (mv_q[:, 1] & 7)[:, None, None]
-    ys = cb_y0[:, None] + yi + jnp.arange(9)[None, :] + pad
-    xs = cb_x0[:, None] + xi + jnp.arange(9)[None, :] + pad
-    win = ref_pad_c[ys[:, :, None], xs[:, None, :]]  # (n, 9, 9)
-    A = win[:, :8, :8]
-    B = win[:, :8, 1:9]
-    C = win[:, 1:9, :8]
-    D = win[:, 1:9, 1:9]
-    out = ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
-           + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
-    return out
+    def mc_c(carry, k):
+        off = offs[k]
+        dy = off[0] - rng
+        dx = off[1] - rng
+        cy = (dy >> 1) + cr
+        cx = (dx >> 1) + cr
+        yf = (dy & 1) * 4
+        xf = (dx & 1) * 4
+        acc_u, acc_v = carry
+        sel = maskc == k
+
+        def bil(rp):
+            A = jax.lax.dynamic_slice(rp, (cy, cx), (H // 2, W // 2))
+            B = jax.lax.dynamic_slice(rp, (cy, cx + 1), (H // 2, W // 2))
+            C = jax.lax.dynamic_slice(rp, (cy + 1, cx), (H // 2, W // 2))
+            D = jax.lax.dynamic_slice(rp, (cy + 1, cx + 1), (H // 2, W // 2))
+            return ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
+                    + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+
+        acc_u = acc_u + jnp.where(sel, bil(ref_pad_u), 0)
+        acc_v = acc_v + jnp.where(sel, bil(ref_pad_v), 0)
+        return (acc_u, acc_v), None
+
+    (pred_u, pred_v), _ = jax.lax.scan(
+        mc_c, (jnp.zeros((H // 2, W // 2), jnp.int32),
+               jnp.zeros((H // 2, W // 2), jnp.int32)), jnp.arange(K * K))
+    return mv, pred_y, pred_u, pred_v
 
 
 def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
@@ -207,14 +228,12 @@ def encode_p_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc, rng=8):
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
     src_mbs = mbize(src_y)
-    mb_y0 = (jnp.arange(n) // mbw) * 16
-    mb_x0 = (jnp.arange(n) % mbw) * 16
 
-    ref_pad = jnp.pad(ref_y, rng, mode="edge")
-    mv_int = _motion_search_int(src_mbs, ref_pad, mb_y0, mb_x0, rng)
-    mv_q = mv_int * 4
+    mv_int, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
+        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng)
+    mv_q = (mv_int * 4).reshape(n, 2)
 
-    pred = _gather_mb(ref_pad, mb_y0, mb_x0, mv_int, rng, 16)
+    pred = mbize(pred_y_pl)
     levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
 
     # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
@@ -228,12 +247,8 @@ def encode_p_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc, rng=8):
     recon_y_mbs = jnp.clip(pred + res_mb, 0, 255)
 
     # chroma
-    cpad = (rng // 2) + 2
-    cb_y0, cb_x0 = mb_y0 // 2, mb_x0 // 2
-    ref_pad_u = jnp.pad(ref_u, cpad, mode="edge")
-    ref_pad_v = jnp.pad(ref_v, cpad, mode="edge")
-    pred_u = _chroma_mc_int(ref_pad_u, cb_y0, cb_x0, mv_q, cpad)
-    pred_v = _chroma_mc_int(ref_pad_v, cb_y0, cb_x0, mv_q, cpad)
+    pred_u = mbize(pred_u_pl, 8)
+    pred_v = mbize(pred_v_pl, 8)
     src_u_mbs = mbize(src_u, 8)
     src_v_mbs = mbize(src_v, 8)
     dc_u, ac_u = _chroma_residual_pipeline(src_u_mbs, pred_u, qpc, False)

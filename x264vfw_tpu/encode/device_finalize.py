@@ -1,0 +1,284 @@
+"""Device-side slice finalization: syntax slots -> packed RBSP bytes.
+
+Everything between the per-MB compute and the NAL wrapper runs on device:
+MV prediction, skip-run derivation, nC context maps, CAVLC slot generation
+(cavlc_jax) and bit packing (device_pack).  The host receives only the
+packed byte payload (plus a bit count) — ~the size of the final bitstream —
+which is what makes the encoder viable over low-bandwidth host links and
+removes the host entropy bottleneck entirely.
+
+Slice-header bits are assembled on host (tiny, frame-varying) and passed in
+as a fixed-size slot array.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..bitstream import cavlc_jax as cj
+from ..bitstream.mb_syntax import CBP_TO_CODE
+from .device_pack import pack_slots
+
+S = cj.SLOTS
+MAX_HDR = 64  # header slot capacity
+
+CBP_TO_CODE_J = jnp.asarray(CBP_TO_CODE)
+
+BLK_X = jnp.asarray([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+SBX = jnp.asarray([0, 1, 0, 1])
+SBY = jnp.asarray([0, 0, 1, 1])
+
+
+def _nc_from_map(tcm):
+    tA = jnp.zeros_like(tcm).at[:, 1:].set(tcm[:, :-1])
+    tB = jnp.zeros_like(tcm).at[1:, :].set(tcm[:-1, :])
+    availA = jnp.zeros(tcm.shape, jnp.bool_).at[:, 1:].set(True)
+    availB = jnp.zeros(tcm.shape, jnp.bool_).at[1:, :].set(True)
+    return jnp.where(availA & availB, (tA + tB + 1) >> 1,
+                     jnp.where(availA, tA, jnp.where(availB, tB, 0)))
+
+
+def _nc_luma(tc_blk, mbh, mbw):
+    """tc_blk (n,16) block coding order -> nC (n,16)."""
+    n = mbh * mbw
+    gy = (jnp.arange(n) // mbw * 4)[:, None] + BLK_Y[None, :]
+    gx = (jnp.arange(n) % mbw * 4)[:, None] + BLK_X[None, :]
+    tcm = jnp.zeros((mbh * 4, mbw * 4), jnp.int32).at[gy, gx].set(tc_blk)
+    return _nc_from_map(tcm)[gy, gx]
+
+
+def _nc_chroma(tc_c, mbh, mbw):
+    n = mbh * mbw
+    gy = (jnp.arange(n) // mbw * 2)[:, None] + SBY[None, :]
+    gx = (jnp.arange(n) % mbw * 2)[:, None] + SBX[None, :]
+    tcm = jnp.zeros((mbh * 2, mbw * 2), jnp.int32).at[gy, gx].set(tc_c)
+    return _nc_from_map(tcm)[gy, gx]
+
+
+def _median3(a, b, c):
+    return a + b + c - jnp.maximum(a, jnp.maximum(b, c)) \
+        - jnp.minimum(a, jnp.minimum(b, c))
+
+
+def p16_mv_pred(mv):
+    """(mbh,mbw,2) -> (pmv, pmv_skip_is_zero). Device port of the host
+    reference (§8.4.1.3 for an all-P16x16 frame)."""
+    mbh, mbw, _ = mv.shape
+
+    def sh(arr, dy, dx):
+        out = jnp.zeros_like(arr)
+        ys = slice(max(dy, 0), mbh + min(dy, 0))
+        xs = slice(max(dx, 0), mbw + min(dx, 0))
+        yd = slice(max(-dy, 0), mbh + min(-dy, 0))
+        xd = slice(max(-dx, 0), mbw + min(-dx, 0))
+        return out.at[yd, xd].set(arr[ys, xs])
+
+    mvA = sh(mv, 0, -1)
+    mvB = sh(mv, -1, 0)
+    mvC = sh(mv, -1, 1)
+    mvD = sh(mv, -1, -1)
+    yy = jnp.arange(mbh)[:, None] * jnp.ones((1, mbw), jnp.int32)
+    xx = jnp.ones((mbh, 1), jnp.int32) * jnp.arange(mbw)[None, :]
+    availA = xx > 0
+    availB = yy > 0
+    availC_raw = (yy > 0) & (xx < mbw - 1)
+    availD = (yy > 0) & (xx > 0)
+    mvC_eff = jnp.where(availC_raw[..., None], mvC, mvD)
+    availC = availC_raw | availD
+
+    only_a = availA & ~availB & ~availC
+    nmatch = availA.astype(jnp.int32) + availB + availC
+    zeros = jnp.zeros_like(mv)
+    mA = jnp.where(availA[..., None], mvA, zeros)
+    mB = jnp.where(availB[..., None], mvB, zeros)
+    mC = jnp.where(availC[..., None], mvC_eff, zeros)
+    med = _median3(mA, mB, mC)
+    one = jnp.where(availA[..., None], mvA,
+                    jnp.where(availB[..., None], mvB, mvC_eff))
+    pmv = jnp.where(only_a[..., None], mvA,
+                    jnp.where((nmatch == 1)[..., None], one, med))
+    zeroA = availA & (mvA == 0).all(-1)
+    zeroB = availB & (mvB == 0).all(-1)
+    skip_cond = (~availA) | (~availB) | zeroA | zeroB
+    pmv_skip = jnp.where(skip_cond[..., None], 0, pmv)
+    return pmv, (pmv_skip == 0).all(-1)
+
+
+@partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
+def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+    """P-slice syntax tensors -> (packed bytes, total_bits, skip_all)."""
+    n = mbh * mbw
+    mv = out["mv"].reshape(mbh, mbw, 2)
+    levels = out["levels"]
+    cbp_luma = out["cbp_luma"]
+    cbp_chroma = out["cbp_chroma"]
+    dc_u = out["dc_u"].reshape(n, 4)
+    dc_v = out["dc_v"].reshape(n, 4)
+    ac_u, ac_v = out["ac_u"], out["ac_v"]
+
+    ac_u = jnp.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
+    ac_v = jnp.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
+    dc_u = jnp.where((cbp_chroma >= 1)[:, None], dc_u, 0)
+    dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    pmv, skip_zero = p16_mv_pred(mv)
+    mv_flat = mv.reshape(n, 2)
+    skip = ((cbp == 0) & (mv_flat == 0).all(axis=1) & skip_zero.reshape(n))
+    mvd = mv_flat - pmv.reshape(n, 2)
+
+    i = jnp.arange(n, dtype=jnp.int32)
+    ns = ~skip
+    ns_pos = jnp.where(ns, i, -1)
+    prev_ns = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                               jax.lax.cummax(ns_pos)[:-1]])
+    runs = jnp.where(ns, i - prev_ns - 1, 0)
+    last_ns = jnp.max(ns_pos)
+    trailing = n - 1 - last_ns
+
+    quad_coded = ((cbp_luma[:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
+    levels = jnp.where(quad_coded[:, :, None], levels, 0)
+
+    tc_blk = (levels != 0).sum(-1)
+    nc_l = _nc_luma(tc_blk, mbh, mbw)
+    nc_cu = _nc_chroma((ac_u != 0).sum(-1), mbh, mbw)
+    nc_cv = _nc_chroma((ac_v != 0).sum(-1), mbh, mbw)
+
+    vlu, llu = cj.encode_blocks(levels.reshape(-1, 16), nc_l.reshape(-1), 16)
+    vlu = vlu.reshape(n, 16, S)
+    llu = jnp.where(quad_coded[:, :, None], llu.reshape(n, 16, S), 0)
+    vcdu, lcdu = cj.encode_blocks(dc_u, jnp.full(n, -1), 4)
+    vcdv, lcdv = cj.encode_blocks(dc_v, jnp.full(n, -1), 4)
+    has_cdc = (cbp_chroma >= 1)[:, None]
+    lcdu = jnp.where(has_cdc, lcdu, 0)
+    lcdv = jnp.where(has_cdc, lcdv, 0)
+    vcau, lcau = cj.encode_blocks(ac_u.reshape(-1, 15), nc_cu.reshape(-1), 15)
+    vcav, lcav = cj.encode_blocks(ac_v.reshape(-1, 15), nc_cv.reshape(-1), 15)
+    has_cac = (cbp_chroma == 2)[:, None, None]
+    vcau = vcau.reshape(n, 4, S)
+    lcau = jnp.where(has_cac, lcau.reshape(n, 4, S), 0)
+    vcav = vcav.reshape(n, 4, S)
+    lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
+
+    hv = jnp.zeros((n, 6), jnp.uint32)
+    hl = jnp.zeros((n, 6), jnp.int32)
+    rv, rl = cj.ue_codes_j(runs)
+    hv = hv.at[:, 0].set(rv)
+    hl = hl.at[:, 0].set(rl)
+    hv = hv.at[:, 1].set(1)
+    hl = hl.at[:, 1].set(1)  # ue(P_L0_16x16 = 0)
+    xv, xl = cj.se_codes_j(mvd[:, 0])
+    yv, yl = cj.se_codes_j(mvd[:, 1])
+    hv = hv.at[:, 2].set(xv)
+    hl = hl.at[:, 2].set(xl)
+    hv = hv.at[:, 3].set(yv)
+    hl = hl.at[:, 3].set(yl)
+    bv, bl = cj.ue_codes_j(CBP_TO_CODE_J[0, cbp])
+    hv = hv.at[:, 4].set(bv)
+    hl = hl.at[:, 4].set(bl)
+    hv = hv.at[:, 5].set(1)
+    hl = hl.at[:, 5].set(jnp.where(cbp != 0, 1, 0))
+
+    mb_vals = jnp.concatenate([
+        hv, vlu.reshape(n, -1), vcdu, vcdv,
+        vcau.reshape(n, -1), vcav.reshape(n, -1)], axis=1)
+    mb_lens = jnp.concatenate([
+        hl, llu.reshape(n, -1), lcdu, lcdv,
+        lcau.reshape(n, -1), lcav.reshape(n, -1)], axis=1)
+    mb_lens = jnp.where(skip[:, None], 0, mb_lens)
+
+    # trailing skip run + rbsp trailing bits
+    tv, tl = cj.ue_codes_j(jnp.maximum(trailing, 0))
+    tl = jnp.where(trailing > 0, tl, 0)
+    body_bits = hdr_lens.sum() + mb_lens.sum() + tl
+    pad = (-(body_bits + 1)) % 8
+    tail_vals = jnp.concatenate([
+        tv[None], jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)])
+    tail_lens = jnp.concatenate([tl[None], (1 + pad)[None]])
+
+    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
+                                mb_vals.reshape(-1), tail_vals])
+    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
+                                mb_lens.reshape(-1), tail_lens])
+    data, nbits = pack_slots(all_vals, all_lens, cap_words)
+    return data, nbits
+
+
+@partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
+def finalize_i(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+    """I-slice (I16x16 V/DC row-scan encoding) -> packed bytes."""
+    n = mbh * mbw
+    dc = out["dc"]
+    ac = out["ac"]
+    cbp_luma_nz = out["cbp_luma_nz"]
+    cbp_chroma = out["cbp_chroma"]
+    dc_u = out["dc_u"].reshape(n, 4)
+    dc_v = out["dc_v"].reshape(n, 4)
+    ac_u, ac_v = out["ac_u"], out["ac_v"]
+
+    my = jnp.arange(n) // mbw
+    i16_mode = jnp.where(my == 0, 2, 0)
+    chroma_mode = jnp.where(my == 0, 0, 2)
+    mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma_nz
+
+    ac = jnp.where(cbp_luma_nz[:, None, None], ac, 0)
+    ac_u = jnp.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
+    ac_v = jnp.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
+    dc_u = jnp.where((cbp_chroma >= 1)[:, None], dc_u, 0)
+    dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
+
+    tc_blk = (ac != 0).sum(-1)
+    nc_l = _nc_luma(tc_blk, mbh, mbw)
+    nc_cu = _nc_chroma((ac_u != 0).sum(-1), mbh, mbw)
+    nc_cv = _nc_chroma((ac_v != 0).sum(-1), mbh, mbw)
+
+    vdc, ldc = cj.encode_blocks(dc, nc_l[:, 0], 16)
+    vac, lac = cj.encode_blocks(ac.reshape(-1, 15), nc_l.reshape(-1), 15)
+    vac = vac.reshape(n, 16, S)
+    lac = jnp.where(cbp_luma_nz[:, None, None], lac.reshape(n, 16, S), 0)
+    vcdu, lcdu = cj.encode_blocks(dc_u, jnp.full(n, -1), 4)
+    vcdv, lcdv = cj.encode_blocks(dc_v, jnp.full(n, -1), 4)
+    has_cdc = (cbp_chroma >= 1)[:, None]
+    lcdu = jnp.where(has_cdc, lcdu, 0)
+    lcdv = jnp.where(has_cdc, lcdv, 0)
+    vcau, lcau = cj.encode_blocks(ac_u.reshape(-1, 15), nc_cu.reshape(-1), 15)
+    vcav, lcav = cj.encode_blocks(ac_v.reshape(-1, 15), nc_cv.reshape(-1), 15)
+    has_cac = (cbp_chroma == 2)[:, None, None]
+    vcau = vcau.reshape(n, 4, S)
+    lcau = jnp.where(has_cac, lcau.reshape(n, 4, S), 0)
+    vcav = vcav.reshape(n, 4, S)
+    lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
+
+    hv = jnp.zeros((n, 3), jnp.uint32)
+    hl = jnp.zeros((n, 3), jnp.int32)
+    tv, tl = cj.ue_codes_j(mb_type)
+    hv = hv.at[:, 0].set(tv)
+    hl = hl.at[:, 0].set(tl)
+    cv, cl = cj.ue_codes_j(chroma_mode)
+    hv = hv.at[:, 1].set(cv)
+    hl = hl.at[:, 1].set(cl)
+    hv = hv.at[:, 2].set(1)
+    hl = hl.at[:, 2].set(1)  # se(0)
+
+    mb_vals = jnp.concatenate([
+        hv, vdc, vac.reshape(n, -1), vcdu, vcdv,
+        vcau.reshape(n, -1), vcav.reshape(n, -1)], axis=1)
+    mb_lens = jnp.concatenate([
+        hl, ldc, lac.reshape(n, -1), lcdu, lcdv,
+        lcau.reshape(n, -1), lcav.reshape(n, -1)], axis=1)
+
+    body_bits = hdr_lens.sum() + mb_lens.sum()
+    pad = (-(body_bits + 1)) % 8
+    tail_vals = jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)
+    tail_lens = (1 + pad)[None]
+
+    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
+                                mb_vals.reshape(-1), tail_vals])
+    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
+                                mb_lens.reshape(-1), tail_lens])
+    data, nbits = pack_slots(all_vals, all_lens, cap_words)
+    return data, nbits

@@ -1,0 +1,68 @@
+"""Bitstream packing on device (JAX) — slots -> packed bytes, no host loop.
+
+Packs a flat sequence of (value, bitlength) codeword slots into an MSB-first
+byte stream entirely on the TPU:
+
+  1. exclusive cumsum of lengths -> absolute end-bit of each slot (sorted!)
+  2. each slot contributes to exactly two consecutive 32-bit words
+     (values carry <=31 significant bits; longer codes are leading zeros)
+  3. per-word totals via a *wrapping* uint32 cumsum + last-of-word boundary
+     scatter (unique indices) + cummax fill-forward — bit-disjointness makes
+     SUM == OR, and wrapping differences recover exact word values.
+
+No lax.sort, no conflicting scatters: everything is cumsum/where/gather,
+which XLA lowers well on TPU.  Output: (bytes uint8 (cap,), total_bits).
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
+    """vals: (N,) uint32 (<=31 significant bits), lens: (N,) int32 (0..46).
+
+    Returns (packed bytes uint8 (cap_words*4,), total_bits int32).
+    Slots beyond cap_words*32 bits are silently dropped (caller sizes cap).
+    """
+    vals = jnp.where(lens > 0, vals.astype(jnp.uint32), 0)
+    lens = lens.astype(jnp.int32)
+    n = vals.shape[0]
+
+    ends = jnp.cumsum(lens)                        # inclusive end-bit
+    total_bits = ends[-1] if n else jnp.int32(0)
+    e = ends
+    # word carrying the final bit of each slot
+    w_hi = jnp.clip((e - 1) >> 5, 0, cap_words - 1)
+    r = jnp.where(e > 0, (w_hi + 1) * 32 - e, 0)   # bits after code end in w_hi
+    # contribution to w_hi: (v << r) mod 2^32
+    va = (vals << r.astype(jnp.uint32))
+    # contribution to w_hi - 1: v >> (32 - r) with r==0 -> 0
+    vb = (vals >> (31 - r).astype(jnp.uint32)) >> 1
+    ib = jnp.maximum(w_hi - 1, 0)
+
+    def seg_words(idx, v):
+        """Sorted-index segment sum into cap_words words (uint32 wrap)."""
+        csum = jnp.cumsum(v, dtype=jnp.uint32)
+        is_last = jnp.concatenate([idx[1:] != idx[:-1],
+                                   jnp.ones((1,), jnp.bool_)])
+        # ignore zero-length slots only matters via v == 0 (harmless)
+        dump = cap_words
+        target = jnp.where(is_last, idx, dump)
+        pos = jnp.zeros(cap_words + 1, jnp.int32).at[target].set(
+            jnp.arange(1, n + 1, dtype=jnp.int32))
+        pos = jax.lax.cummax(pos, axis=0)[:cap_words]
+        S = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0).astype(jnp.uint32)
+        prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), S[:-1]])
+        return S - prev
+
+    words = seg_words(w_hi, va) + seg_words(ib, vb)
+    # to MSB-first bytes
+    b0 = (words >> 24).astype(jnp.uint8)
+    b1 = ((words >> 16) & 0xFF).astype(jnp.uint8)
+    b2 = ((words >> 8) & 0xFF).astype(jnp.uint8)
+    b3 = (words & 0xFF).astype(jnp.uint8)
+    out = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)
+    return out, total_bits.astype(jnp.int32)
+

@@ -28,6 +28,7 @@ from ..bitstream.params import PPS, SPS, PROFILE_BASELINE
 from ..bitstream.slice import SliceHeader
 from ..ops import transform_np as tnp
 from ..utils.bitstream import BitWriter, escape_ebsp, pack_codes, se_codes, ue_codes
+from . import device_finalize
 from .device import encode_i_frame, encode_p_frame
 from .ref_encoder import EncoderConfig
 
@@ -67,6 +68,19 @@ class TpuEncoder:
         self.ref: tuple | None = None  # device arrays (y, u, v)
         self.qp = cfg.qp
         self.qpc = int(tnp.chroma_qp(cfg.qp, self.pps.chroma_qp_index_offset))
+        # host_entropy=True uses the numpy finalization path (reference /
+        # debug); False keeps the whole entropy stage on device.
+        self.host_entropy = False
+
+    def _pull_payload(self, data, nbits) -> np.ndarray:
+        nbytes = (int(nbits) + 7) // 8
+        return np.asarray(data[:nbytes])
+
+    @property
+    def last_recon(self) -> tuple:
+        """Reconstruction of the last encoded frame (host copy, lazy —
+        the hot path never transfers pixel data off device)."""
+        return tuple(np.asarray(p) for p in self.ref)
 
     def headers(self) -> bytes:
         return (wrap_nal(3, NAL_SPS, self.sps.to_rbsp())
@@ -81,21 +95,37 @@ class TpuEncoder:
         sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
 
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        cap_words = (H * W * 3 // 2 + 4096) // 4
         if is_idr:
             self.frame_num = 0
             out = encode_i_frame(sy, su, sv, self.qp, self.qpc)
-            payload = self._finalize_i(out)
             nal_type = NAL_SLICE_IDR
+            if self.host_entropy:
+                payload = self._finalize_i(out)
+            else:
+                hw = self._slice_header_codes(SLICE_I, nal_type)
+                hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+                data, nbits = device_finalize.finalize_i(
+                    out, jnp.asarray(hv.astype(np.uint32)),
+                    jnp.asarray(hl.astype(np.int32)),
+                    self.mbh, self.mbw, cap_words)
+                payload = self._pull_payload(data, nbits)
         else:
             out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
                                  rng=cfg.search_range)
-            payload = self._finalize_p(out)
             nal_type = NAL_SLICE
+            if self.host_entropy:
+                payload = self._finalize_p(out)
+            else:
+                hw = self._slice_header_codes(SLICE_P, nal_type)
+                hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+                data, nbits = device_finalize.finalize_p(
+                    out, jnp.asarray(hv.astype(np.uint32)),
+                    jnp.asarray(hl.astype(np.int32)),
+                    self.mbh, self.mbw, cap_words)
+                payload = self._pull_payload(data, nbits)
 
         self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
-        self.last_recon = (np.asarray(out["recon_y"]),
-                           np.asarray(out["recon_u"]),
-                           np.asarray(out["recon_v"]))
         bs = b""
         if is_idr:
             bs += self.headers()

@@ -178,6 +178,17 @@ class BitWriter:
     def bit_position(self) -> int:
         return self._nbits
 
+    def to_slots(self, pad_to: int | None = None) -> tuple[np.ndarray, np.ndarray]:
+        """(vals, lens) arrays, optionally zero-padded to a fixed size
+        (for fixed-shape device finalization)."""
+        vals = np.concatenate(self._vals) if self._vals else np.zeros(0, np.uint64)
+        lens = np.concatenate(self._lens) if self._lens else np.zeros(0, np.int64)
+        if pad_to is not None:
+            assert vals.size <= pad_to, (vals.size, pad_to)
+            vals = np.pad(vals, (0, pad_to - vals.size))
+            lens = np.pad(lens, (0, pad_to - lens.size))
+        return vals, lens
+
     def rbsp_trailing_bits(self) -> None:
         """stop bit + alignment zeros (H.264 §7.3.2.11)."""
         self.u(1, 1)
