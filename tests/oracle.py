@@ -28,11 +28,12 @@ def _get_lib():
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             subprocess.run(
                 ["gcc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO,
-                 "-lavcodec", "-lavutil"],
+                 "-lavcodec", "-lavutil", "-lavformat"],
                 check=True, capture_output=True)
         _lib = ctypes.CDLL(_SO)
         _lib.ffshim_encode_x264.restype = ctypes.c_long
         _lib.ffshim_decode_h264.restype = ctypes.c_int
+        _lib.ffshim_decode_container.restype = ctypes.c_int
     return _lib
 
 
@@ -123,3 +124,25 @@ def make_test_clip(w: int, h: int, n: int, seed: int = 0,
         v = np.clip(128 + 32 * np.cos((yy[::2, ::2] - f) / 19.0), 0, 255).astype(np.uint8)
         frames.append(np.concatenate([y.ravel(), u.ravel(), v.ravel()]))
     return np.stack(frames).astype(np.uint8)
+
+
+def decode_container(path: str):
+    """Demux+decode any container -> (y, u, v, duration_s, fps) or None."""
+    lib = _get_lib()
+    cap = 512 * 3840 * 2176 * 3 // 2
+    out = np.zeros(min(cap, 1 << 31), dtype=np.uint8)
+    ow, oh = ctypes.c_int(0), ctypes.c_int(0)
+    dur, fps = ctypes.c_double(0), ctypes.c_double(0)
+    n = lib.ffshim_decode_container(
+        path.encode(), out.ctypes.data_as(ctypes.c_void_p),
+        ctypes.c_long(out.size), ctypes.byref(ow), ctypes.byref(oh),
+        ctypes.byref(dur), ctypes.byref(fps))
+    if n <= 0:
+        return None
+    w, h = ow.value, oh.value
+    fsz = w * h * 3 // 2
+    fr = out[:n * fsz].reshape(n, fsz)
+    y = fr[:, :w * h].reshape(n, h, w).copy()
+    u = fr[:, w * h:w * h + w * h // 4].reshape(n, h // 2, w // 2).copy()
+    v = fr[:, w * h + w * h // 4:].reshape(n, h // 2, w // 2).copy()
+    return y, u, v, dur.value, fps.value

@@ -158,3 +158,65 @@ done:
     avcodec_free_context(&ctx);
     return ret < 0 ? ret : out_pos;
 }
+
+/* ---- container validation (test-only): demux with libavformat and decode,
+ * returning frames + stream metadata. ---- */
+#include <libavformat/avformat.h>
+
+int ffshim_decode_container(const char *path, uint8_t *out, long out_cap,
+                            int *out_w, int *out_h,
+                            double *out_duration, double *out_fps) {
+    AVFormatContext *fmt = NULL;
+    if (avformat_open_input(&fmt, path, NULL, NULL) < 0) return -1;
+    if (avformat_find_stream_info(fmt, NULL) < 0) { avformat_close_input(&fmt); return -2; }
+    int vs = av_find_best_stream(fmt, AVMEDIA_TYPE_VIDEO, -1, -1, NULL, 0);
+    if (vs < 0) { avformat_close_input(&fmt); return -3; }
+    AVStream *st = fmt->streams[vs];
+    *out_duration = fmt->duration > 0 ? fmt->duration / (double)AV_TIME_BASE : 0.0;
+    *out_fps = st->avg_frame_rate.den ? av_q2d(st->avg_frame_rate) : 0.0;
+
+    const AVCodec *codec = avcodec_find_decoder(st->codecpar->codec_id);
+    if (!codec) { avformat_close_input(&fmt); return -4; }
+    AVCodecContext *ctx = avcodec_alloc_context3(codec);
+    avcodec_parameters_to_context(ctx, st->codecpar);
+    ctx->thread_count = 1;
+    if (avcodec_open2(ctx, codec, NULL) < 0) {
+        avcodec_free_context(&ctx); avformat_close_input(&fmt); return -5;
+    }
+    AVPacket *pkt = av_packet_alloc();
+    AVFrame *frame = av_frame_alloc();
+    int n_frames = 0, ret = 0;
+    long out_pos = 0;
+    int eof = 0;
+    while (!eof) {
+        int r = av_read_frame(fmt, pkt);
+        if (r < 0) { avcodec_send_packet(ctx, NULL); eof = 1; }
+        else if (pkt->stream_index != vs) { av_packet_unref(pkt); continue; }
+        else { avcodec_send_packet(ctx, pkt); av_packet_unref(pkt); }
+        while (1) {
+            r = avcodec_receive_frame(ctx, frame);
+            if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+            if (r < 0) { ret = -6; goto done; }
+            int w = frame->width, h = frame->height;
+            *out_w = w; *out_h = h;
+            long need = (long)w * h * 3 / 2;
+            if (out_pos + need > out_cap) { ret = -7; goto done; }
+            for (int i = 0; i < h; i++)
+                memcpy(out + out_pos + (long)i * w, frame->data[0] + (long)i * frame->linesize[0], w);
+            out_pos += (long)w * h;
+            for (int pl = 1; pl <= 2; pl++) {
+                for (int i = 0; i < h / 2; i++)
+                    memcpy(out + out_pos + (long)i * (w / 2),
+                           frame->data[pl] + (long)i * frame->linesize[pl], w / 2);
+                out_pos += (long)(w / 2) * (h / 2);
+            }
+            n_frames++;
+        }
+    }
+done:
+    av_frame_free(&frame);
+    av_packet_free(&pkt);
+    avcodec_free_context(&ctx);
+    avformat_close_input(&fmt);
+    return ret < 0 ? ret : n_frames;
+}
