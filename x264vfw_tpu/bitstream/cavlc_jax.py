@@ -24,14 +24,16 @@ from . import cavlc_tables as T
 SLOTS = 33
 
 # dense tables as device constants
-CT_VAL = jnp.asarray(T.COEFF_TOKEN_VAL.astype(np.uint32))
-CT_LEN = jnp.asarray(T.COEFF_TOKEN_LEN.astype(np.int32))
-TZ_VAL = jnp.asarray(T.TOTAL_ZEROS_VAL.astype(np.uint32))
-TZ_LEN = jnp.asarray(T.TOTAL_ZEROS_LEN.astype(np.int32))
-TZC_VAL = jnp.asarray(T.TOTAL_ZEROS_CDC_VAL.astype(np.uint32))
-TZC_LEN = jnp.asarray(T.TOTAL_ZEROS_CDC_LEN.astype(np.int32))
-RB_VAL = jnp.asarray(T.RUN_BEFORE_VAL.astype(np.uint32))
-RB_LEN = jnp.asarray(T.RUN_BEFORE_LEN.astype(np.int32))
+# numpy constants: embedded into the XLA program at trace time (no device
+# traffic at import)
+CT_VAL = T.COEFF_TOKEN_VAL.astype(np.uint32)
+CT_LEN = T.COEFF_TOKEN_LEN.astype(np.int32)
+TZ_VAL = T.TOTAL_ZEROS_VAL.astype(np.uint32)
+TZ_LEN = T.TOTAL_ZEROS_LEN.astype(np.int32)
+TZC_VAL = T.TOTAL_ZEROS_CDC_VAL.astype(np.uint32)
+TZC_LEN = T.TOTAL_ZEROS_CDC_LEN.astype(np.int32)
+RB_VAL = T.RUN_BEFORE_VAL.astype(np.uint32)
+RB_LEN = T.RUN_BEFORE_LEN.astype(np.int32)
 
 
 def _ctx_from_nc(nC):
@@ -70,8 +72,8 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
     lens = jnp.zeros((N, SLOTS), jnp.int32)
 
     ctx = _ctx_from_nc(nC)
-    vals = vals.at[:, 0].set(CT_VAL[ctx, tc, t1])
-    lens = lens.at[:, 0].set(CT_LEN[ctx, tc, t1])
+    vals = vals.at[:, 0].set(jnp.asarray(CT_VAL)[ctx, tc, t1])
+    lens = lens.at[:, 0].set(jnp.asarray(CT_LEN)[ctx, tc, t1])
 
     sign_val = jnp.zeros(N, jnp.uint32)
     for i in range(3):
@@ -131,11 +133,11 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
     tz = jnp.where(tc > 0, last_pos + 1 - tc, 0)
     need = (tc > 0) & (tc < max_coeffs)
     if max_coeffs == 4:
-        tzv = TZC_VAL[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
-        tzl = TZC_LEN[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
+        tzv = jnp.asarray(TZC_VAL)[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
+        tzl = jnp.asarray(TZC_LEN)[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
     else:
-        tzv = TZ_VAL[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
-        tzl = TZ_LEN[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
+        tzv = jnp.asarray(TZ_VAL)[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
+        tzl = jnp.asarray(TZ_LEN)[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
     vals = vals.at[:, 18].set(jnp.where(need, tzv, 0))
     lens = lens.at[:, 18].set(jnp.where(need, tzl, 0))
 
@@ -149,8 +151,8 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
         lo = jnp.take_along_axis(p_sorted, lo_idx[:, None], axis=-1)[:, 0]
         run = jnp.clip(hi - lo - 1, 0, 14)
         zli = jnp.clip(zl, 1, 7)
-        vals = vals.at[:, 19 + k].set(jnp.where(active, RB_VAL[zli, run], 0))
-        lens = lens.at[:, 19 + k].set(jnp.where(active, RB_LEN[zli, run], 0))
+        vals = vals.at[:, 19 + k].set(jnp.where(active, jnp.asarray(RB_VAL)[zli, run], 0))
+        lens = lens.at[:, 19 + k].set(jnp.where(active, jnp.asarray(RB_LEN)[zli, run], 0))
         zl = jnp.where(active, zl - run, zl)
     return vals, lens
 

@@ -25,12 +25,13 @@ from .device_pack import pack_slots
 S = cj.SLOTS
 MAX_HDR = 64  # header slot capacity
 
-CBP_TO_CODE_J = jnp.asarray(CBP_TO_CODE)
+CBP_TO_CODE_J = CBP_TO_CODE  # numpy; embedded at trace time
 
-BLK_X = jnp.asarray([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
-BLK_Y = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
-SBX = jnp.asarray([0, 1, 0, 1])
-SBY = jnp.asarray([0, 0, 1, 1])
+import numpy as _np
+BLK_X = _np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = _np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+SBX = _np.array([0, 1, 0, 1])
+SBY = _np.array([0, 0, 1, 1])
 
 
 def _nc_from_map(tcm):
@@ -177,7 +178,7 @@ def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
     hl = hl.at[:, 2].set(xl)
     hv = hv.at[:, 3].set(yv)
     hl = hl.at[:, 3].set(yl)
-    bv, bl = cj.ue_codes_j(CBP_TO_CODE_J[0, cbp])
+    bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
     hv = hv.at[:, 4].set(bv)
     hl = hl.at[:, 4].set(bl)
     hv = hv.at[:, 5].set(1)

@@ -43,16 +43,14 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     ib = jnp.maximum(w_hi - 1, 0)
 
     def seg_words(idx, v):
-        """Sorted-index segment sum into cap_words words (uint32 wrap)."""
+        """Sorted-index segment sum into cap_words words (uint32 wrap).
+
+        Word w's value = csum[last slot with idx <= w] and bit-disjointness
+        makes wrapping-sum == OR; searchsorted on the (already sorted) slot
+        indices avoids any scatter."""
         csum = jnp.cumsum(v, dtype=jnp.uint32)
-        is_last = jnp.concatenate([idx[1:] != idx[:-1],
-                                   jnp.ones((1,), jnp.bool_)])
-        # ignore zero-length slots only matters via v == 0 (harmless)
-        dump = cap_words
-        target = jnp.where(is_last, idx, dump)
-        pos = jnp.zeros(cap_words + 1, jnp.int32).at[target].set(
-            jnp.arange(1, n + 1, dtype=jnp.int32))
-        pos = jax.lax.cummax(pos, axis=0)[:cap_words]
+        pos = jnp.searchsorted(idx, jnp.arange(cap_words, dtype=idx.dtype),
+                               side="right")
         S = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0).astype(jnp.uint32)
         prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), S[:-1]])
         return S - prev

@@ -74,7 +74,11 @@ class TpuEncoder:
 
     def _pull_payload(self, data, nbits) -> np.ndarray:
         nbytes = (int(nbits) + 7) // 8
-        return np.asarray(data[:nbytes])
+        # slice to a power-of-two bucket so XLA reuses a handful of slice
+        # executables instead of recompiling per frame size
+        bucket = 1 << max(12, (nbytes - 1).bit_length())
+        bucket = min(bucket, data.shape[0])
+        return np.asarray(data[:bucket])[:nbytes]
 
     @property
     def last_recon(self) -> tuple:

@@ -19,18 +19,19 @@ import numpy as np
 
 from . import transform_np as tnp
 
-DEQUANT_TABLE = jnp.asarray(tnp.DEQUANT_TABLE, dtype=jnp.int32)   # (6,4,4)
-QUANT_TABLE = jnp.asarray(tnp.QUANT_TABLE, dtype=jnp.int32)       # (6,4,4)
-QUANT_MF0 = jnp.asarray(tnp.QUANT_MF[:, 0], dtype=jnp.int32)      # (6,)
-DEQUANT_V0 = jnp.asarray(tnp.DEQUANT_V[:, 0], dtype=jnp.int32)    # (6,)
-ZIGZAG_4x4 = jnp.asarray(tnp.ZIGZAG_4x4, dtype=jnp.int32)
-CHROMA_QP_TABLE = jnp.asarray(tnp._CHROMA_QP_TABLE, dtype=jnp.int32)
+# numpy constants (embedded at trace time; no device traffic at import)
+DEQUANT_TABLE = tnp.DEQUANT_TABLE.astype(np.int32)   # (6,4,4)
+QUANT_TABLE = tnp.QUANT_TABLE.astype(np.int32)       # (6,4,4)
+QUANT_MF0 = tnp.QUANT_MF[:, 0].astype(np.int32)      # (6,)
+DEQUANT_V0 = tnp.DEQUANT_V[:, 0].astype(np.int32)    # (6,)
+ZIGZAG_4x4 = tnp.ZIGZAG_4x4.astype(np.int32)
+CHROMA_QP_TABLE = tnp._CHROMA_QP_TABLE.astype(np.int32)
 
 
 def chroma_qp(qp_luma, chroma_qp_offset: int = 0):
     qpi = jnp.clip(qp_luma + chroma_qp_offset, 0, 51)
     idx = jnp.clip(qpi - 30, 0, 21)
-    return jnp.where(qpi < 30, qpi, CHROMA_QP_TABLE[idx]).astype(jnp.int32)
+    return jnp.where(qpi < 30, qpi, jnp.asarray(CHROMA_QP_TABLE)[idx]).astype(jnp.int32)
 
 
 def fdct4x4(x: jnp.ndarray) -> jnp.ndarray:
