@@ -218,12 +218,10 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
     return jnp.clip(rec, 0, 255)
 
 
-@partial(jax.jit, static_argnames=("rng",))
-def encode_p_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc, rng=8):
-    """Device P-frame encode. All planes int32, MB-multiple dims.
-
-    Returns syntax tensors + recon planes (pre-deblock).
-    """
+def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
+                        rng=8):
+    """Device P-frame encode (unjitted core). All planes int32, MB-multiple
+    dims. Returns syntax tensors + recon planes (pre-deblock)."""
     H, W = src_y.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
@@ -280,8 +278,7 @@ def encode_p_frame(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc, rng=8):
 # I-frame pipeline (row scan, V/DC modes)
 # --------------------------------------------------------------------------
 
-@jax.jit
-def encode_i_frame(src_y, src_u, src_v, qp, qpc):
+def encode_i_frame_core(src_y, src_u, src_v, qp, qpc):
     """Device I-frame encode: top MB row via left-to-right scan (DC mode),
     remaining rows via vertical prediction (row-parallel scan).
 
@@ -425,3 +422,7 @@ def _dc_only_residual(dc_zz, qp, n):
     d = d.at[:, :, 0, 0].set(dc_rec[:, BLK_Y, BLK_X])
     res = tj.idct4x4_core(d)
     return blocks_to_mb(res)
+
+
+encode_p_frame = partial(jax.jit, static_argnames=("rng",))(encode_p_frame_core)
+encode_i_frame = jax.jit(encode_i_frame_core)

@@ -109,9 +109,52 @@ def p16_mv_pred(mv):
     return pmv, (pmv_skip == 0).all(-1)
 
 
+@partial(jax.jit, static_argnames=("rng", "cap_words"))
+def encode_p_full(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
+                  rng, cap_words):
+    """Fused device program: unpack uint8 frame -> P encode -> finalize.
+
+    src_yuv: (H*3//2 * W,) uint8 packed I420. Returns
+    (payload bytes, nbits, recon_y, recon_u, recon_v)."""
+    from .device import encode_p_frame_core
+    H, W = ref_y.shape
+    ys = H * W
+    cs = ys // 4
+    sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
+    su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
+    sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
+    out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc, rng)
+    data, nbits = _finalize_p_core(out, hdr_vals, hdr_lens,
+                                   H // 16, W // 16, cap_words)
+    return data, nbits, out["recon_y"], out["recon_u"], out["recon_v"]
+
+
+def encode_i_full_fn(H: int, W: int, cap_words: int):
+    """Returns a jitted fused I-frame program for a fixed geometry."""
+    from .device import encode_i_frame_core
+
+    @jax.jit
+    def fn(src_yuv, qp, qpc, hdr_vals, hdr_lens):
+        ys = H * W
+        cs = ys // 4
+        sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
+        su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
+        sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
+        out = encode_i_frame_core(sy, su, sv, qp, qpc)
+        data, nbits = _finalize_i_core(out, hdr_vals, hdr_lens,
+                                       H // 16, W // 16, cap_words)
+        return data, nbits, out["recon_y"], out["recon_u"], out["recon_v"]
+
+    return fn
+
+
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
 def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
-    """P-slice syntax tensors -> (packed bytes, total_bits, skip_all)."""
+    return _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words)
+
+
+def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+    """P-slice syntax tensors -> (packed bytes, total_bits)."""
     n = mbh * mbw
     mv = out["mv"].reshape(mbh, mbw, 2)
     levels = out["levels"]
@@ -211,6 +254,10 @@ def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
 def finalize_i(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+    return _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words)
+
+
+def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
     """I-slice (I16x16 V/DC row-scan encoding) -> packed bytes."""
     n = mbh * mbw
     dc = out["dc"]

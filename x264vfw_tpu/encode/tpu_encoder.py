@@ -71,6 +71,7 @@ class TpuEncoder:
         # host_entropy=True uses the numpy finalization path (reference /
         # debug); False keeps the whole entropy stage on device.
         self.host_entropy = False
+        self._i_full = None  # fused I-frame program (per-geometry)
 
     def _pull_payload(self, data, nbits) -> np.ndarray:
         nbytes = (int(nbits) + 7) // 8
@@ -94,42 +95,55 @@ class TpuEncoder:
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
         cfg = self.cfg
         H, W = self.mbh * 16, self.mbw * 16
-        sy = jnp.asarray(_pad(y, H, W), jnp.int32)
-        su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
-        sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
-
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
         cap_words = (H * W * 3 // 2 + 4096) // 4
-        if is_idr:
-            self.frame_num = 0
-            out = encode_i_frame(sy, su, sv, self.qp, self.qpc)
-            nal_type = NAL_SLICE_IDR
-            if self.host_entropy:
+
+        if self.host_entropy:
+            # reference/debug path: separate device encode + numpy finalize
+            sy = jnp.asarray(_pad(y, H, W), jnp.int32)
+            su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
+            sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
+            if is_idr:
+                self.frame_num = 0
+                out = encode_i_frame(sy, su, sv, self.qp, self.qpc)
                 payload = self._finalize_i(out)
+                nal_type = NAL_SLICE_IDR
             else:
+                out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
+                                     rng=cfg.search_range)
+                payload = self._finalize_p(out)
+                nal_type = NAL_SLICE
+            self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        else:
+            # hot path: one uint8 upload, one fused device program, one pull
+            src = np.concatenate([
+                np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+                np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
+                np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
+            src_d = jnp.asarray(src)
+            if is_idr:
+                self.frame_num = 0
+                nal_type = NAL_SLICE_IDR
                 hw = self._slice_header_codes(SLICE_I, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-                data, nbits = device_finalize.finalize_i(
-                    out, jnp.asarray(hv.astype(np.uint32)),
-                    jnp.asarray(hl.astype(np.int32)),
-                    self.mbh, self.mbw, cap_words)
-                payload = self._pull_payload(data, nbits)
-        else:
-            out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
-                                 rng=cfg.search_range)
-            nal_type = NAL_SLICE
-            if self.host_entropy:
-                payload = self._finalize_p(out)
+                if self._i_full is None:
+                    self._i_full = device_finalize.encode_i_full_fn(
+                        H, W, cap_words)
+                data, nbits, ry, ru, rv = self._i_full(
+                    src_d, self.qp, self.qpc,
+                    jnp.asarray(hv.astype(np.uint32)),
+                    jnp.asarray(hl.astype(np.int32)))
             else:
+                nal_type = NAL_SLICE
                 hw = self._slice_header_codes(SLICE_P, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-                data, nbits = device_finalize.finalize_p(
-                    out, jnp.asarray(hv.astype(np.uint32)),
+                data, nbits, ry, ru, rv = device_finalize.encode_p_full(
+                    src_d, *self.ref, self.qp, self.qpc,
+                    jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
-                    self.mbh, self.mbw, cap_words)
-                payload = self._pull_payload(data, nbits)
-
-        self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+                    cfg.search_range, cap_words)
+            payload = self._pull_payload(data, nbits)
+            self.ref = (ry, ru, rv)
         bs = b""
         if is_idr:
             bs += self.headers()
