@@ -1,0 +1,108 @@
+"""Session API + CLI end-to-end tests."""
+
+import numpy as np
+import pytest
+
+import oracle
+from x264vfw_tpu.api import CompressSession, DecompressSession, worst_case_size
+from x264vfw_tpu.config.params import EncoderParams
+
+
+def test_query_and_size():
+    s = CompressSession()
+    assert s.query(640, 480)
+    assert s.query(640, 480, "rgb24")
+    assert not s.query(641, 480)
+    assert not s.query(64, 64, "weird")
+    assert worst_case_size(1280, 720) == 1280 * 736 * 3 + 4096
+
+
+def test_session_roundtrip_raw(tmp_path):
+    w, h, n = 64, 48, 5
+    clip = oracle.make_test_clip(w, h, n, seed=3)
+    path = str(tmp_path / "out.264")
+    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=26, keyint=25))
+    sess.begin(w, h, output=path)
+    fsz, csz = w * h, w * h // 4
+    for i in range(n):
+        y = clip[i, :fsz].reshape(h, w)
+        u = clip[i, fsz:fsz + csz].reshape(h // 2, w // 2)
+        v = clip[i, fsz + csz:].reshape(h // 2, w // 2)
+        au = sess.compress((y, u, v))
+        assert len(au) < worst_case_size(w, h)
+    stats = sess.end()
+    assert stats["frames"] == n
+    bs = open(path, "rb").read()
+    dec = oracle.decode_h264_planes(bs)
+    assert dec is not None and dec[0].shape[0] == n
+    assert oracle.psnr(dec[0], clip[:, :fsz].reshape(n, h, w)) > 30
+
+
+def test_session_mp4_and_extra_cmdline(tmp_path):
+    w, h, n = 64, 64, 4
+    clip = oracle.make_test_clip(w, h, n, seed=4)
+    path = str(tmp_path / "out.mp4")
+    sess = CompressSession(extra_cmdline="--qp 30 --keyint 2 --preset ultrafast")
+    assert sess.params.qp == 30 and sess.params.keyint == 2
+    sess.begin(w, h, output=path)
+    fsz, csz = w * h, w * h // 4
+    for i in range(n):
+        sess.compress((clip[i, :fsz].reshape(h, w),
+                       clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                       clip[i, fsz + csz:].reshape(h // 2, w // 2)))
+    sess.end()
+    out = oracle.decode_container(path)
+    assert out is not None and out[0].shape[0] == n
+
+
+def test_decompress_session():
+    w, h, n = 64, 48, 3
+    clip = oracle.make_test_clip(w, h, n, seed=5)
+    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24))
+    sess.begin(w, h)
+    fsz, csz = w * h, w * h // 4
+    dsess = DecompressSession()
+    dsess.begin(w, h)
+    for i in range(n):
+        au = sess.compress((clip[i, :fsz].reshape(h, w),
+                            clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                            clip[i, fsz + csz:].reshape(h // 2, w // 2)))
+        out = dsess.decompress(au)
+        assert out is not None
+        y, u, v = out
+        assert y.shape == (h, w)
+        assert oracle.psnr(y, clip[i, :fsz].reshape(h, w)) > 30
+    sess.end()
+
+
+def test_cli_yuv_to_mp4(tmp_path):
+    from x264vfw_tpu.cli import main
+    w, h, n = 64, 48, 4
+    clip = oracle.make_test_clip(w, h, n, seed=6)
+    yuv = str(tmp_path / "in.yuv")
+    with open(yuv, "wb") as f:
+        f.write(clip.tobytes())
+    out = str(tmp_path / "o.mp4")
+    rc = main(["--qp", "26", "--preset", "ultrafast", "--input-res",
+               f"{w}x{h}", "-o", out, yuv])
+    assert rc == 0
+    dec = oracle.decode_container(out)
+    assert dec is not None and dec[0].shape[0] == n
+
+
+def test_cli_y4m(tmp_path):
+    from x264vfw_tpu.cli import main
+    w, h, n = 64, 48, 3
+    clip = oracle.make_test_clip(w, h, n, seed=7)
+    y4m = str(tmp_path / "in.y4m")
+    with open(y4m, "wb") as f:
+        f.write(f"YUV4MPEG2 W{w} H{h} F30:1 Ip A1:1 C420jpeg\n".encode())
+        for i in range(n):
+            f.write(b"FRAME\n")
+            f.write(clip[i].tobytes())
+    out = str(tmp_path / "o.mkv")
+    rc = main(["--crf", "26", "--input-res", f"{w}x{h}", "-o", out, y4m])
+    assert rc == 0
+    dec = oracle.decode_container(out)
+    assert dec is not None and dec[0].shape[0] == n
+    assert abs(dec[4] - 30.0) < 1.0  # fps from y4m header

@@ -1,0 +1,215 @@
+"""Public session API — the x264vfw codec lifecycle, re-hosted.
+
+Mirrors the reference's ICM entry points (SURVEY.md §1 L0/L1):
+  compress_query/get_size  -> CompressSession.query / worst_case_size
+  compress_begin           -> CompressSession.begin
+  compress (per frame)     -> CompressSession.compress
+  compress_end             -> CompressSession.end
+  compress_frames_info     -> CompressSession.frames_info
+  decompress_*             -> DecompressSession
+
+The session owns config resolution (presets/flags), the TPU encoder, the
+muxer vtable, pts/dts bookkeeping, and error stickiness
+(b_encoder_error, /root/reference/codec.c:1401).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+from .bitstream.nal import iter_annexb_raw, START_CODE_LONG
+from .config.params import EncoderParams, RC_CQP, RC_CRF
+from .config.options import parse_cmdline
+from .decode.decoder import H264Decoder
+from .encode.ref_encoder import EncoderConfig
+from .encode.tpu_encoder import TpuEncoder
+from .output.base import MuxParams, Muxer, select_muxer
+from .utils.logging import Logger
+
+SUPPORTED_INPUT_FORMATS = ("i420", "yv12", "nv12", "nv21", "yuyv", "uyvy",
+                           "rgb24", "bgr24", "bgra", "rgba")
+
+
+def worst_case_size(width: int, height: int) -> int:
+    """Upper bound on one compressed frame (reference codec.c:620)."""
+    return ((width + 15) & ~15) * ((height + 31) & ~31) * 3 + 4096
+
+
+@dataclass
+class FramesInfo:
+    """compress_frames_info equivalent: encoder delay bookkeeping."""
+    delay: int = 0  # frames of reordering delay (0 until B-frames land)
+
+
+class CompressSession:
+    def __init__(self, params: EncoderParams | None = None,
+                 extra_cmdline: str = "") -> None:
+        p = params.copy() if params else EncoderParams()
+        self.warnings: list[str] = []
+        if extra_cmdline:
+            p, warns = parse_cmdline(extra_cmdline, base=p)
+            self.warnings += warns
+        self.params = p
+        self.log = Logger(p.log_level)
+        for w in self.warnings:
+            self.log.warning(w)
+        self.encoder: TpuEncoder | None = None
+        self.muxer: Muxer | None = None
+        self.error = False         # sticky b_encoder_error
+        self.frame_count = 0
+        self._largest = self._second = 0
+        self._bits_total = 0
+
+    # ------------------------------------------------------------- query
+    def query(self, width: int, height: int, fmt: str = "i420") -> bool:
+        if width <= 0 or height <= 0 or width % 2 or height % 2:
+            return False
+        return fmt.lower() in SUPPORTED_INPUT_FORMATS
+
+    # ------------------------------------------------------------- begin
+    def begin(self, width: int, height: int, output=None,
+              container: str | None = None) -> None:
+        p = self.params
+        p.width, p.height = width, height
+        p.validate()
+        if not self.query(width, height):
+            raise ValueError(f"unsupported geometry {width}x{height}")
+        qp = p.qp if p.rc_mode == RC_CQP else _crf_to_qp(p.crf)
+        self.encoder = TpuEncoder(EncoderConfig(
+            width=width, height=height, qp=qp,
+            keyint=min(p.keyint, 1 << 16),
+            search_range=min(p.merange, 16),
+            deblock=False,
+            fps_num=p.fps_num, fps_den=p.fps_den,
+        ))
+        if output is not None:
+            self.muxer = select_muxer(
+                output if isinstance(output, str) else "", container)
+            self.muxer.open_file(output)
+            self.muxer.set_param(MuxParams(
+                width=width, height=height,
+                fps_num=p.fps_num, fps_den=p.fps_den,
+                timebase_num=p.fps_den, timebase_den=p.fps_num,
+                sar_width=p.sar_width, sar_height=p.sar_height))
+            sps = b"\x67" + _ebsp(self.encoder.sps.to_rbsp())
+            pps = b"\x68" + _ebsp(self.encoder.pps.to_rbsp())
+            self.muxer.write_headers(sps, pps)
+        self.frame_count = 0
+
+    # ---------------------------------------------------------- compress
+    def compress(self, frame, fmt: str = "i420") -> bytes:
+        """frame: (y, u, v) planes for planar fmts, packed array otherwise.
+        Returns the Annex-B access unit (also routed to the muxer)."""
+        if self.error:
+            raise RuntimeError("encoder in error state")
+        assert self.encoder is not None, "begin() not called"
+        try:
+            y, u, v = _to_i420(frame, fmt)
+            au = self.encoder.encode_frame(y, u, v)
+        except Exception:
+            self.error = True
+            raise
+        pts = self.frame_count
+        self.frame_count += 1
+        self._second = self._largest
+        self._largest = pts
+        self._bits_total += len(au) * 8
+        if self.muxer is not None:
+            payload, key = _strip_parameter_sets(au)
+            self.muxer.write_frame(payload, pts=pts, dts=pts, keyframe=key)
+        return au
+
+    # --------------------------------------------------------------- end
+    def end(self) -> dict:
+        """Flush and close; returns summary stats (fps/bitrate telemetry,
+        the log-callback stats role of the reference)."""
+        if self.muxer is not None:
+            self.muxer.close_file(self._largest, self._second)
+            self.muxer = None
+        p = self.params
+        dur = self.frame_count * p.fps_den / max(1, p.fps_num)
+        stats = {
+            "frames": self.frame_count,
+            "kbps": self._bits_total / 1000.0 / dur if dur else 0.0,
+        }
+        if self.frame_count:
+            self.log.info(f"encoded {self.frame_count} frames, "
+                          f"{stats['kbps']:.2f} kb/s")
+        return stats
+
+    def frames_info(self) -> FramesInfo:
+        return FramesInfo(delay=0)
+
+
+class DecompressSession:
+    """decompress_* lifecycle: native decoder + output conversion.
+
+    Missing/delayed output is masked with a black frame like the reference
+    (codec.c:2250-2256)."""
+
+    def __init__(self) -> None:
+        self.decoder = H264Decoder()
+        self._emitted = 0
+
+    def begin(self, width: int = 0, height: int = 0) -> None:
+        self.decoder = H264Decoder()
+        self._emitted = 0
+        self._wh = (width, height)
+
+    def decompress(self, au: bytes):
+        """Feed one access unit; returns (y, u, v) or a black frame if the
+        decoder produced nothing yet."""
+        frames = self.decoder.decode(au)
+        if len(frames) > self._emitted:
+            f = frames[self._emitted]
+            self._emitted += 1
+            return (np.asarray(f.y, np.uint8), np.asarray(f.u, np.uint8),
+                    np.asarray(f.v, np.uint8))
+        w, h = self._wh
+        if not w:
+            return None
+        return (np.full((h, w), 16, np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8),
+                np.full((h // 2, w // 2), 128, np.uint8))
+
+    def end(self) -> None:
+        pass
+
+
+def _crf_to_qp(crf: float) -> int:
+    """CRF -> base QP approximation until true CRF rate control lands
+    (x264's CRF at zero complexity-offset equals QP for typical content)."""
+    return int(round(min(max(crf, 0.0), 51.0)))
+
+
+def _to_i420(frame, fmt: str):
+    fmt = fmt.lower()
+    if fmt in ("i420", "yv12", "nv12", "nv21"):
+        if fmt == "i420":
+            return frame
+        from .ops import csp
+        out = csp.convert_to_i420(fmt, frame)
+        return tuple(np.asarray(p, np.uint8) for p in out)
+    from .ops import csp
+    out = csp.convert_to_i420(fmt, frame)
+    return tuple(np.asarray(p, np.uint8) for p in out)
+
+
+def _strip_parameter_sets(au: bytes) -> tuple[bytes, bool]:
+    out = b""
+    key = False
+    for nal in iter_annexb_raw(au):
+        t = nal[0] & 0x1F
+        if t in (7, 8):
+            continue
+        if t == 5:
+            key = True
+        out += START_CODE_LONG + nal
+    return out, key
+
+
+def _ebsp(rbsp) -> bytes:
+    from .utils.bitstream import escape_ebsp
+    return escape_ebsp(rbsp)
