@@ -7,11 +7,13 @@ vectorized steps over all blocks of a frame at once.  Together with
 device_pack.py this keeps the whole entropy stage on the TPU; only packed
 bitstream bytes cross to the host.
 
-Slot layout matches cavlc_vec.SLOTS.  Codes here are capped at 31 bits per
-slot: any longer code (level escapes beyond ~2^13, zero-probability in real
-streams but legal) is emitted as leading-zero length in the SAME slot pair
-convention used by device_pack (value has <=31 significant bits; the
-remaining length is implicit leading zeros).
+TPU-shaped implementation notes: random gathers are poison on the VPU, so
+the "sort nonzeros to the front" step and every positional lookup are
+expressed as one-hot select-sums over the tiny (<=16) coefficient axis —
+pure elementwise math that XLA fuses into a handful of kernels.
+
+Codes are capped at 31 significant bits per slot (longer codes carry
+implicit leading zeros — device_pack convention).
 """
 
 from __future__ import annotations
@@ -23,16 +25,14 @@ from . import cavlc_tables as T
 
 SLOTS = 33
 
-# dense tables as device constants
-# numpy constants: embedded into the XLA program at trace time (no device
-# traffic at import)
-CT_VAL = T.COEFF_TOKEN_VAL.astype(np.uint32)
+# numpy constants: embedded into the XLA program at trace time
+CT_VAL = T.COEFF_TOKEN_VAL.astype(np.uint32)      # (5,17,4)
 CT_LEN = T.COEFF_TOKEN_LEN.astype(np.int32)
-TZ_VAL = T.TOTAL_ZEROS_VAL.astype(np.uint32)
+TZ_VAL = T.TOTAL_ZEROS_VAL.astype(np.uint32)      # (16,16)
 TZ_LEN = T.TOTAL_ZEROS_LEN.astype(np.int32)
-TZC_VAL = T.TOTAL_ZEROS_CDC_VAL.astype(np.uint32)
+TZC_VAL = T.TOTAL_ZEROS_CDC_VAL.astype(np.uint32)  # (4,4)
 TZC_LEN = T.TOTAL_ZEROS_CDC_LEN.astype(np.int32)
-RB_VAL = T.RUN_BEFORE_VAL.astype(np.uint32)
+RB_VAL = T.RUN_BEFORE_VAL.astype(np.uint32)       # (8,15)
 RB_LEN = T.RUN_BEFORE_LEN.astype(np.int32)
 
 
@@ -45,6 +45,23 @@ def _ctx_from_nc(nC):
     return ctx
 
 
+def _sel(arr_sorted, idx, L):
+    """Gather-free arr_sorted[n, idx[n]] via one-hot select-sum."""
+    oh = idx[:, None] == jnp.arange(L)[None, :]
+    return (arr_sorted * oh).sum(-1)
+
+
+def _lut2(val_tab: np.ndarray, len_tab: np.ndarray, i, j):
+    """Gather-free 2D table lookup via one-hot on the flattened table."""
+    R, C = val_tab.shape
+    flat_idx = i * C + j
+    oh = flat_idx[:, None] == jnp.arange(R * C)[None, :]
+    v = (jnp.asarray(val_tab.reshape(-1).astype(np.int64)).astype(jnp.int32)
+         [None, :] * oh).sum(-1)
+    ln = (jnp.asarray(len_tab.reshape(-1))[None, :] * oh).sum(-1)
+    return v.astype(jnp.uint32), ln
+
+
 def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
     """(N, L) zigzag levels + (N,) nC -> (vals uint32, lens int32) (N, SLOTS)."""
     levels = levels.astype(jnp.int32)
@@ -54,42 +71,49 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
 
     nz = levels != 0
     tc = nz.sum(-1).astype(jnp.int32)
-    # stable partition: nonzeros first, in scan order
-    order = jnp.argsort(~nz, axis=-1, stable=True)
-    v_sorted = jnp.take_along_axis(levels, order, axis=-1)
-    p_sorted = order.astype(jnp.int32)
+    # stable partition via rank (no sort): nonzero j goes to slot rank[j]
+    rank = jnp.cumsum(nz, axis=-1) - 1                       # (N, L)
+    ks = jnp.arange(L)
+    oh = (rank[:, :, None] == ks[None, None, :]) & nz[:, :, None]  # (N,L,L)
+    ohi = oh.astype(jnp.int32)
+    v_sorted = (levels[:, :, None] * ohi).sum(1)             # (N, L)
+    p_sorted = (ks[None, :, None] * ohi).sum(1)              # (N, L)
 
     # trailing ones
     t1 = jnp.zeros(N, jnp.int32)
     cond = jnp.ones(N, jnp.bool_)
     for k in range(1, 4):
-        idx = jnp.clip(tc - k, 0, L - 1)
-        vk = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        vk = _sel(v_sorted, jnp.clip(tc - k, 0, L - 1), L)
         cond = cond & (tc >= k) & (jnp.abs(vk) == 1)
         t1 = t1 + cond
 
     vals = jnp.zeros((N, SLOTS), jnp.uint32)
     lens = jnp.zeros((N, SLOTS), jnp.int32)
 
+    # ---- coeff_token: one-hot over the (5*17*4 = 340) flat table ----
     ctx = _ctx_from_nc(nC)
-    vals = vals.at[:, 0].set(jnp.asarray(CT_VAL)[ctx, tc, t1])
-    lens = lens.at[:, 0].set(jnp.asarray(CT_LEN)[ctx, tc, t1])
+    flat = ctx * (17 * 4) + tc * 4 + t1
+    ohc = flat[:, None] == jnp.arange(5 * 17 * 4)[None, :]
+    ctv = (jnp.asarray(CT_VAL.reshape(-1).astype(np.int64)).astype(jnp.int32)
+           [None, :] * ohc).sum(-1)
+    ctl = (jnp.asarray(CT_LEN.reshape(-1))[None, :] * ohc).sum(-1)
+    vals = vals.at[:, 0].set(ctv.astype(jnp.uint32))
+    lens = lens.at[:, 0].set(ctl)
 
+    # ---- trailing one signs ----
     sign_val = jnp.zeros(N, jnp.uint32)
     for i in range(3):
-        idx = jnp.clip(tc - 1 - i, 0, L - 1)
-        vk = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        vk = _sel(v_sorted, jnp.clip(tc - 1 - i, 0, L - 1), L)
         neg = ((vk < 0) & (i < t1)).astype(jnp.uint32)
         sign_val = jnp.where(i < t1, (sign_val << 1) | neg, sign_val)
     vals = vals.at[:, 1].set(sign_val)
     lens = lens.at[:, 1].set(t1)
 
-    # levels
+    # ---- levels ----
     sl = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
     for k in range(L):
         active = (k >= t1) & (k < tc)
-        idx = jnp.clip(tc - 1 - k, 0, L - 1)
-        lv = jnp.take_along_axis(v_sorted, idx[:, None], axis=-1)[:, 0]
+        lv = _sel(v_sorted, jnp.clip(tc - 1 - k, 0, L - 1), L)
         lv = jnp.where(active, lv, 1)
         lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
         lc = lc - 2 * ((k == t1) & (t1 < 3))
@@ -110,8 +134,6 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
         esc = ((sl == 0) & (lc >= 30)) | ((sl > 0) & (lc >= (15 << sl1)))
         base = jnp.where(sl == 0, 30, 15 << sl1)
         rem = jnp.maximum(lc - base, 0)
-        # k_esc = floor(log2(rem/4096 + 1)) via float exponent (exact for
-        # rem < 2^24 which the int16 dynamic-range clamp guarantees)
         kk = (jnp.frexp((rem.astype(jnp.float32) / 4096.0) + 1.0)[1] - 1)
         kk = kk.astype(jnp.int32)
         off = (jnp.int32(4096) << kk) - 4096
@@ -127,40 +149,34 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
                            & (new_sl < 6))
         sl = jnp.where(active, new_sl, sl)
 
-    # total_zeros
-    last_idx = jnp.clip(tc - 1, 0, L - 1)
-    last_pos = jnp.take_along_axis(p_sorted, last_idx[:, None], axis=-1)[:, 0]
+    # ---- total_zeros ----
+    last_pos = _sel(p_sorted, jnp.clip(tc - 1, 0, L - 1), L)
     tz = jnp.where(tc > 0, last_pos + 1 - tc, 0)
     need = (tc > 0) & (tc < max_coeffs)
     if max_coeffs == 4:
-        tzv = jnp.asarray(TZC_VAL)[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
-        tzl = jnp.asarray(TZC_LEN)[jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3)]
+        tzv, tzl = _lut2(TZC_VAL, TZC_LEN, jnp.clip(tc, 0, 3), jnp.clip(tz, 0, 3))
     else:
-        tzv = jnp.asarray(TZ_VAL)[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
-        tzl = jnp.asarray(TZ_LEN)[jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15)]
+        tzv, tzl = _lut2(TZ_VAL, TZ_LEN, jnp.clip(tc, 0, 15), jnp.clip(tz, 0, 15))
     vals = vals.at[:, 18].set(jnp.where(need, tzv, 0))
     lens = lens.at[:, 18].set(jnp.where(need, tzl, 0))
 
-    # run_before
+    # ---- run_before ----
     zl = jnp.where(need | (tc == max_coeffs), tz, 0)
     for k in range(min(L - 1, 14)):
         active = (k < tc - 1) & (zl > 0)
-        hi_idx = jnp.clip(tc - 1 - k, 0, L - 1)
-        lo_idx = jnp.clip(tc - 2 - k, 0, L - 1)
-        hi = jnp.take_along_axis(p_sorted, hi_idx[:, None], axis=-1)[:, 0]
-        lo = jnp.take_along_axis(p_sorted, lo_idx[:, None], axis=-1)[:, 0]
+        hi = _sel(p_sorted, jnp.clip(tc - 1 - k, 0, L - 1), L)
+        lo = _sel(p_sorted, jnp.clip(tc - 2 - k, 0, L - 1), L)
         run = jnp.clip(hi - lo - 1, 0, 14)
         zli = jnp.clip(zl, 1, 7)
-        vals = vals.at[:, 19 + k].set(jnp.where(active, jnp.asarray(RB_VAL)[zli, run], 0))
-        lens = lens.at[:, 19 + k].set(jnp.where(active, jnp.asarray(RB_LEN)[zli, run], 0))
+        rv, rl = _lut2(RB_VAL, RB_LEN, zli, run)
+        vals = vals.at[:, 19 + k].set(jnp.where(active, rv, 0))
+        lens = lens.at[:, 19 + k].set(jnp.where(active, rl, 0))
         zl = jnp.where(active, zl - run, zl)
     return vals, lens
 
 
 def ue_codes_j(v: jnp.ndarray):
-    """Vectorized unsigned exp-Golomb on device: (vals uint32, lens int32).
-
-    Valid for v < 2^30 (len <= 61 never occurs for our syntax: v < 2^16)."""
+    """Vectorized unsigned exp-Golomb on device: (vals uint32, lens int32)."""
     x = v.astype(jnp.int32) + 1
     nb = jnp.frexp(x.astype(jnp.float32))[1]  # bit_length, exact < 2^24
     return x.astype(jnp.uint32), (2 * nb - 1).astype(jnp.int32)

@@ -109,13 +109,13 @@ def p16_mv_pred(mv):
     return pmv, (pmv_skip == 0).all(-1)
 
 
-@partial(jax.jit, static_argnames=("rng", "cap_words"))
-def encode_p_full(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
-                  rng, cap_words):
-    """Fused device program: unpack uint8 frame -> P encode -> finalize.
-
-    src_yuv: (H*3//2 * W,) uint8 packed I420. Returns
-    (payload bytes, nbits, recon_y, recon_u, recon_v)."""
+@partial(jax.jit, static_argnames=("rng",))
+def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
+                   rng):
+    """Fused device program phase 1: unpack uint8 frame -> P encode ->
+    syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes).
+    Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
+    nbits on the host — worst-case-sized packing would dominate runtime."""
     from .device import encode_p_frame_core
     H, W = ref_y.shape
     ys = H * W
@@ -124,13 +124,17 @@ def encode_p_full(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc, rng)
-    data, nbits = _finalize_p_core(out, hdr_vals, hdr_lens,
-                                   H // 16, W // 16, cap_words)
-    return data, nbits, out["recon_y"], out["recon_u"], out["recon_v"]
+    v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+    return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
 
 
-def encode_i_full_fn(H: int, W: int, cap_words: int):
-    """Returns a jitted fused I-frame program for a fixed geometry."""
+@partial(jax.jit, static_argnames=("cap_words",))
+def pack_phase(vals, lens, cap_words):
+    return pack_slots(vals, lens, cap_words)
+
+
+def encode_i_slots_fn(H: int, W: int):
+    """Returns a jitted fused I-frame phase-1 program for a geometry."""
     from .device import encode_i_frame_core
 
     @jax.jit
@@ -141,19 +145,19 @@ def encode_i_full_fn(H: int, W: int, cap_words: int):
         su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_i_frame_core(sy, su, sv, qp, qpc)
-        data, nbits = _finalize_i_core(out, hdr_vals, hdr_lens,
-                                       H // 16, W // 16, cap_words)
-        return data, nbits, out["recon_y"], out["recon_u"], out["recon_v"]
+        v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+        return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
 
     return fn
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
 def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
-    return _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words)
+    v, l = _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw)
+    return pack_slots(v, l, cap_words)
 
 
-def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw):
     """P-slice syntax tensors -> (packed bytes, total_bits)."""
     n = mbh * mbw
     mv = out["mv"].reshape(mbh, mbw, 2)
@@ -248,16 +252,16 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
                                 mb_vals.reshape(-1), tail_vals])
     all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
                                 mb_lens.reshape(-1), tail_lens])
-    data, nbits = pack_slots(all_vals, all_lens, cap_words)
-    return data, nbits
+    return all_vals, all_lens
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
 def finalize_i(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
-    return _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words)
+    v, l = _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw)
+    return pack_slots(v, l, cap_words)
 
 
-def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
+def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     """I-slice (I16x16 V/DC row-scan encoding) -> packed bytes."""
     n = mbh * mbw
     dc = out["dc"]
@@ -328,5 +332,4 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
                                 mb_vals.reshape(-1), tail_vals])
     all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
                                 mb_lens.reshape(-1), tail_lens])
-    data, nbits = pack_slots(all_vals, all_lens, cap_words)
-    return data, nbits
+    return all_vals, all_lens

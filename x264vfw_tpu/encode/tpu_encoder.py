@@ -127,9 +127,8 @@ class TpuEncoder:
                 hw = self._slice_header_codes(SLICE_I, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
                 if self._i_full is None:
-                    self._i_full = device_finalize.encode_i_full_fn(
-                        H, W, cap_words)
-                data, nbits, ry, ru, rv = self._i_full(
+                    self._i_full = device_finalize.encode_i_slots_fn(H, W)
+                sv_, sl_, nbits, ry, ru, rv = self._i_full(
                     src_d, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)))
@@ -137,12 +136,19 @@ class TpuEncoder:
                 nal_type = NAL_SLICE
                 hw = self._slice_header_codes(SLICE_P, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-                data, nbits, ry, ru, rv = device_finalize.encode_p_full(
+                sv_, sl_, nbits, ry, ru, rv = device_finalize.encode_p_slots(
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
-                    cfg.search_range, cap_words)
-            payload = self._pull_payload(data, nbits)
+                    cfg.search_range)
+            # phase 2: pack with a right-sized capacity bucket (pow2) so the
+            # word-fill work scales with the actual bitstream, not worst case
+            nb = int(nbits)
+            need_words = (nb + 31) // 32 + 8
+            bucket = 1 << max(12, (need_words - 1).bit_length())
+            bucket = min(bucket, cap_words)
+            data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
+            payload = self._pull_payload(data, nbits2)
             self.ref = (ry, ru, rv)
         bs = b""
         if is_idr:
