@@ -24,6 +24,7 @@ from .config.params import EncoderParams, RC_CQP, RC_CRF
 from .config.options import parse_cmdline
 from .decode.decoder import H264Decoder
 from .encode.ref_encoder import EncoderConfig
+from .encode.ratecontrol import RateController
 from .encode.tpu_encoder import TpuEncoder
 from .output.base import MuxParams, Muxer, select_muxer
 from .utils.logging import Logger
@@ -76,7 +77,8 @@ class CompressSession:
         p.validate()
         if not self.query(width, height):
             raise ValueError(f"unsupported geometry {width}x{height}")
-        qp = p.qp if p.rc_mode == RC_CQP else _crf_to_qp(p.crf)
+        self.rc = RateController(p)
+        qp = self.rc.qp_for_frame(True)
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
@@ -105,12 +107,15 @@ class CompressSession:
         if self.error:
             raise RuntimeError("encoder in error state")
         assert self.encoder is not None, "begin() not called"
+        is_idr = (self.frame_count % self.params.keyint) == 0
+        qp = self.rc.qp_for_frame(is_idr)
         try:
             y, u, v = _to_i420(frame, fmt)
-            au = self.encoder.encode_frame(y, u, v)
+            au = self.encoder.encode_frame(y, u, v, qp=qp)
         except Exception:
             self.error = True
             raise
+        self.rc.update(is_idr, qp, len(au) * 8)
         pts = self.frame_count
         self.frame_count += 1
         self._second = self._largest
@@ -128,6 +133,8 @@ class CompressSession:
         if self.muxer is not None:
             self.muxer.close_file(self._largest, self._second)
             self.muxer = None
+        if getattr(self, "rc", None) is not None:
+            self.rc.write_stats()
         p = self.params
         dur = self.frame_count * p.fps_den / max(1, p.fps_num)
         stats = {

@@ -92,10 +92,15 @@ class TpuEncoder:
                 + wrap_nal(3, NAL_PPS, self.pps.to_rbsp()))
 
     # ------------------------------------------------------------------
-    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray) -> bytes:
+    def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
+                     qp: int | None = None) -> bytes:
         cfg = self.cfg
         H, W = self.mbh * 16, self.mbw * 16
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if qp is not None:
+            self.qp = int(min(max(qp, 0), 51))
+            self.qpc = int(tnp.chroma_qp(self.qp,
+                                         self.pps.chroma_qp_index_offset))
         cap_words = (H * W * 3 // 2 + 4096) // 4
 
         if self.host_entropy:
