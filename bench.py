@@ -29,6 +29,14 @@ def make_clip(w, h, n, seed=0):
 
 
 def main():
+    import jax
+    import os
+    jax.config.update("jax_compilation_cache_dir",
+                      os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                   ".jax_cache"))
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
     from x264vfw_tpu.encode.ref_encoder import EncoderConfig
     from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
 
@@ -38,8 +46,8 @@ def main():
 
     enc = TpuEncoder(EncoderConfig(width=W, height=H, qp=26, keyint=250,
                                    search_range=8))
-    # warmup: one IDR + two P (compiles both pipelines)
-    for i in range(3):
+    # warmup: compiles I/P pipelines + the pack-capacity buckets
+    for i in range(6):
         enc.encode_frame(*frames[i % len(frames)])
 
     t0 = time.perf_counter()
