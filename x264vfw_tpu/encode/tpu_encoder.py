@@ -88,8 +88,12 @@ class TpuEncoder:
         return tuple(np.asarray(p) for p in self.ref)
 
     def headers(self) -> bytes:
+        from ..bitstream.sei import version_sei
+        opts = (f"qp={self.cfg.qp} keyint={self.cfg.keyint} "
+                f"merange={self.cfg.search_range} cavlc=1")
         return (wrap_nal(3, NAL_SPS, self.sps.to_rbsp())
-                + wrap_nal(3, NAL_PPS, self.pps.to_rbsp()))
+                + wrap_nal(3, NAL_PPS, self.pps.to_rbsp())
+                + version_sei(opts))
 
     # ------------------------------------------------------------------
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
