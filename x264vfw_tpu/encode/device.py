@@ -89,82 +89,211 @@ def zigzag16(blocks: jnp.ndarray) -> jnp.ndarray:
 # P-frame pipeline
 # --------------------------------------------------------------------------
 
-def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int):
-    """Full-search integer-pel SAD ME + MC, slice-formulated for TPU.
+def _halfpel_planes(ref_pad):
+    """Spec half-pel planes of a padded reference (§8.4.2.2.1, 6-tap).
 
-    Instead of per-MB window gathers (pathological on TPU), every candidate
-    offset is ONE static shift of the whole padded reference: elementwise
-    |src - shift(ref)| then a per-MB block-sum.  MC is a second masked-
-    accumulate pass over the same offsets — no gathers anywhere.
+    ref_pad: (Hp, Wp) int32, padded by >=3 on every side vs the region the
+    caller will read.  Returns (b, h, j) where, for integer coords (y, x):
+      b[y, x] = sample at (y, x+1/2),  h[y, x] = (y+1/2, x),
+      j[y, x] = (y+1/2, x+1/2).
+    Output arrays are valid on [3:-3] of each axis (edges hold garbage).
+    """
+    Hp, Wp = ref_pad.shape
 
-    Returns (mv (mbh,mbw,2) integer pels, pred_y (H,W), pred_u, pred_v).
+    def f6_x(a):
+        # 6-tap along x: out[y, x] uses a[y, x-2 .. x+3]; edges wrap via roll
+        # (callers never read within 3 px of the border)
+        return (jnp.roll(a, 2, 1) - 5 * jnp.roll(a, 1, 1) + 20 * a
+                + 20 * jnp.roll(a, -1, 1) - 5 * jnp.roll(a, -2, 1)
+                + jnp.roll(a, -3, 1))
+
+    def f6_y(a):
+        return (jnp.roll(a, 2, 0) - 5 * jnp.roll(a, 1, 0) + 20 * a
+                + 20 * jnp.roll(a, -1, 0) - 5 * jnp.roll(a, -2, 0)
+                + jnp.roll(a, -3, 0))
+
+    b1 = f6_x(ref_pad)
+    h1 = f6_y(ref_pad)
+    b = jnp.clip((b1 + 16) >> 5, 0, 255)
+    h = jnp.clip((h1 + 16) >> 5, 0, 255)
+    j1 = f6_y(b1)
+    j = jnp.clip((j1 + 512) >> 10, 0, 255)
+    return b, h, j
+
+
+def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
+                          subpel: bool = True):
+    """Full-search integer-pel SAD ME (+ half-pel refine) + MC, slice-
+    formulated for TPU.
+
+    Per-MB window gathers are pathological on TPU, so every candidate offset
+    is ONE static shift of the whole padded reference: elementwise
+    |src - shift(ref)| + per-MB block-sum for SAD, and masked accumulation
+    over the same shifts for alignment/MC.  For half-pel, the spec 6-tap
+    planes (b/h/j) are built once and motion-ALIGNED alongside the integer
+    plane in the same single masked pass (masked shifts do NOT compose
+    across stages — per-block shift amounts differ at block boundaries — so
+    alignment is always single-stage).  After alignment every half-pel
+    candidate is a static +-1 shift.
+
+    Returns (mv_q (mbh,mbw,2) quarter-pel, pred_y (H,W), pred_u, pred_v).
     """
     H, W = src_y.shape
     mbh, mbw = H // 16, W // 16
     K = 2 * rng + 1
-    ref_pad = jnp.pad(ref_y, rng, mode="edge")
-    cr = rng // 2 + 1
-    ref_pad_u = jnp.pad(ref_u, cr, mode="edge")
-    ref_pad_v = jnp.pad(ref_v, cr, mode="edge")
+    PAD = rng + 8
+    ref_pad = jnp.pad(ref_y, PAD, mode="edge")
     offs = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                   indexing="ij"), -1).reshape(-1, 2)  # dy,dx in [0,K)
 
     def sad_at(off):
-        cand = jax.lax.dynamic_slice(ref_pad, (off[0], off[1]), (H, W))
+        cand = jax.lax.dynamic_slice(
+            ref_pad, (PAD - rng + off[0], PAD - rng + off[1]), (H, W))
         d = jnp.abs(src_y - cand)
         return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
 
     sads = jax.lax.map(sad_at, offs)                      # (K*K, mbh, mbw)
     cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
     best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)  # (mbh,mbw)
-    dy = best // K - rng
-    dx = best % K - rng
-    mv = jnp.stack([dx, dy], axis=-1).astype(jnp.int32)   # (mbh,mbw,[x,y])
+    dyb = best // K - rng
+    dxb = best % K - rng
+    mv_int = jnp.stack([dxb, dyb], axis=-1).astype(jnp.int32)  # (mbh,mbw,[x,y])
 
-    # --- MC pass: accumulate the winning candidate per MB ---
-    mask_full = jnp.repeat(jnp.repeat(best, 16, 0), 16, 1)  # (H,W) slot ids
+    # ---- single-stage alignment of the needed planes (margin 1) ----
+    m = 1
+    size = (H + 2 * m, W + 2 * m)
+    bestm = jnp.pad(jnp.repeat(jnp.repeat(best, 16, 0), 16, 1), m, mode="edge")
 
-    def mc_at(carry, k):
-        off = offs[k]
-        cand = jax.lax.dynamic_slice(ref_pad, (off[0], off[1]), (H, W))
-        sel = (mask_full == k)
-        return carry + jnp.where(sel, cand, 0), None
+    if subpel:
+        hb, hh, hj = _halfpel_planes(ref_pad)
+        planes = (ref_pad, hb, hh, hj)
+    else:
+        planes = (ref_pad,)
 
-    pred_y, _ = jax.lax.scan(mc_at, jnp.zeros((H, W), jnp.int32),
-                             jnp.arange(K * K))
+    def align_body(carry, k):
+        oy = offs[k, 0]
+        ox = offs[k, 1]
+        sel = bestm == k
+        out = []
+        for acc, pl_ in zip(carry, planes):
+            cand = jax.lax.dynamic_slice(
+                pl_, (PAD - rng - m + oy, PAD - rng - m + ox), size)
+            out.append(acc + jnp.where(sel, cand, 0))
+        return tuple(out), None
 
-    # chroma MC: offset = mv>>1 integer chroma pels + half-pel frac (mv&1)
-    # candidate chroma pred for luma offset (dy,dx):
-    #   bilinear with yf = 4*(dy&1), xf = 4*(dx&1) at (dy>>1, dx>>1)
-    maskc = jnp.repeat(jnp.repeat(best, 8, 0), 8, 1)      # (H/2, W/2)
+    init = tuple(jnp.zeros(size, jnp.int32) for _ in planes)
+    aligned, _ = jax.lax.scan(align_body, init, jnp.arange(K * K))
 
-    def mc_c(carry, k):
-        off = offs[k]
-        dy = off[0] - rng
-        dx = off[1] - rng
-        cy = (dy >> 1) + cr
-        cx = (dx >> 1) + cr
-        yf = (dy & 1) * 4
-        xf = (dx & 1) * 4
+    if subpel:
+        aI, aB, aH, aJ = aligned
+
+        def cand_plane(ex, ey):
+            if ex == 0 and ey == 0:
+                pl_, ox, oy = aI, 0, 0
+            elif ey == 0:
+                pl_, ox, oy = aB, (ex - 1) // 2, 0   # ex=1 -> 0, ex=-1 -> -1
+            elif ex == 0:
+                pl_, ox, oy = aH, 0, (ey - 1) // 2
+            else:
+                pl_, ox, oy = aJ, (ex - 1) // 2, (ey - 1) // 2
+            return jax.lax.dynamic_slice(pl_, (m + oy, m + ox), (H, W))
+
+        deltas = [(ex, ey) for ey in (-1, 0, 1) for ex in (-1, 0, 1)]
+        # SAD refine on the margin-composed candidates: values within 1 px of
+        # an MB border belong to the neighbour's alignment, so these SADs are
+        # approximate there — an encoder-side decision heuristic only (the MC
+        # below is exact for whatever delta wins).
+        cands = [cand_plane(ex, ey) for ex, ey in deltas]
+        hsads = jnp.stack([
+            jnp.abs(src_y - c).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+            for c in cands])                              # (9, mbh, mbw)
+        hcost = jnp.asarray([4 * (abs(ex) + abs(ey)) for ex, ey in deltas])
+        hbest = jnp.argmin(hsads * 4 + hcost[:, None, None], axis=0)
+        exs = jnp.asarray([d[0] for d in deltas])[hbest]
+        eys = jnp.asarray([d[1] for d in deltas])[hbest]
+        mv_q = mv_int * 4 + 2 * jnp.stack([exs, eys], axis=-1)
+
+        # ---- exact MC: per integer offset, select the chosen half-pel
+        # variant from sub-views of (H+1, W+1) slices (no cross-MB reads) ----
+        maskh = jnp.repeat(jnp.repeat(hbest, 16, 0), 16, 1)    # (H, W)
+        best16 = jnp.repeat(jnp.repeat(best, 16, 0), 16, 1)
+
+        def mc_body(acc, k):
+            oy = offs[k, 0]
+            ox = offs[k, 1]
+            base_y = PAD - rng + oy
+            base_x = PAD - rng + ox
+            sI = jax.lax.dynamic_slice(ref_pad, (base_y, base_x), (H, W))
+            sB = jax.lax.dynamic_slice(hb, (base_y, base_x - 1), (H, W + 1))
+            sH = jax.lax.dynamic_slice(hh, (base_y - 1, base_x), (H + 1, W))
+            sJ = jax.lax.dynamic_slice(hj, (base_y - 1, base_x - 1),
+                                       (H + 1, W + 1))
+            val = jnp.zeros((H, W), jnp.int32)
+            for di, (ex, ey) in enumerate(deltas):
+                if ex == 0 and ey == 0:
+                    c = sI
+                elif ey == 0:
+                    c = sB[:, 1 + (ex - 1) // 2: 1 + (ex - 1) // 2 + W]
+                elif ex == 0:
+                    c = sH[1 + (ey - 1) // 2: 1 + (ey - 1) // 2 + H, :]
+                else:
+                    c = sJ[1 + (ey - 1) // 2: 1 + (ey - 1) // 2 + H,
+                           1 + (ex - 1) // 2: 1 + (ex - 1) // 2 + W]
+                val = val + jnp.where(maskh == di, c, 0)
+            return acc + jnp.where(best16 == k, val, 0), None
+
+        pred_y, _ = jax.lax.scan(mc_body, jnp.zeros((H, W), jnp.int32),
+                                 jnp.arange(K * K))
+    else:
+        mv_q = mv_int * 4
+        pred_y = jax.lax.dynamic_slice(aligned[0], (m, m), (H, W))
+
+    # ---- chroma MC from the final quarter-pel MV (single-stage) ----
+    # integer chroma offset ci = mv_q >> 3, eighth-pel fraction f = mv_q & 7
+    ci = mv_q >> 3
+    f = mv_q & 7
+    clo = -((4 * rng + 2) >> 3) - 1
+    chi = (4 * rng + 2) >> 3
+    cpad = chi + 2
+    ref_pad_u = jnp.pad(ref_u, cpad, mode="edge")
+    ref_pad_v = jnp.pad(ref_v, cpad, mode="edge")
+
+    def exp_c(field):
+        return jnp.repeat(jnp.repeat(field, 8, 0), 8, 1)  # (H/2, W/2)
+
+    cix = exp_c(ci[..., 0])
+    ciy = exp_c(ci[..., 1])
+    fx = exp_c(f[..., 0])
+    fy = exp_c(f[..., 1])
+    csize = (H // 2, W // 2)
+
+    nc = chi - clo + 1
+    coffs = jnp.stack(jnp.meshgrid(jnp.arange(nc), jnp.arange(nc),
+                                   indexing="ij"), -1).reshape(-1, 2)
+
+    def chroma_body(carry, k):
+        oy = coffs[k, 0] + clo
+        ox = coffs[k, 1] + clo
+        sel = (ciy == oy) & (cix == ox)
         acc_u, acc_v = carry
-        sel = maskc == k
 
         def bil(rp):
-            A = jax.lax.dynamic_slice(rp, (cy, cx), (H // 2, W // 2))
-            B = jax.lax.dynamic_slice(rp, (cy, cx + 1), (H // 2, W // 2))
-            C = jax.lax.dynamic_slice(rp, (cy + 1, cx), (H // 2, W // 2))
-            D = jax.lax.dynamic_slice(rp, (cy + 1, cx + 1), (H // 2, W // 2))
-            return ((8 - xf) * (8 - yf) * A + xf * (8 - yf) * B
-                    + (8 - xf) * yf * C + xf * yf * D + 32) >> 6
+            A = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox), csize)
+            B = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox + 1), csize)
+            C = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox), csize)
+            D = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox + 1), csize)
+            return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
+                    + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 
         acc_u = acc_u + jnp.where(sel, bil(ref_pad_u), 0)
         acc_v = acc_v + jnp.where(sel, bil(ref_pad_v), 0)
         return (acc_u, acc_v), None
 
     (pred_u, pred_v), _ = jax.lax.scan(
-        mc_c, (jnp.zeros((H // 2, W // 2), jnp.int32),
-               jnp.zeros((H // 2, W // 2), jnp.int32)), jnp.arange(K * K))
-    return mv, pred_y, pred_u, pred_v
+        chroma_body,
+        (jnp.zeros(csize, jnp.int32), jnp.zeros(csize, jnp.int32)),
+        jnp.arange(nc * nc))
+    return mv_q, pred_y, pred_u, pred_v
 
 
 def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
@@ -219,7 +348,7 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
 
 
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
-                        rng=8):
+                        rng=8, subpel=True):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock)."""
     H, W = src_y.shape
@@ -227,9 +356,9 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     n = mbh * mbw
     src_mbs = mbize(src_y)
 
-    mv_int, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
-        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng)
-    mv_q = (mv_int * 4).reshape(n, 2)
+    mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
+        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel)
+    mv_q = mv_q4.reshape(n, 2)
 
     pred = mbize(pred_y_pl)
     levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
@@ -424,5 +553,5 @@ def _dc_only_residual(dc_zz, qp, n):
     return blocks_to_mb(res)
 
 
-encode_p_frame = partial(jax.jit, static_argnames=("rng",))(encode_p_frame_core)
+encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel"))(encode_p_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

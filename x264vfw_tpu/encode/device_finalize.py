@@ -109,9 +109,9 @@ def p16_mv_pred(mv):
     return pmv, (pmv_skip == 0).all(-1)
 
 
-@partial(jax.jit, static_argnames=("rng",))
+@partial(jax.jit, static_argnames=("rng", "subpel"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
-                   rng):
+                   rng, subpel=True):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes).
     Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
@@ -123,7 +123,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
     su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
-    out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc, rng)
+    out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
+                              rng, subpel)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
 

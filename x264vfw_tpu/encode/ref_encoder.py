@@ -42,7 +42,7 @@ class EncoderConfig:
     deblock: bool = False
     num_ref_frames: int = 1
     search_range: int = 8
-    subpel: bool = False
+    subpel: bool = True
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1

@@ -119,7 +119,7 @@ class TpuEncoder:
                 nal_type = NAL_SLICE_IDR
             else:
                 out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
-                                     rng=cfg.search_range)
+                                     rng=cfg.search_range, subpel=cfg.subpel)
                 payload = self._finalize_p(out)
                 nal_type = NAL_SLICE
             self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -149,7 +149,7 @@ class TpuEncoder:
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
-                    cfg.search_range)
+                    cfg.search_range, cfg.subpel)
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
             nb = int(nbits)
