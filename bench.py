@@ -48,12 +48,16 @@ def main():
                                    search_range=8))
     # warmup: compiles I/P pipelines + the pack-capacity buckets
     for i in range(6):
-        enc.encode_frame(*frames[i % len(frames)])
+        enc.encode_frame_pipelined(*frames[i % len(frames)])
+    enc.flush_pipeline()
 
     t0 = time.perf_counter()
     total_bytes = 0
     for i in range(n_frames):
-        total_bytes += len(enc.encode_frame(*frames[i % len(frames)]))
+        au = enc.encode_frame_pipelined(*frames[i % len(frames)])
+        total_bytes += len(au) if au else 0
+    au = enc.flush_pipeline()
+    total_bytes += len(au) if au else 0
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

@@ -20,7 +20,7 @@ from dataclasses import dataclass
 import numpy as np
 
 from .bitstream.nal import iter_annexb_raw, START_CODE_LONG
-from .config.params import EncoderParams, RC_CQP, RC_CRF
+from .config.params import EncoderParams
 from .config.options import parse_cmdline
 from .decode.decoder import H264Decoder
 from .encode.ref_encoder import EncoderConfig

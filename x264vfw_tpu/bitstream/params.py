@@ -8,7 +8,7 @@ writer (encode path) and the parser (decode path, muxers, tests) are native.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

@@ -16,7 +16,7 @@ single slice group, short-term refs with sliding window.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

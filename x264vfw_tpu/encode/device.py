@@ -25,7 +25,6 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ops import transform as tj
 from ..ops.transform_np import ZIGZAG_4x4

@@ -16,7 +16,6 @@ which XLA lowers well on TPU.  Output: (bytes uint8 (cap,), total_bits).
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

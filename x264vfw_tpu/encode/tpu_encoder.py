@@ -15,19 +15,16 @@ stock FFmpeg.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
-import jax
 import jax.numpy as jnp
 import numpy as np
 
 from ..bitstream import cavlc_vec
-from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_I, SLICE_P, P_L0_16X16
+from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_I, SLICE_P
 from ..bitstream.nal import NAL_PPS, NAL_SLICE, NAL_SLICE_IDR, NAL_SPS, wrap_nal
 from ..bitstream.params import PPS, SPS, PROFILE_BASELINE
 from ..bitstream.slice import SliceHeader
 from ..ops import transform_np as tnp
-from ..utils.bitstream import BitWriter, escape_ebsp, pack_codes, se_codes, ue_codes
+from ..utils.bitstream import BitWriter, se_codes, ue_codes
 from . import device_finalize
 from .device import encode_i_frame, encode_p_frame
 from .ref_encoder import EncoderConfig
@@ -72,6 +69,97 @@ class TpuEncoder:
         # debug); False keeps the whole entropy stage on device.
         self.host_entropy = False
         self._i_full = None  # fused I-frame program (per-geometry)
+
+    # ------------------------------------------------------------------
+    # pipelined encoding: one frame of output delay hides the host<->device
+    # sync behind the next frame's device work (the delayed-frame model the
+    # reference exposes through compress_frames_info, codec.c:1888).
+    def encode_frame_pipelined(self, y, u, v, qp: int | None = None) -> bytes | None:
+        """Submit a frame; returns the PREVIOUS frame's access unit
+        (None on the first call). Call flush_pipeline() at end of stream."""
+        pend = getattr(self, "_pending", None)
+        self._submit(y, u, v, qp)
+        if pend is None:
+            return None
+        return self._emit(pend)
+
+    def flush_pipeline(self) -> bytes | None:
+        pend = getattr(self, "_pending", None)
+        self._pending = None
+        if pend is None:
+            return None
+        return self._emit(pend)
+
+    # fixed speculative pack capacity (words): packs are submitted without
+    # waiting for the bit count; overflowing frames re-pack (rare)
+    PIPELINE_BUCKET = 1 << 16
+
+    def _submit(self, y, u, v, qp) -> None:
+        # runs slot phase + speculative pack asynchronously (no host sync:
+        # the device stream stays busy across frames)
+        assert not self.host_entropy, "pipelined mode requires device entropy"
+        sv_, sl_, nbits, nal_type, is_idr = self._encode_slots_async(y, u, v, qp)
+        H, W = self.mbh * 16, self.mbw * 16
+        cap_words = (H * W * 3 // 2 + 4096) // 4
+        bucket = min(self.PIPELINE_BUCKET, cap_words)
+        data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
+        self._pending = (data, nbits2, sv_, sl_, nal_type, is_idr, cap_words,
+                         bucket)
+
+    def _emit(self, state) -> bytes:
+        data, nbits, sv_, sl_, nal_type, is_idr, cap_words, bucket = state
+        nb = int(nbits)
+        if (nb + 31) // 32 + 2 > bucket:
+            # speculative capacity overflow: re-pack exactly (rare)
+            need = (nb + 31) // 32 + 8
+            big = min(1 << (need - 1).bit_length(), cap_words)
+            data, nbits = device_finalize.pack_phase(sv_, sl_, big)
+        payload = self._pull_payload(data, nbits)
+        bs = b""
+        if is_idr:
+            bs += self.headers()
+        return bs + wrap_nal(3, nal_type, payload)
+
+    def _encode_slots_async(self, y, u, v, qp):
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if qp is not None:
+            self.qp = int(min(max(qp, 0), 51))
+            self.qpc = int(tnp.chroma_qp(self.qp,
+                                         self.pps.chroma_qp_index_offset))
+        src = np.concatenate([
+            np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
+        src_d = jnp.asarray(src)
+        if is_idr:
+            self.frame_num = 0
+            nal_type = NAL_SLICE_IDR
+            hw = self._slice_header_codes(SLICE_I, nal_type)
+            hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+            if self._i_full is None:
+                self._i_full = device_finalize.encode_i_slots_fn(H, W)
+            sv_, sl_, nbits, ry, ru, rv = self._i_full(
+                src_d, self.qp, self.qpc,
+                jnp.asarray(hv.astype(np.uint32)),
+                jnp.asarray(hl.astype(np.int32)))
+        else:
+            nal_type = NAL_SLICE
+            hw = self._slice_header_codes(SLICE_P, nal_type)
+            hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+            sv_, sl_, nbits, ry, ru, rv = device_finalize.encode_p_slots(
+                src_d, *self.ref, self.qp, self.qpc,
+                jnp.asarray(hv.astype(np.uint32)),
+                jnp.asarray(hl.astype(np.int32)),
+                cfg.search_range, cfg.subpel)
+        self.ref = (ry, ru, rv)
+        self.frame_idx += 1
+        self.frame_num = (self.frame_num + 1) % (
+            1 << (self.sps.log2_max_frame_num_minus4 + 4))
+        if is_idr:
+            self.idr_id = (self.idr_id + 1) % 65536
+        return (sv_, sl_, nbits, nal_type, is_idr)
 
     def _pull_payload(self, data, nbits) -> np.ndarray:
         nbytes = (int(nbits) + 7) // 8
