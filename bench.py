@@ -46,18 +46,15 @@ def main():
 
     enc = TpuEncoder(EncoderConfig(width=W, height=H, qp=26, keyint=250,
                                    search_range=8))
-    # warmup: compiles I/P pipelines + the pack-capacity buckets
-    for i in range(6):
-        enc.encode_frame_pipelined(*frames[i % len(frames)])
-    enc.flush_pipeline()
+    # warmup: compiles the I pipeline, the batched P pipeline and buckets
+    enc.encode_gop_batch([frames[i % len(frames)] for i in range(9)])
 
+    G = 8  # frames per device dispatch (batch mode amortizes host latency)
     t0 = time.perf_counter()
     total_bytes = 0
-    for i in range(n_frames):
-        au = enc.encode_frame_pipelined(*frames[i % len(frames)])
-        total_bytes += len(au) if au else 0
-    au = enc.flush_pipeline()
-    total_bytes += len(au) if au else 0
+    for i in range(0, n_frames, G):
+        batch = [frames[(i + k) % len(frames)] for k in range(min(G, n_frames - i))]
+        total_bytes += sum(len(a) for a in enc.encode_gop_batch(batch))
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 

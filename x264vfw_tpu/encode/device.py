@@ -111,12 +111,13 @@ def _halfpel_planes(ref_pad):
                 + 20 * jnp.roll(a, -1, 0) - 5 * jnp.roll(a, -2, 0)
                 + jnp.roll(a, -3, 0))
 
-    b1 = f6_x(ref_pad)
-    h1 = f6_y(ref_pad)
-    b = jnp.clip((b1 + 16) >> 5, 0, 255)
-    h = jnp.clip((h1 + 16) >> 5, 0, 255)
+    a32 = ref_pad.astype(jnp.int32)
+    b1 = f6_x(a32)
+    h1 = f6_y(a32)
+    b = jnp.clip((b1 + 16) >> 5, 0, 255).astype(jnp.int16)
+    h = jnp.clip((h1 + 16) >> 5, 0, 255).astype(jnp.int16)
     j1 = f6_y(b1)
-    j = jnp.clip((j1 + 512) >> 10, 0, 255)
+    j = jnp.clip((j1 + 512) >> 10, 0, 255).astype(jnp.int16)
     return b, h, j
 
 
@@ -141,14 +142,17 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     mbh, mbw = H // 16, W // 16
     K = 2 * rng + 1
     PAD = rng + 8
-    ref_pad = jnp.pad(ref_y, PAD, mode="edge")
+    # pixel data rides the scans as int16: half the HBM traffic and twice
+    # the VPU lanes of int32 (values are 8-bit; diffs fit int16 easily)
+    src16 = src_y.astype(jnp.int16)
+    ref_pad = jnp.pad(ref_y, PAD, mode="edge").astype(jnp.int16)
     offs = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                   indexing="ij"), -1).reshape(-1, 2)  # dy,dx in [0,K)
 
     def sad_at(off):
         cand = jax.lax.dynamic_slice(
             ref_pad, (PAD - rng + off[0], PAD - rng + off[1]), (H, W))
-        d = jnp.abs(src_y - cand)
+        d = jnp.abs(src16 - cand).astype(jnp.int32)
         return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
 
     sads = jax.lax.map(sad_at, offs)                      # (K*K, mbh, mbw)
@@ -180,7 +184,7 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
             out.append(acc + jnp.where(sel, cand, 0))
         return tuple(out), None
 
-    init = tuple(jnp.zeros(size, jnp.int32) for _ in planes)
+    init = tuple(jnp.zeros(size, jnp.int16) for _ in planes)
     aligned, _ = jax.lax.scan(align_body, init, jnp.arange(K * K))
 
     if subpel:
@@ -204,7 +208,8 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         # below is exact for whatever delta wins).
         cands = [cand_plane(ex, ey) for ex, ey in deltas]
         hsads = jnp.stack([
-            jnp.abs(src_y - c).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+            jnp.abs(src16 - c).astype(jnp.int32)
+            .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
             for c in cands])                              # (9, mbh, mbw)
         hcost = jnp.asarray([4 * (abs(ex) + abs(ey)) for ex, ey in deltas])
         hbest = jnp.argmin(hsads * 4 + hcost[:, None, None], axis=0)
@@ -227,7 +232,7 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
             sH = jax.lax.dynamic_slice(hh, (base_y - 1, base_x), (H + 1, W))
             sJ = jax.lax.dynamic_slice(hj, (base_y - 1, base_x - 1),
                                        (H + 1, W + 1))
-            val = jnp.zeros((H, W), jnp.int32)
+            val = jnp.zeros((H, W), jnp.int16)
             for di, (ex, ey) in enumerate(deltas):
                 if ex == 0 and ey == 0:
                     c = sI
@@ -241,11 +246,12 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
                 val = val + jnp.where(maskh == di, c, 0)
             return acc + jnp.where(best16 == k, val, 0), None
 
-        pred_y, _ = jax.lax.scan(mc_body, jnp.zeros((H, W), jnp.int32),
+        pred_y, _ = jax.lax.scan(mc_body, jnp.zeros((H, W), jnp.int16),
                                  jnp.arange(K * K))
+        pred_y = pred_y.astype(jnp.int32)
     else:
         mv_q = mv_int * 4
-        pred_y = jax.lax.dynamic_slice(aligned[0], (m, m), (H, W))
+        pred_y = jax.lax.dynamic_slice(aligned[0], (m, m), (H, W)).astype(jnp.int32)
 
     # ---- chroma MC from the final quarter-pel MV (single-stage) ----
     # integer chroma offset ci = mv_q >> 3, eighth-pel fraction f = mv_q & 7
@@ -254,8 +260,8 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     clo = -((4 * rng + 2) >> 3) - 1
     chi = (4 * rng + 2) >> 3
     cpad = chi + 2
-    ref_pad_u = jnp.pad(ref_u, cpad, mode="edge")
-    ref_pad_v = jnp.pad(ref_v, cpad, mode="edge")
+    ref_pad_u = jnp.pad(ref_u, cpad, mode="edge").astype(jnp.int16)
+    ref_pad_v = jnp.pad(ref_v, cpad, mode="edge").astype(jnp.int16)
 
     def exp_c(field):
         return jnp.repeat(jnp.repeat(field, 8, 0), 8, 1)  # (H/2, W/2)
@@ -277,10 +283,10 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         acc_u, acc_v = carry
 
         def bil(rp):
-            A = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox), csize)
-            B = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox + 1), csize)
-            C = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox), csize)
-            D = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox + 1), csize)
+            A = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox), csize).astype(jnp.int32)
+            B = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox + 1), csize).astype(jnp.int32)
+            C = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox), csize).astype(jnp.int32)
+            D = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox + 1), csize).astype(jnp.int32)
             return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
                     + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
 

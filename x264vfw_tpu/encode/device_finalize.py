@@ -134,6 +134,42 @@ def pack_phase(vals, lens, cap_words):
     return pack_slots(vals, lens, cap_words)
 
 
+@partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words"))
+def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
+                       hdr_vals, hdr_lens, rng, subpel, bucket_words):
+    """Batched P-frame encoding: G frames in ONE device program.
+
+    A lax.scan carries the reconstruction between frames; each step encodes,
+    finalizes and PACKS its frame into a fixed bucket — the host pays one
+    dispatch + one pull per G frames instead of per frame (per-frame host
+    latency amortized /G; overflowing frames are re-encoded individually by
+    the caller, which is rare with a sane bucket).
+
+    frames_yuv: (G, H*W*3//2) uint8; hdr_vals/lens: (G, MAX_HDR).
+    Returns (bytes (G, bucket*4), nbits (G,), recon triple of last frame).
+    """
+    from .device import encode_p_frame_core
+    H, W = ref_y.shape
+    ys = H * W
+    cs = ys // 4
+    mbh, mbw = H // 16, W // 16
+
+    def step(ref, xs):
+        row, hv, hl = xs
+        sy = row[:ys].reshape(H, W).astype(jnp.int32)
+        su = row[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
+        sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
+        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel)
+        v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
+        data, nbits = pack_slots(v, l, bucket_words)
+        new_ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        return new_ref, (data, nbits)
+
+    ref_fin, (datas, nbits) = jax.lax.scan(
+        step, (ref_y, ref_u, ref_v), (frames_yuv, hdr_vals, hdr_lens))
+    return datas, nbits, ref_fin[0], ref_fin[1], ref_fin[2]
+
+
 def encode_i_slots_fn(H: int, W: int):
     """Returns a jitted fused I-frame phase-1 program for a geometry."""
     from .device import encode_i_frame_core

@@ -94,6 +94,77 @@ class TpuEncoder:
     # waiting for the bit count; overflowing frames re-pack (rare)
     PIPELINE_BUCKET = 1 << 16
 
+    # ------------------------------------------------------------------
+    def encode_gop_batch(self, frames: list, qp: int | None = None) -> list[bytes]:
+        """Batched encoding of consecutive P frames: one device dispatch +
+        one host pull per batch (per-frame host latency amortized).  The
+        first frame of the stream (or at a keyint boundary) is encoded via
+        the per-frame path; the rest of the batch must be P frames.
+
+        frames: list of (y, u, v) tuples. Returns one AU per frame.
+        """
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        out_aus: list[bytes] = []
+        i = 0
+        if self.ref is None or (self.frame_idx % cfg.keyint) == 0:
+            out_aus.append(self.encode_frame(*frames[0], qp=qp))
+            i = 1
+        while i < len(frames):
+            n_left_in_gop = cfg.keyint - (self.frame_idx % cfg.keyint)
+            g = min(len(frames) - i, n_left_in_gop)
+            batch = frames[i:i + g]
+            out_aus.extend(self._encode_p_batch(batch, qp))
+            i += g
+            if i < len(frames):
+                out_aus.append(self.encode_frame(*frames[i], qp=qp))
+                i += 1
+        return out_aus
+
+    def _encode_p_batch(self, batch: list, qp: int | None) -> list[bytes]:
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        G = len(batch)
+        if qp is not None:
+            self.qp = int(min(max(qp, 0), 51))
+            self.qpc = int(tnp.chroma_qp(self.qp,
+                                         self.pps.chroma_qp_index_offset))
+        rows = np.stack([np.concatenate([
+            np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
+            for (y, u, v) in batch])
+        hvs = np.zeros((G, device_finalize.MAX_HDR), np.uint32)
+        hls = np.zeros((G, device_finalize.MAX_HDR), np.int32)
+        fnums = []
+        for k in range(G):
+            hw = self._slice_header_codes(SLICE_P, NAL_SLICE)
+            hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+            hvs[k] = hv.astype(np.uint32)
+            hls[k] = hl.astype(np.int32)
+            fnums.append(self.frame_num)
+            self.frame_idx += 1
+            self.frame_num = (self.frame_num + 1) % (
+                1 << (self.sps.log2_max_frame_num_minus4 + 4))
+        bucket = min(self.PIPELINE_BUCKET,
+                     (H * W * 3 // 2 + 4096) // 4)
+        datas, nbits, ry, ru, rv = device_finalize.encode_pgop_packed(
+            jnp.asarray(rows), *self.ref, self.qp, self.qpc,
+            jnp.asarray(hvs), jnp.asarray(hls),
+            cfg.search_range, cfg.subpel, bucket)
+        self.ref = (ry, ru, rv)
+        nb = np.asarray(nbits)
+        payload_bytes = np.asarray(datas)  # (G, bucket*4) one pull
+        aus = []
+        for k in range(G):
+            nbytes = (int(nb[k]) + 7) // 8
+            if nbytes > bucket * 4:
+                raise RuntimeError(
+                    f"batch pack overflow ({nbytes} B > bucket); use the "
+                    f"per-frame path for this content/QP")
+            aus.append(wrap_nal(3, NAL_SLICE, payload_bytes[k, :nbytes]))
+        return aus
+
     def _submit(self, y, u, v, qp) -> None:
         # runs slot phase + speculative pack asynchronously (no host sync:
         # the device stream stays busy across frames)
