@@ -66,10 +66,12 @@ class Frame:
     refs: np.ndarray | None = None
 
     def crop(self, w: int, h: int) -> "Frame":
-        return Frame(self.y[:h, :w], self.u[:h // 2, :w // 2],
-                     self.v[:h // 2, :w // 2], self.frame_num, self.poc,
-                     self.is_ref, self.is_idr, self.mb_types, self.qps,
-                     self.mvs, self.refs)
+        f = Frame(self.y[:h, :w], self.u[:h // 2, :w // 2],
+                  self.v[:h // 2, :w // 2], self.frame_num, self.poc,
+                  self.is_ref, self.is_idr, self.mb_types, self.qps,
+                  self.mvs, self.refs)
+        f.syntax = getattr(self, "syntax", None)
+        return f
 
 
 class H264Decoder:
@@ -156,6 +158,19 @@ class _SliceDecoder:
         self.blk_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
         self.is_idr = nal_type == NAL_SLICE_IDR
         self.nal_ref_idc = nal_ref_idc
+        # optional syntax collection for the device recon path (config 4):
+        # filled during parse when the slice is P16x16/skip-only
+        self.collect = {
+            "eligible": h.is_p() and h.disable_deblocking_filter_idc == 1
+                        and h.num_ref_idx_l0_active_minus1 == 0,
+            "levels": np.zeros((self.mbh * self.mbw, 16, 16), np.int32),
+            "dc_u": np.zeros((self.mbh * self.mbw, 2, 2), np.int32),
+            "dc_v": np.zeros((self.mbh * self.mbw, 2, 2), np.int32),
+            "ac_u": np.zeros((self.mbh * self.mbw, 4, 15), np.int32),
+            "ac_v": np.zeros((self.mbh * self.mbw, 4, 15), np.int32),
+            "cbp_luma": np.zeros(self.mbh * self.mbw, np.int32),
+            "cbp_chroma": np.zeros(self.mbh * self.mbw, np.int32),
+        }
         # reference list 0: default order = dpb most-recent-first
         self.ref_list0 = list(top.dpb[:h.num_ref_idx_l0_active_minus1 + 1]) \
             if (h.is_p()) else []
@@ -222,6 +237,7 @@ class _SliceDecoder:
                    is_idr=self.is_idr,
                    mb_types=self.mb_type.copy(), qps=self.qp_map.copy(),
                    mvs=self.mv.copy(), refs=self.ref.copy())
+        fr.syntax = self.collect if self.collect["eligible"] else None
         return fr
 
     # -------------------------------------------------------------- intra
@@ -303,6 +319,7 @@ class _SliceDecoder:
             if cbp_luma & (1 << (blk // 4)):
                 nc = self._nc_luma(gx, gy)
                 lv = decode_residual_block(r, nc, 16)
+                self.collect["levels"][my * self.mbw + mx, blk] = lv
                 self.tc_luma[gy, gx] = int(np.count_nonzero(lv))
                 blkc = tnp.zigzag_unscan(lv.reshape(1, 16))[0]
                 d = tnp.dequant4x4(blkc.reshape(1, 4, 4), qp)
@@ -347,6 +364,8 @@ class _SliceDecoder:
         if cbp_chroma:
             for c in range(2):
                 out["dc"][c] = decode_residual_block(r, -1, 4)
+                key = "dc_u" if c == 0 else "dc_v"
+                self.collect[key][my * self.mbw + mx] = out["dc"][c].reshape(2, 2)
         if cbp_chroma == 2:
             for c in range(2):
                 for sb in range(4):
@@ -355,6 +374,8 @@ class _SliceDecoder:
                     nc = self._nc_chroma(c, gx, gy)
                     lv = decode_residual_block(r, nc, 15)
                     out["ac"][c, sb] = lv
+                    self.collect["ac_u" if c == 0 else "ac_v"][
+                        my * self.mbw + mx, sb] = lv
                     self.tc_chroma[c, gy, gx] = int(np.count_nonzero(lv))
         else:
             for c in range(2):
@@ -479,6 +500,7 @@ class _SliceDecoder:
             if cbp_luma & (1 << (blk // 4)):
                 nc = self._nc_luma(gx, gy)
                 lv = decode_residual_block(r, nc, 16)
+                self.collect["levels"][my * self.mbw + mx, blk] = lv
                 self.tc_luma[gy, gx] = int(np.count_nonzero(lv))
                 blkc = tnp.zigzag_unscan(lv.reshape(1, 16))[0]
                 d = tnp.dequant4x4(blkc.reshape(1, 4, 4), qp)
@@ -501,6 +523,8 @@ class _SliceDecoder:
             self._decode_p_mb(r, mx, my, mb_type)
             return
         it = mb_type - intra_offset
+        if h.is_p():
+            self.collect["eligible"] = False
         if it == I_PCM:
             raise NotImplementedError("I_PCM")
         self.mb_type[my, mx] = it
@@ -596,6 +620,8 @@ class _SliceDecoder:
                 return 1 - r.u(1)  # te(v) with max 1
             return r.ue()
 
+        if mb_type != P_L0_16X16:
+            self.collect["eligible"] = False
         if mb_type == P_L0_16X16:
             ref = read_ref()
             pmv = self._mv_pred(mx, my, 0, 0, 4, 4, ref)
@@ -655,6 +681,8 @@ class _SliceDecoder:
         code = r.ue()
         cbp = int(CBP_FROM_CODE[code][1])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4
+        self.collect["cbp_luma"][my * self.mbw + mx] = cbp_luma
+        self.collect["cbp_chroma"][my * self.mbw + mx] = cbp_chroma
         if cbp != 0:
             self.qp += _parse_qp_delta(r)
         self.qp_map[my, mx] = self.qp
