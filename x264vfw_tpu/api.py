@@ -85,6 +85,9 @@ class CompressSession:
             search_range=min(p.merange, 16),
             deblock=False,
             fps_num=p.fps_num, fps_den=p.fps_den,
+            # --no-asm analogue (SURVEY §5): run the Pallas ME kernel in
+            # interpret mode instead of compiled Mosaic
+            me_backend="pallas_interpret" if p.no_asm else "auto",
         ))
         if output is not None:
             self.muxer = select_muxer(

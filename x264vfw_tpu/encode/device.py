@@ -121,8 +121,16 @@ def _halfpel_planes(ref_pad):
     return b, h, j
 
 
+def _resolve_me_backend(me_backend: str) -> str:
+    """'auto' -> Pallas SAD kernel on real TPU, XLA slice-scan elsewhere
+    (CPU tests exercise the kernel via interpret mode explicitly)."""
+    if me_backend == "auto":
+        return "pallas" if jax.default_backend() == "tpu" else "xla"
+    return me_backend
+
+
 def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
-                          subpel: bool = True):
+                          subpel: bool = True, me_backend: str = "auto"):
     """Full-search integer-pel SAD ME (+ half-pel refine) + MC, slice-
     formulated for TPU.
 
@@ -149,66 +157,102 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     offs = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                   indexing="ij"), -1).reshape(-1, 2)  # dy,dx in [0,K)
 
-    def sad_at(off):
-        cand = jax.lax.dynamic_slice(
-            ref_pad, (PAD - rng + off[0], PAD - rng + off[1]), (H, W))
-        d = jnp.abs(src16 - cand).astype(jnp.int32)
-        return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
+    backend = _resolve_me_backend(me_backend)
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.sad import sad_search
+        sads = sad_search(src16, ref_pad[8:-8, 8:-8], rng,
+                          interpret=(backend == "pallas_interpret"))
+    else:
+        def sad_at(off):
+            cand = jax.lax.dynamic_slice(
+                ref_pad, (PAD - rng + off[0], PAD - rng + off[1]), (H, W))
+            d = jnp.abs(src16 - cand).astype(jnp.int32)
+            return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
 
-    sads = jax.lax.map(sad_at, offs)                      # (K*K, mbh, mbw)
+        sads = jax.lax.map(sad_at, offs)                  # (K*K, mbh, mbw)
     cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
     best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)  # (mbh,mbw)
     dyb = best // K - rng
     dxb = best % K - rng
     mv_int = jnp.stack([dxb, dyb], axis=-1).astype(jnp.int32)  # (mbh,mbw,[x,y])
 
-    # ---- single-stage alignment of the needed planes (margin 1) ----
-    m = 1
-    size = (H + 2 * m, W + 2 * m)
-    bestm = jnp.pad(jnp.repeat(jnp.repeat(best, 16, 0), 16, 1), m, mode="edge")
-
+    # ---- horizontal-then-vertical masked alignment: O(K) full-band passes
+    # instead of O(K^2).  The horizontal pass mixes COLUMNS of raw plane
+    # data, so per-MB column shifts are exact everywhere; the vertical pass
+    # then shifts ROWS within each (already correct) column.  Rows that
+    # several MB rows read with different shifts are disambiguated by
+    # expanding the reference into overlapping per-MB-row bands. ----
     if subpel:
         hb, hh, hj = _halfpel_planes(ref_pad)
         planes = (ref_pad, hb, hh, hj)
     else:
         planes = (ref_pad,)
 
-    def align_body(carry, k):
-        oy = offs[k, 0]
-        ox = offs[k, 1]
-        sel = bestm == k
-        out = []
-        for acc, pl_ in zip(carry, planes):
-            cand = jax.lax.dynamic_slice(
-                pl_, (PAD - rng - m + oy, PAD - rng - m + ox), size)
-            out.append(acc + jnp.where(sel, cand, 0))
-        return tuple(out), None
+    Mg = rng + 1                    # margin beyond the MB on each axis
+    bh = 16 + 2 * Mg                # band height
+    Wb = W + 2 * Mg
 
-    init = tuple(jnp.zeros(size, jnp.int16) for _ in planes)
-    aligned, _ = jax.lax.scan(align_body, init, jnp.arange(K * K))
+    def to_bands(pl_):
+        return jnp.stack([
+            jax.lax.dynamic_slice(pl_, (PAD - Mg + 16 * i, PAD - Mg), (bh, Wb))
+            for i in range(mbh)])   # (mbh, bh, Wb)
+
+    bands = tuple(to_bands(p) for p in planes)
+    oxc = jnp.repeat(dxb, 16, axis=1)[:, None, :]     # (mbh, 1, W)
+    oyc = jnp.repeat(dyb, 16, axis=1)[:, None, :]
+    shifts = jnp.arange(K, dtype=jnp.int32) - rng
 
     if subpel:
+        # -- alignment at the integer best (refine-decision inputs) --
+        def h_step(carry, s):
+            out = []
+            for acc, b in zip(carry, bands):
+                sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (mbh, bh, W))
+                out.append(acc + jnp.where(oxc == s, sl, 0))
+            return tuple(out), None
+
+        Ah, _ = jax.lax.scan(
+            h_step, tuple(jnp.zeros((mbh, bh, W), jnp.int16) for _ in bands),
+            shifts)
+
+        def v_step(carry, s):
+            out = []
+            for acc, a in zip(carry, Ah):
+                sl = jax.lax.dynamic_slice(a, (0, Mg + s - 1, 0),
+                                           (mbh, 18, W))
+                out.append(acc + jnp.where(oyc == s, sl, 0))
+            return tuple(out), None
+
+        aligned, _ = jax.lax.scan(
+            v_step, tuple(jnp.zeros((mbh, 18, W), jnp.int16) for _ in bands),
+            shifts)                  # 4 x (mbh, 18, W), row 0 = MB row -1
         aI, aB, aH, aJ = aligned
 
-        def cand_plane(ex, ey):
-            if ex == 0 and ey == 0:
-                pl_, ox, oy = aI, 0, 0
-            elif ey == 0:
-                pl_, ox, oy = aB, (ex - 1) // 2, 0   # ex=1 -> 0, ex=-1 -> -1
-            elif ex == 0:
-                pl_, ox, oy = aH, 0, (ey - 1) // 2
-            else:
-                pl_, ox, oy = aJ, (ex - 1) // 2, (ey - 1) // 2
-            return jax.lax.dynamic_slice(pl_, (m + oy, m + ox), (H, W))
-
+        # variant table: candidate (ex, ey) reads plane pm at (+dy, +dx)
         deltas = [(ex, ey) for ey in (-1, 0, 1) for ex in (-1, 0, 1)]
-        # SAD refine on the margin-composed candidates: values within 1 px of
-        # an MB border belong to the neighbour's alignment, so these SADs are
-        # approximate there — an encoder-side decision heuristic only (the MC
-        # below is exact for whatever delta wins).
-        cands = [cand_plane(ex, ey) for ex, ey in deltas]
+        var = []
+        for ex, ey in deltas:
+            if ex == 0 and ey == 0:
+                var.append((0, 0, 0))
+            elif ey == 0:
+                var.append((1, (ex - 1) // 2, 0))   # ex=1 -> 0, ex=-1 -> -1
+            elif ex == 0:
+                var.append((2, 0, (ey - 1) // 2))
+            else:
+                var.append((3, (ex - 1) // 2, (ey - 1) // 2))
+
+        # refine SADs: static +-1 shifts of the aligned planes (values within
+        # 1 px of an MB border come from the neighbour's alignment, so these
+        # SADs are approximate there — a decision heuristic only; the MC
+        # below is exact for whatever variant wins)
+        src_r = src16.reshape(mbh, 16, W)
+        amap = (aI, aB, aH, aJ)
+        cands = []
+        for pm_, dx_, dy_ in var:
+            ap = jnp.pad(amap[pm_], ((0, 0), (0, 0), (1, 1)), mode="edge")
+            cands.append(ap[:, 1 + dy_:17 + dy_, 1 + dx_:1 + dx_ + W])
         hsads = jnp.stack([
-            jnp.abs(src16 - c).astype(jnp.int32)
+            jnp.abs(src_r - c).astype(jnp.int32)
             .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
             for c in cands])                              # (9, mbh, mbw)
         hcost = jnp.asarray([4 * (abs(ex) + abs(ey)) for ex, ey in deltas])
@@ -217,41 +261,38 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         eys = jnp.asarray([d[1] for d in deltas])[hbest]
         mv_q = mv_int * 4 + 2 * jnp.stack([exs, eys], axis=-1)
 
-        # ---- exact MC: per integer offset, select the chosen half-pel
-        # variant from sub-views of (H+1, W+1) slices (no cross-MB reads) ----
-        maskh = jnp.repeat(jnp.repeat(hbest, 16, 0), 16, 1)    # (H, W)
-        best16 = jnp.repeat(jnp.repeat(best, 16, 0), 16, 1)
-
-        def mc_body(acc, k):
-            oy = offs[k, 0]
-            ox = offs[k, 1]
-            base_y = PAD - rng + oy
-            base_x = PAD - rng + ox
-            sI = jax.lax.dynamic_slice(ref_pad, (base_y, base_x), (H, W))
-            sB = jax.lax.dynamic_slice(hb, (base_y, base_x - 1), (H, W + 1))
-            sH = jax.lax.dynamic_slice(hh, (base_y - 1, base_x), (H + 1, W))
-            sJ = jax.lax.dynamic_slice(hj, (base_y - 1, base_x - 1),
-                                       (H + 1, W + 1))
-            val = jnp.zeros((H, W), jnp.int16)
-            for di, (ex, ey) in enumerate(deltas):
-                if ex == 0 and ey == 0:
-                    c = sI
-                elif ey == 0:
-                    c = sB[:, 1 + (ex - 1) // 2: 1 + (ex - 1) // 2 + W]
-                elif ex == 0:
-                    c = sH[1 + (ey - 1) // 2: 1 + (ey - 1) // 2 + H, :]
-                else:
-                    c = sJ[1 + (ey - 1) // 2: 1 + (ey - 1) // 2 + H,
-                           1 + (ex - 1) // 2: 1 + (ex - 1) // 2 + W]
-                val = val + jnp.where(maskh == di, c, 0)
-            return acc + jnp.where(best16 == k, val, 0), None
-
-        pred_y, _ = jax.lax.scan(mc_body, jnp.zeros((H, W), jnp.int16),
-                                 jnp.arange(K * K))
-        pred_y = pred_y.astype(jnp.int32)
+        pm = jnp.asarray([v[0] for v in var])[hbest]      # (mbh, mbw)
+        oxt = dxb + jnp.asarray([v[1] for v in var])[hbest]
+        oyt = dyb + jnp.asarray([v[2] for v in var])[hbest]
     else:
         mv_q = mv_int * 4
-        pred_y = jax.lax.dynamic_slice(aligned[0], (m, m), (H, W)).astype(jnp.int32)
+        pm = jnp.zeros((mbh, mbw), jnp.int32)
+        oxt, oyt = dxb, dyb
+
+    # -- exact MC: fold the winning variant's plane + (dx, dy) into one more
+    # h-then-v alignment with shifts in [-rng-1, rng] --
+    pmc = jnp.repeat(pm, 16, axis=1)[:, None, :]
+    oxtc = jnp.repeat(oxt, 16, axis=1)[:, None, :]
+    oytc = jnp.repeat(oyt, 16, axis=1)[:, None, :]
+    shifts2 = jnp.arange(K + 1, dtype=jnp.int32) - rng - 1
+    hA = 16 + 2 * rng + 1           # rows [-rng-1, rng+16) rel. MB start
+
+    def h2_step(acc, s):
+        for p, b in enumerate(bands):
+            sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (mbh, hA, W))
+            acc = acc + jnp.where((oxtc == s) & (pmc == p), sl, 0)
+        return acc, None
+
+    Ah2, _ = jax.lax.scan(h2_step, jnp.zeros((mbh, hA, W), jnp.int16),
+                          shifts2)
+
+    def v2_step(acc, s):
+        sl = jax.lax.dynamic_slice(Ah2, (0, rng + 1 + s, 0), (mbh, 16, W))
+        return acc + jnp.where(oytc == s, sl, 0), None
+
+    pred_r, _ = jax.lax.scan(v2_step, jnp.zeros((mbh, 16, W), jnp.int16),
+                             shifts2)
+    pred_y = pred_r.reshape(H, W).astype(jnp.int32)
 
     # ---- chroma MC from the final quarter-pel MV (single-stage) ----
     # integer chroma offset ci = mv_q >> 3, eighth-pel fraction f = mv_q & 7
@@ -263,42 +304,60 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     ref_pad_u = jnp.pad(ref_u, cpad, mode="edge").astype(jnp.int16)
     ref_pad_v = jnp.pad(ref_v, cpad, mode="edge").astype(jnp.int16)
 
-    def exp_c(field):
-        return jnp.repeat(jnp.repeat(field, 8, 0), 8, 1)  # (H/2, W/2)
-
-    cix = exp_c(ci[..., 0])
-    ciy = exp_c(ci[..., 1])
-    fx = exp_c(f[..., 0])
-    fy = exp_c(f[..., 1])
-    csize = (H // 2, W // 2)
-
+    # h-then-v alignment again (see luma): horizontal pass keeps BOTH columns
+    # of the bilinear (cix, cix+1) as two accumulators, vertical pass fuses
+    # the row pair (ciy, ciy+1) with the bilinear blend — 2(nc+?) band passes
+    # instead of nc^2 full-plane passes.
     nc = chi - clo + 1
-    coffs = jnp.stack(jnp.meshgrid(jnp.arange(nc), jnp.arange(nc),
-                                   indexing="ij"), -1).reshape(-1, 2)
+    Wc = W // 2
+    bhc = nc + 8                 # rows [clo, chi + 9) rel. chroma-MB start
+    Wbc = Wc + nc + 1
 
-    def chroma_body(carry, k):
-        oy = coffs[k, 0] + clo
-        ox = coffs[k, 1] + clo
-        sel = (ciy == oy) & (cix == ox)
-        acc_u, acc_v = carry
+    def to_cbands(pl_):
+        return jnp.stack([
+            jax.lax.dynamic_slice(pl_, (cpad + 8 * i + clo, cpad + clo),
+                                  (bhc, Wbc))
+            for i in range(mbh)])  # (mbh, bhc, Wbc)
 
-        def bil(rp):
-            A = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox), csize).astype(jnp.int32)
-            B = jax.lax.dynamic_slice(rp, (cpad + oy, cpad + ox + 1), csize).astype(jnp.int32)
-            C = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox), csize).astype(jnp.int32)
-            D = jax.lax.dynamic_slice(rp, (cpad + oy + 1, cpad + ox + 1), csize).astype(jnp.int32)
-            return ((8 - fx) * (8 - fy) * A + fx * (8 - fy) * B
-                    + (8 - fx) * fy * C + fx * fy * D + 32) >> 6
+    cb_u = to_cbands(ref_pad_u)
+    cb_v = to_cbands(ref_pad_v)
+    cixc = jnp.repeat(ci[..., 0], 8, axis=1)[:, None, :]   # (mbh, 1, Wc)
+    ciyc = jnp.repeat(ci[..., 1], 8, axis=1)[:, None, :]
+    fxc = jnp.repeat(f[..., 0], 8, axis=1)[:, None, :].astype(jnp.int32)
+    fyc = jnp.repeat(f[..., 1], 8, axis=1)[:, None, :].astype(jnp.int32)
+    cshifts = jnp.arange(nc, dtype=jnp.int32) + clo
 
-        acc_u = acc_u + jnp.where(sel, bil(ref_pad_u), 0)
-        acc_v = acc_v + jnp.where(sel, bil(ref_pad_v), 0)
-        return (acc_u, acc_v), None
+    def ch_step(carry, s):
+        Au, Bu, Av_, Bv_ = carry
+        m_ = cixc == s
+        sl_u0 = jax.lax.dynamic_slice(cb_u, (0, 0, s - clo), (mbh, bhc, Wc))
+        sl_u1 = jax.lax.dynamic_slice(cb_u, (0, 0, s - clo + 1), (mbh, bhc, Wc))
+        sl_v0 = jax.lax.dynamic_slice(cb_v, (0, 0, s - clo), (mbh, bhc, Wc))
+        sl_v1 = jax.lax.dynamic_slice(cb_v, (0, 0, s - clo + 1), (mbh, bhc, Wc))
+        return (Au + jnp.where(m_, sl_u0, 0), Bu + jnp.where(m_, sl_u1, 0),
+                Av_ + jnp.where(m_, sl_v0, 0), Bv_ + jnp.where(m_, sl_v1, 0)), None
 
-    (pred_u, pred_v), _ = jax.lax.scan(
-        chroma_body,
-        (jnp.zeros(csize, jnp.int32), jnp.zeros(csize, jnp.int32)),
-        jnp.arange(nc * nc))
-    return mv_q, pred_y, pred_u, pred_v
+    zc = jnp.zeros((mbh, bhc, Wc), jnp.int16)
+    (Au, Bu, Av_, Bv_), _ = jax.lax.scan(ch_step, (zc, zc, zc, zc), cshifts)
+
+    def cv_step(carry, s):
+        pu, pv = carry
+        m_ = ciyc == s
+
+        def bil(A_, B_):
+            a0 = jax.lax.dynamic_slice(A_, (0, s - clo, 0), (mbh, 8, Wc)).astype(jnp.int32)
+            b0 = jax.lax.dynamic_slice(B_, (0, s - clo, 0), (mbh, 8, Wc)).astype(jnp.int32)
+            a1 = jax.lax.dynamic_slice(A_, (0, s - clo + 1, 0), (mbh, 8, Wc)).astype(jnp.int32)
+            b1 = jax.lax.dynamic_slice(B_, (0, s - clo + 1, 0), (mbh, 8, Wc)).astype(jnp.int32)
+            return ((8 - fxc) * (8 - fyc) * a0 + fxc * (8 - fyc) * b0
+                    + (8 - fxc) * fyc * a1 + fxc * fyc * b1 + 32) >> 6
+
+        return (pu + jnp.where(m_, bil(Au, Bu), 0),
+                pv + jnp.where(m_, bil(Av_, Bv_), 0)), None
+
+    zp = jnp.zeros((mbh, 8, Wc), jnp.int32)
+    (pu_r, pv_r), _ = jax.lax.scan(cv_step, (zp, zp), cshifts)
+    return mv_q, pred_y, pu_r.reshape(H // 2, Wc), pv_r.reshape(H // 2, Wc)
 
 
 def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
@@ -353,7 +412,7 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
 
 
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
-                        rng=8, subpel=True):
+                        rng=8, subpel=True, me_backend="auto"):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock)."""
     H, W = src_y.shape
@@ -362,7 +421,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     src_mbs = mbize(src_y)
 
     mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
-        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel)
+        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
+        me_backend=me_backend)
     mv_q = mv_q4.reshape(n, 2)
 
     pred = mbize(pred_y_pl)
@@ -558,5 +618,5 @@ def _dc_only_residual(dc_zz, qp, n):
     return blocks_to_mb(res)
 
 
-encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel"))(encode_p_frame_core)
+encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_p_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

@@ -109,9 +109,9 @@ def p16_mv_pred(mv):
     return pmv, (pmv_skip == 0).all(-1)
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel"))
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
-                   rng, subpel=True):
+                   rng, subpel=True, me_backend="auto"):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes).
     Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
@@ -124,7 +124,7 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
-                              rng, subpel)
+                              rng, subpel, me_backend)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
 
@@ -134,9 +134,11 @@ def pack_phase(vals, lens, cap_words):
     return pack_slots(vals, lens, cap_words)
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words"))
+@partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words",
+                                   "me_backend"))
 def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
-                       hdr_vals, hdr_lens, rng, subpel, bucket_words):
+                       hdr_vals, hdr_lens, rng, subpel, bucket_words,
+                       me_backend="auto"):
     """Batched P-frame encoding: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes,
@@ -159,7 +161,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
         sy = row[:ys].reshape(H, W).astype(jnp.int32)
         su = row[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
-        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel)
+        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
+                                  me_backend)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
         new_ref = (out["recon_y"], out["recon_u"], out["recon_v"])

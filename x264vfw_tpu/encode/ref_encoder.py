@@ -46,6 +46,10 @@ class EncoderConfig:
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1
+    # motion-search SAD backend: "auto" (Pallas kernel on TPU, XLA scan
+    # elsewhere), "pallas", "pallas_interpret" (--no-asm analogue on TPU),
+    # or "xla"
+    me_backend: str = "auto"
 
 
 class RefEncoder:

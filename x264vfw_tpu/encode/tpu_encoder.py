@@ -151,7 +151,7 @@ class TpuEncoder:
         datas, nbits, ry, ru, rv = device_finalize.encode_pgop_packed(
             jnp.asarray(rows), *self.ref, self.qp, self.qpc,
             jnp.asarray(hvs), jnp.asarray(hls),
-            cfg.search_range, cfg.subpel, bucket)
+            cfg.search_range, cfg.subpel, bucket, cfg.me_backend)
         self.ref = (ry, ru, rv)
         nb = np.asarray(nbits)
         payload_bytes = np.asarray(datas)  # (G, bucket*4) one pull
@@ -223,7 +223,7 @@ class TpuEncoder:
                 src_d, *self.ref, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
                 jnp.asarray(hl.astype(np.int32)),
-                cfg.search_range, cfg.subpel)
+                cfg.search_range, cfg.subpel, cfg.me_backend)
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
@@ -278,7 +278,8 @@ class TpuEncoder:
                 nal_type = NAL_SLICE_IDR
             else:
                 out = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
-                                     rng=cfg.search_range, subpel=cfg.subpel)
+                                     rng=cfg.search_range, subpel=cfg.subpel,
+                                     me_backend=cfg.me_backend)
                 payload = self._finalize_p(out)
                 nal_type = NAL_SLICE
             self.ref = (out["recon_y"], out["recon_u"], out["recon_v"])
@@ -308,7 +309,7 @@ class TpuEncoder:
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
-                    cfg.search_range, cfg.subpel)
+                    cfg.search_range, cfg.subpel, cfg.me_backend)
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
             nb = int(nbits)
