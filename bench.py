@@ -41,15 +41,17 @@ def main():
     from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
 
     W, H = 1920, 1080
-    n_frames = 24
+    n_frames = 48
     frames = make_clip(W, H, 4)
+    G = 12  # frames per device dispatch (batch mode amortizes host latency)
 
     enc = TpuEncoder(EncoderConfig(width=W, height=H, qp=26, keyint=250,
                                    search_range=8))
-    # warmup: compiles the I pipeline, the batched P pipeline and buckets
-    enc.encode_gop_batch([frames[i % len(frames)] for i in range(9)])
+    # warmup: compile the I pipeline and the batched P pipeline at the exact
+    # timed shapes (incl. the adapted pack bucket)
+    enc.encode_gop_batch([frames[i % len(frames)] for i in range(G + 1)])
+    enc.encode_gop_batch([frames[i % len(frames)] for i in range(G)])
 
-    G = 8  # frames per device dispatch (batch mode amortizes host latency)
     t0 = time.perf_counter()
     total_bytes = 0
     for i in range(0, n_frames, G):

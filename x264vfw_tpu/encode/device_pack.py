@@ -41,20 +41,22 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     vb = (vals >> (31 - r).astype(jnp.uint32)) >> 1
     ib = jnp.maximum(w_hi - 1, 0)
 
-    def seg_words(idx, v):
-        """Sorted-index segment sum into cap_words words (uint32 wrap).
+    # Sorted-index segment sums into cap_words words (uint32 wrap): word w's
+    # value = csum[last slot with idx <= w]; bit-disjointness makes
+    # wrapping-sum == OR.  One searchsorted serves BOTH the w_hi sum and the
+    # (w_hi - 1) spill sum: the spill's boundary at word w is the w_hi
+    # boundary at w + 1, so evaluate pos over [0, cap] once and slice.
+    csum_a = jnp.cumsum(va, dtype=jnp.uint32)
+    csum_b = jnp.cumsum(vb, dtype=jnp.uint32)
+    pos = jnp.searchsorted(w_hi, jnp.arange(cap_words + 1, dtype=w_hi.dtype),
+                           side="right")
 
-        Word w's value = csum[last slot with idx <= w] and bit-disjointness
-        makes wrapping-sum == OR; searchsorted on the (already sorted) slot
-        indices avoids any scatter."""
-        csum = jnp.cumsum(v, dtype=jnp.uint32)
-        pos = jnp.searchsorted(idx, jnp.arange(cap_words, dtype=idx.dtype),
-                               side="right")
-        S = jnp.where(pos > 0, csum[jnp.maximum(pos - 1, 0)], 0).astype(jnp.uint32)
+    def at(csum, p):
+        S = jnp.where(p > 0, csum[jnp.maximum(p - 1, 0)], 0).astype(jnp.uint32)
         prev = jnp.concatenate([jnp.zeros((1,), jnp.uint32), S[:-1]])
         return S - prev
 
-    words = seg_words(w_hi, va) + seg_words(ib, vb)
+    words = at(csum_a, pos[:cap_words]) + at(csum_b, pos[1:])
     # to MSB-first bytes
     b0 = (words >> 24).astype(jnp.uint8)
     b1 = ((words >> 16) & 0xFF).astype(jnp.uint8)

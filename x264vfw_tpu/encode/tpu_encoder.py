@@ -146,22 +146,33 @@ class TpuEncoder:
             self.frame_idx += 1
             self.frame_num = (self.frame_num + 1) % (
                 1 << (self.sps.log2_max_frame_num_minus4 + 4))
-        bucket = min(self.PIPELINE_BUCKET,
-                     (H * W * 3 // 2 + 4096) // 4)
-        datas, nbits, ry, ru, rv = device_finalize.encode_pgop_packed(
-            jnp.asarray(rows), *self.ref, self.qp, self.qpc,
-            jnp.asarray(hvs), jnp.asarray(hls),
-            cfg.search_range, cfg.subpel, bucket, cfg.me_backend)
+        cap_words = (H * W * 3 // 2 + 4096) // 4
+        # adaptive pack bucket: pack cost (and the per-batch device->host
+        # pull) scales with capacity, so start small and retry the whole
+        # batch with the next power-of-two on the rare overflow (the ref is
+        # only committed after a successful pack)
+        bucket = min(getattr(self, "_bucket_words", 1 << 13), cap_words)
+        old_ref = self.ref
+        while True:
+            datas, nbits, ry, ru, rv = device_finalize.encode_pgop_packed(
+                jnp.asarray(rows), *old_ref, self.qp, self.qpc,
+                jnp.asarray(hvs), jnp.asarray(hls),
+                cfg.search_range, cfg.subpel, bucket, cfg.me_backend)
+            nb = np.asarray(nbits)
+            need_words = (int(nb.max()) + 31) // 32 + 2
+            if need_words <= bucket or bucket >= cap_words:
+                break
+            bucket = min(1 << need_words.bit_length(), cap_words)
+        self._bucket_words = bucket
         self.ref = (ry, ru, rv)
-        nb = np.asarray(nbits)
         payload_bytes = np.asarray(datas)  # (G, bucket*4) one pull
         aus = []
         for k in range(G):
             nbytes = (int(nb[k]) + 7) // 8
             if nbytes > bucket * 4:
                 raise RuntimeError(
-                    f"batch pack overflow ({nbytes} B > bucket); use the "
-                    f"per-frame path for this content/QP")
+                    f"batch pack overflow ({nbytes} B > {bucket * 4}); "
+                    f"frame exceeds worst-case capacity")
             aus.append(wrap_nal(3, NAL_SLICE, payload_bytes[k, :nbytes]))
         return aus
 
@@ -172,7 +183,11 @@ class TpuEncoder:
         sv_, sl_, nbits, nal_type, is_idr = self._encode_slots_async(y, u, v, qp)
         H, W = self.mbh * 16, self.mbw * 16
         cap_words = (H * W * 3 // 2 + 4096) // 4
-        bucket = min(self.PIPELINE_BUCKET, cap_words)
+        # adaptive speculative capacity (pack cost scales with it), tracked
+        # separately per frame type (I frames are several times larger than
+        # P frames); _emit re-packs on overflow and bumps the estimate
+        est = getattr(self, "_bucket_est", {})
+        bucket = min(est.get(is_idr, 1 << 13), cap_words)
         data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
         self._pending = (data, nbits2, sv_, sl_, nal_type, is_idr, cap_words,
                          bucket)
@@ -185,6 +200,8 @@ class TpuEncoder:
             need = (nb + 31) // 32 + 8
             big = min(1 << (need - 1).bit_length(), cap_words)
             data, nbits = device_finalize.pack_phase(sv_, sl_, big)
+            self._bucket_est = {**getattr(self, "_bucket_est", {}),
+                                is_idr: big}
         payload = self._pull_payload(data, nbits)
         bs = b""
         if is_idr:
