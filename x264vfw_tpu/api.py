@@ -83,7 +83,8 @@ class CompressSession:
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
             search_range=min(p.merange, 16),
-            deblock=False,
+            deblock=p.deblock,
+            deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,
             # --no-asm analogue (SURVEY §5): run the Pallas ME kernel in
             # interpret mode instead of compiled Mosaic

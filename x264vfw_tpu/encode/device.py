@@ -618,5 +618,41 @@ def _dc_only_residual(dc_zz, qp, n):
     return blocks_to_mb(res)
 
 
+def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
+                      offA: int = 0, offB: int = 0, qpc_offset: int = 0,
+                      interpret: bool | None = None):
+    """In-loop deblock of the recon planes in `out` (device, exact §8.7).
+
+    Derives the bs metadata from the encoder's own syntax tensors: per-4x4
+    total_coeff (cbp-masked levels), per-MB mv broadcast to 4x4 blocks,
+    all-intra / all-inter frame maps, constant QP.  offA/offB are the full
+    (2 * div2) slice offsets.  Returns filtered (y, u, v)."""
+    from ..ops.deblock import build_maps
+    from ..ops.pallas.deblock import deblock_apply
+    n = mbh * mbw
+    if intra:
+        tc4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+        mv4 = jnp.zeros((4 * mbh, 4 * mbw, 2), jnp.int32)
+        intra_map = jnp.ones((mbh, mbw), bool)
+    else:
+        quad = ((out["cbp_luma"][:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
+        lv = jnp.where(quad[:, :, None], out["levels"], 0)
+        tc_blk = (lv != 0).sum(-1)                       # (n, 16) block order
+        gy = (jnp.arange(n) // mbw * 4)[:, None] + BLK_Y[None, :]
+        gx = (jnp.arange(n) % mbw * 4)[:, None] + BLK_X[None, :]
+        tc4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32).at[gy, gx].set(tc_blk)
+        mv = out["mv"].reshape(mbh, mbw, 2)
+        mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
+        intra_map = jnp.zeros((mbh, mbw), bool)
+    ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+    qp_map = jnp.full((mbh, mbw), qp, jnp.int32)
+    maps = build_maps(intra_map, tc4, mv4, ref4, qp_map, offA, offB,
+                      qpc_offset)
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+    return deblock_apply(out["recon_y"], out["recon_u"], out["recon_v"],
+                         *maps, interpret=interpret)
+
+
 encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_p_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

@@ -109,9 +109,11 @@ def p16_mv_pred(mv):
     return pmv, (pmv_skip == 0).all(-1)
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
+                                   "deblock", "dbA", "dbB"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
-                   rng, subpel=True, me_backend="auto"):
+                   rng, subpel=True, me_backend="auto", deblock=False,
+                   dbA=0, dbB=0):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes).
     Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
@@ -126,7 +128,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
                               rng, subpel, me_backend)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
-    return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
+    recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
+    return v, l, l.sum(), *recon
 
 
 @partial(jax.jit, static_argnames=("cap_words",))
@@ -135,10 +138,10 @@ def pack_phase(vals, lens, cap_words):
 
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words",
-                                   "me_backend"))
+                                   "me_backend", "deblock", "dbA", "dbB"))
 def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                        hdr_vals, hdr_lens, rng, subpel, bucket_words,
-                       me_backend="auto"):
+                       me_backend="auto", deblock=False, dbA=0, dbB=0):
     """Batched P-frame encoding: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes,
@@ -165,7 +168,7 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                                   me_backend)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
-        new_ref = (out["recon_y"], out["recon_u"], out["recon_v"])
+        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB)
         return new_ref, (data, nbits)
 
     ref_fin, (datas, nbits) = jax.lax.scan(
@@ -173,7 +176,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
     return datas, nbits, ref_fin[0], ref_fin[1], ref_fin[2]
 
 
-def encode_i_slots_fn(H: int, W: int):
+def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
+                      dbA: int = 0, dbB: int = 0):
     """Returns a jitted fused I-frame phase-1 program for a geometry."""
     from .device import encode_i_frame_core
 
@@ -186,9 +190,19 @@ def encode_i_slots_fn(H: int, W: int):
         sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_i_frame_core(sy, su, sv, qp, qpc)
         v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
-        return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
+        recon = _maybe_deblock(out, qp, H // 16, W // 16, True, deblock,
+                               dbA, dbB)
+        return v, l, l.sum(), *recon
 
     return fn
+
+
+def _maybe_deblock(out, qp, mbh, mbw, intra, deblock, dbA, dbB):
+    if not deblock:
+        return out["recon_y"], out["recon_u"], out["recon_v"]
+    from .device import apply_loop_filter
+    return apply_loop_filter(out, qp, mbh, mbw, intra,
+                             offA=2 * dbA, offB=2 * dbB)
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))

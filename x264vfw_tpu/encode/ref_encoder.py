@@ -40,6 +40,8 @@ class EncoderConfig:
     qp: int = 26
     keyint: int = 25
     deblock: bool = False
+    deblock_alpha: int = 0   # slice_alpha_c0_offset_div2
+    deblock_beta: int = 0    # slice_beta_offset_div2
     num_ref_frames: int = 1
     search_range: int = 8
     subpel: bool = True

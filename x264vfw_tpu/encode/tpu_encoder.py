@@ -157,7 +157,8 @@ class TpuEncoder:
             datas, nbits, ry, ru, rv = device_finalize.encode_pgop_packed(
                 jnp.asarray(rows), *old_ref, self.qp, self.qpc,
                 jnp.asarray(hvs), jnp.asarray(hls),
-                cfg.search_range, cfg.subpel, bucket, cfg.me_backend)
+                cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
+                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
             nb = np.asarray(nbits)
             need_words = (int(nb.max()) + 31) // 32 + 2
             if need_words <= bucket or bucket >= cap_words:
@@ -227,7 +228,8 @@ class TpuEncoder:
             hw = self._slice_header_codes(SLICE_I, nal_type)
             hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
             if self._i_full is None:
-                self._i_full = device_finalize.encode_i_slots_fn(H, W)
+                self._i_full = device_finalize.encode_i_slots_fn(
+                    H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
             sv_, sl_, nbits, ry, ru, rv = self._i_full(
                 src_d, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
@@ -240,7 +242,8 @@ class TpuEncoder:
                 src_d, *self.ref, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
                 jnp.asarray(hl.astype(np.int32)),
-                cfg.search_range, cfg.subpel, cfg.me_backend)
+                cfg.search_range, cfg.subpel, cfg.me_backend,
+                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
@@ -284,6 +287,7 @@ class TpuEncoder:
         cap_words = (H * W * 3 // 2 + 4096) // 4
 
         if self.host_entropy:
+            assert not cfg.deblock, "host_entropy debug path has no deblock"
             # reference/debug path: separate device encode + numpy finalize
             sy = jnp.asarray(_pad(y, H, W), jnp.int32)
             su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
@@ -313,7 +317,8 @@ class TpuEncoder:
                 hw = self._slice_header_codes(SLICE_I, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
                 if self._i_full is None:
-                    self._i_full = device_finalize.encode_i_slots_fn(H, W)
+                    self._i_full = device_finalize.encode_i_slots_fn(
+                        H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
                 sv_, sl_, nbits, ry, ru, rv = self._i_full(
                     src_d, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
@@ -326,7 +331,8 @@ class TpuEncoder:
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
-                    cfg.search_range, cfg.subpel, cfg.me_backend)
+                    cfg.search_range, cfg.subpel, cfg.me_backend,
+                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
             nb = int(nbits)
@@ -353,7 +359,9 @@ class TpuEncoder:
                         frame_num=self.frame_num,
                         idr_pic_id=self.idr_id,
                         slice_qp_delta=0,
-                        disable_deblocking_filter_idc=1)
+                        disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
+                        slice_alpha_c0_offset_div2=self.cfg.deblock_alpha,
+                        slice_beta_offset_div2=self.cfg.deblock_beta)
         h.write(w, self.sps, self.pps, nal_type, 3)
         return w
 
