@@ -1,0 +1,587 @@
+"""CABAC slice coding: binarization + context modeling (§9.3.2/9.3.3).
+
+Covers the syntax our encoder emits: P slices of P_Skip / P_L0_16x16
+macroblocks and I slices of I_16x16 macroblocks, 4:2:0, one reference,
+constant QP (mb_qp_delta == 0).
+
+Design: every syntax routine is written ONCE against a bin-IO abstraction
+(`_Writer` / `_Reader`) and therefore serves both the encoder and the
+decoder — the two directions are symmetric by construction, so the decoder
+(validated against stock libavcodec on real x264 CABAC streams) proves the
+encoder's context modeling.
+
+Capability replaced: libx264's CABAC entropy coder and the FFmpeg decoder's
+CABAC parse (SURVEY §2c); host finalization stage fed by TPU syntax tensors
+per the SURVEY §7 north star.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .cabac import CabacDecoder, CabacEncoder, init_contexts
+
+# ctxBlockCat offsets
+CBF_OFF = {0: 0, 1: 4, 2: 8, 3: 12, 4: 16}       # + 85
+SIG_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}     # + 105 / + 166
+ABS_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}     # + 227
+
+# luma 4x4 block coding order -> raster (bx, by) within MB
+BLK_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+
+class _Writer:
+    def __init__(self, enc: CabacEncoder):
+        self.enc = enc
+
+    def decision(self, ctx, val):
+        self.enc.decision(ctx, int(val))
+        return int(val)
+
+    def bypass(self, val):
+        self.enc.bypass(int(val))
+        return int(val)
+
+    def terminate(self, val):
+        self.enc.terminate(int(val))
+        return int(val)
+
+
+class _Reader:
+    def __init__(self, dec: CabacDecoder):
+        self.dec = dec
+
+    def decision(self, ctx, val=None):
+        return self.dec.decision(ctx)
+
+    def bypass(self, val=None):
+        return self.dec.bypass()
+
+    def terminate(self, val=None):
+        return self.dec.terminate()
+
+
+def _ueg(io, ctxs, k, ucoff, value=None, signed=True):
+    """UEGk: TU prefix (ctx-coded) + EGk bypass suffix + optional sign.
+    Writer: pass signed `value`. Reader: value=None, returns signed value."""
+    write = value is not None
+    mag = abs(value) if write else None
+    v = 0
+    while v < ucoff:
+        b = io.decision(ctxs[min(v, len(ctxs) - 1)],
+                        (1 if (write and mag > v) else 0) if write else None)
+        if not b:
+            break
+        v += 1
+    if v == ucoff:
+        kk = k
+        while True:
+            b = io.bypass((1 if (write and mag - v >= (1 << kk)) else 0)
+                          if write else None)
+            if not b:
+                break
+            v += 1 << kk
+            kk += 1
+        rem = (mag - v) if write else 0
+        for i in range(kk - 1, -1, -1):
+            bit = io.bypass((rem >> i) & 1 if write else None)
+            if not write:
+                v += bit << i
+        if write:
+            v = mag
+    if signed and v:
+        s = io.bypass(int(value < 0) if write else None)
+        return -v if s else v
+    return v
+
+
+class CabacSliceBase:
+    """Shared context maps + syntax routines (direction-agnostic)."""
+
+    def __init__(self, io, qp: int, intra: bool, mbh: int, mbw: int):
+        self.io = io
+        self.intra = intra
+        self.mbh, self.mbw = mbh, mbw
+        self.skip = np.zeros((mbh, mbw), bool)
+        self.coded = np.zeros((mbh, mbw), bool)
+        self.cbp_luma = np.zeros((mbh, mbw), np.int32)
+        self.cbp_chroma = np.zeros((mbh, mbw), np.int32)
+        self.mvd = np.zeros((mbh, mbw, 2), np.int32)
+        self.cbf4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
+        self.cbf_dc = np.zeros((mbh, mbw), np.int32)
+        self.is_i16 = np.zeros((mbh, mbw), bool)
+        self.cbf_cdc = np.zeros((mbh, mbw, 2), np.int32)
+        self.cbf_cac = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)
+        self.cmode = np.zeros((mbh, mbw), np.int32)
+        self.is_inxn = np.zeros((mbh, mbw), bool)
+        self.is_intra = np.zeros((mbh, mbw), bool)
+        self.prev_qp_delta_nz = 0
+
+    def avail(self, mx, my):
+        return 0 <= mx < self.mbw and my >= 0
+
+    # ---------------- residual block ----------------
+    def residual(self, cat, cbf_inc, coeffs=None, n=None):
+        """Writer: pass coeffs (scan order). Reader: pass n; returns array."""
+        io = self.io
+        write = coeffs is not None
+        if write:
+            n = len(coeffs)
+        cbf = io.decision(85 + CBF_OFF[cat] + cbf_inc,
+                          int((coeffs != 0).any()) if write else None)
+        out = np.zeros(n, np.int32)
+        if not cbf:
+            return (0, coeffs if write else out)
+        if write:
+            nz = coeffs != 0
+            last = int(np.max(np.nonzero(nz)[0]))
+        sig = np.zeros(n, bool)
+        lastpos = n - 1
+        for i in range(n - 1):
+            s = io.decision(105 + SIG_OFF[cat] + i,
+                            int(nz[i]) if write else None)
+            sig[i] = bool(s)
+            if s:
+                l_ = io.decision(166 + SIG_OFF[cat] + i,
+                                 int(i == last) if write else None)
+                if l_:
+                    lastpos = i
+                    break
+        else:
+            sig[n - 1] = True
+        if write:
+            lastpos = last
+        else:
+            sig[lastpos] = True
+        num_eq1 = num_gt1 = 0
+        for i in range(lastpos, -1, -1):
+            if not (nz[i] if write else sig[i]):
+                continue
+            c0 = 227 + ABS_OFF[cat] + (0 if num_gt1 else min(4, 1 + num_eq1))
+            c1 = 227 + ABS_OFF[cat] + 5 + min(4, num_gt1)
+            v = _ueg(self.io, [c0, c1], 0, 14,
+                     value=(int(coeffs[i]) - (1 if coeffs[i] > 0 else -1))
+                     if write else None, signed=False)
+            # magnitude-1 coded; sign separate (always present)
+            s = io.bypass(int(coeffs[i] < 0) if write else None)
+            mag = v + 1
+            out[i] = -mag if s else mag
+            if v == 0:
+                num_eq1 += 1
+            else:
+                num_gt1 += 1
+        return (1, coeffs if write else out)
+
+    # ---------------- cbf ctx increments (§9.3.3.1.1.9) ----------------
+    def cbf_inc_luma4(self, mx, my, bx, by, intra_mb):
+        gx, gy = 4 * mx + bx, 4 * my + by
+
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1 if intra_mb else 0
+            return int(self.cbf4[y, x])
+
+        return cond(gx - 1, gy) + 2 * cond(gx, gy - 1)
+
+    def cbf_inc_dc(self, mx, my, intra_mb):
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1 if intra_mb else 0
+            if not self.is_i16[y, x]:
+                return 0
+            return int(self.cbf_dc[y, x])
+
+        return cond(mx - 1, my) + 2 * cond(mx, my - 1)
+
+    def cbf_inc_cdc(self, mx, my, pl, intra_mb):
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1 if intra_mb else 0
+            return int(self.cbf_cdc[y, x, pl])
+
+        return cond(mx - 1, my) + 2 * cond(mx, my - 1)
+
+    def cbf_inc_cac(self, mx, my, sb, pl, intra_mb):
+        gx, gy = 2 * mx + (sb & 1), 2 * my + (sb >> 1)
+
+        def cond(x, y):
+            if x < 0 or y < 0:
+                return 1 if intra_mb else 0
+            return int(self.cbf_cac[y, x, pl])
+
+        return cond(gx - 1, gy) + 2 * cond(gx, gy - 1)
+
+    # ---------------- element coders ----------------
+    def skip_flag(self, mx, my, skipped=None):
+        def cond(x, y):
+            if not self.avail(x, y):
+                return 0
+            return 0 if self.skip[y, x] else 1
+
+        # 3 contexts (11..13): ctxIdxInc = condTermFlagA + condTermFlagB
+        v = self.io.decision(11 + cond(mx - 1, my) + cond(mx, my - 1),
+                             int(skipped) if skipped is not None else None)
+        self.skip[my, mx] = bool(v)
+        return bool(v)
+
+    def mvd_comp(self, mx, my, comp, val=None):
+        def absmvd(x, y):
+            if not self.avail(x, y):
+                return 0
+            return abs(int(self.mvd[y, x, comp]))
+
+        s = absmvd(mx - 1, my) + absmvd(mx, my - 1)
+        inc = 0 if s < 3 else (1 if s <= 32 else 2)
+        off = 40 if comp == 0 else 47
+        v = _ueg(self.io, [off + inc, off + 3, off + 4, off + 5, off + 6],
+                 3, 9, value=val)
+        return v
+
+    def cbp(self, mx, my, cbp_l=None, cbp_c=None):
+        io = self.io
+
+        def luma_bit(x, y, b):
+            if not self.avail(x, y):
+                return None
+            return (int(self.cbp_luma[y, x]) >> b) & 1
+
+        cur = 0
+        for b in range(4):
+            bx, by = b & 1, b >> 1
+            la = luma_bit(mx - 1, my, b + 1) if bx == 0 else (cur >> (b - 1)) & 1
+            tb = luma_bit(mx, my - 1, b + 2) if by == 0 else (cur >> (b - 2)) & 1
+            conda = 0 if la is None else (1 - la)
+            condb = 0 if tb is None else (1 - tb)
+            bit = io.decision(73 + conda + 2 * condb,
+                              ((cbp_l >> b) & 1) if cbp_l is not None else None)
+            cur |= bit << b
+
+        def cc(x, y):
+            if not self.avail(x, y):
+                return 0
+            return int(self.cbp_chroma[y, x])
+
+        a, bb = cc(mx - 1, my), cc(mx, my - 1)
+        c0 = io.decision(77 + (a != 0) + 2 * (bb != 0),
+                         int(cbp_c != 0) if cbp_c is not None else None)
+        c = 0
+        if c0:
+            c = 1 + io.decision(77 + 4 + (a == 2) + 2 * (bb == 2),
+                                int(cbp_c == 2) if cbp_c is not None else None)
+        return cur, c
+
+    def qp_delta(self, val=None):
+        # binarization: mapped-unary TU over |2*qpd| +- ; we only use 0
+        b0 = self.io.decision(60 + self.prev_qp_delta_nz,
+                              (1 if val else 0) if val is not None else None)
+        if not b0:
+            self.prev_qp_delta_nz = 0
+            return 0
+        # value != 0: unary continuation with ctx 62, 63...
+        k = 1
+        while True:
+            b = self.io.decision(62 if k == 1 else 63,
+                                 (1 if val is not None and k < _qpd_bins(val)
+                                  else 0) if val is not None else None)
+            if not b:
+                break
+            k += 1
+        self.prev_qp_delta_nz = 1
+        # mapped: k -> qpd: odd k -> (k+1)//2, even -> -(k//2)
+        return (k + 1) // 2 if k % 2 else -(k // 2)
+
+    def i_mb_type(self, mx, my, val=None):
+        """I-slice mb_type (§9.3.2.5 / Table 9-39, ctxIdxOffset 3).
+
+        Writing: val = None is not supported for I_NxN yet (our encoder only
+        emits I16), pass (acflag, cbp_c, pred).  Reading: returns
+        ("i4",) for I_NxN or ("i16", acflag, cbp_c, pred); raises on I_PCM."""
+        io = self.io
+
+        def cond(x, y):
+            if not self.avail(x, y) or not self.coded[y, x]:
+                return 0
+            return 0 if self.is_inxn[y, x] else 1
+
+        b0 = io.decision(3 + cond(mx - 1, my) + cond(mx, my - 1),
+                         1 if val is not None else None)
+        if not b0:
+            return ("i4",)
+        if io.terminate(0 if val is not None else None):
+            raise NotImplementedError("I_PCM")
+        return ("i16",) + self._i16_type_bins(6, 7, 8, 9, 10, val)
+
+    def _i16_type_bins(self, c_ac, c_c0, c_c1, c_p0, c_p1, val):
+        io = self.io
+        ac = io.decision(c_ac, int(val[0]) if val is not None else None)
+        c0 = io.decision(c_c0, int(val[1] != 0) if val is not None else None)
+        cbc = 0
+        if c0:
+            cbc = 1 + io.decision(c_c1,
+                                  int(val[1] == 2) if val is not None else None)
+        b5 = io.decision(c_p0, (val[2] >> 1) & 1 if val is not None else None)
+        b6 = io.decision(c_p1, val[2] & 1 if val is not None else None)
+        return bool(ac), cbc, (b5 << 1) | b6
+
+    def p_intra_suffix(self, val=None):
+        """mb_type intra suffix in P slices (ctxIdxOffset 17)."""
+        io = self.io
+        b0 = io.decision(17, 1 if val is not None else None)
+        if not b0:
+            return ("i4",)
+        if io.terminate(0 if val is not None else None):
+            raise NotImplementedError("I_PCM")
+        return ("i16",) + self._i16_type_bins(18, 19, 19, 20, 20, val)
+
+    def i4_pred_bins(self, prev=None, rem=None):
+        """One block's intra4x4 mode bins: prev_intra4x4_pred_mode_flag
+        (ctx 68) + rem_intra4x4_pred_mode (3 FL bins, ctx 69, LSB first)."""
+        io = self.io
+        p = io.decision(68, int(prev) if prev is not None else None)
+        if p:
+            return True, 0
+        r = 0
+        for i in range(3):
+            r |= io.decision(69, ((rem >> i) & 1) if rem is not None else None) << i
+        return False, r
+
+    def chroma_pred_mode(self, mx, my, val=None):
+        io = self.io
+
+        def cond(x, y):
+            if not self.avail(x, y) or not self.coded[y, x]:
+                return 0
+            return int(self.cmode[y, x] != 0)
+
+        inc = cond(mx - 1, my) + cond(mx, my - 1)
+        v = 0
+        while v < 3:
+            b = io.decision(64 + inc if v == 0 else 67,
+                            (1 if val is not None and val > v else 0)
+                            if val is not None else None)
+            if not b:
+                break
+            v += 1
+        self.cmode[my, mx] = v
+        return v
+
+
+def _qpd_bins(val):
+    # mapped unary bin count for qp_delta value
+    return 2 * abs(val) - (1 if val > 0 else 0)
+
+
+class CabacSlice(CabacSliceBase):
+    """Encoder-facing wrapper (keeps the original write API)."""
+
+    def __init__(self, qp, intra, mbh, mbw, cabac_init_idc=0):
+        st, mps = init_contexts(intra, qp, cabac_init_idc)
+        self.enc = CabacEncoder(st, mps)
+        super().__init__(_Writer(self.enc), qp, intra, mbh, mbw)
+
+    def p_mb(self, mx, my, skipped, mv_d, cbp_l, cbp_c, levels16,
+             dc_u, dc_v, ac_u, ac_v):
+        self.coded[my, mx] = True
+        if self.skip_flag(mx, my, skipped):
+            return
+        io = self.io
+        io.decision(14, 0)
+        io.decision(15, 0)
+        io.decision(16, 0)
+        self.mvd_comp(mx, my, 0, int(mv_d[0]))
+        self.mvd_comp(mx, my, 1, int(mv_d[1]))
+        self.mvd[my, mx] = mv_d
+        self.cbp(mx, my, cbp_l, cbp_c)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return
+        self.qp_delta(0)
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
+            cbf, _ = self.residual(2, inc, coeffs=levels16[blk])
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._chroma_res(mx, my, cbp_c, False,
+                         dc_u=dc_u, dc_v=dc_v, ac_u=ac_u, ac_v=ac_v)
+
+    def i16_mb(self, mx, my, pred, cmode, ac_flag, cbp_c, dc16,
+               ac, dc_u, dc_v, ac_u, ac_v):
+        self.i_mb_type(mx, my, (ac_flag, cbp_c, pred))
+        self.coded[my, mx] = True
+        self.is_intra[my, mx] = True
+        self.is_i16[my, mx] = True
+        self.cbp_luma[my, mx] = 15 if ac_flag else 0
+        self.cbp_chroma[my, mx] = cbp_c
+        self.chroma_pred_mode(mx, my, cmode)
+        self.qp_delta(0)
+        cbf, _ = self.residual(0, self.cbf_inc_dc(mx, my, True), coeffs=dc16)
+        self.cbf_dc[my, mx] = cbf
+        if ac_flag:
+            for blk in range(16):
+                bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+                inc = self.cbf_inc_luma4(mx, my, bx, by, True)
+                cbf, _ = self.residual(1, inc, coeffs=ac[blk])
+                self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._chroma_res(mx, my, cbp_c, True,
+                         dc_u=dc_u, dc_v=dc_v, ac_u=ac_u, ac_v=ac_v)
+
+    def _chroma_res(self, mx, my, cbp_c, intra_mb, dc_u, dc_v, ac_u, ac_v):
+        if cbp_c >= 1:
+            for pl, dc in ((0, dc_u), (1, dc_v)):
+                inc = self.cbf_inc_cdc(mx, my, pl, intra_mb)
+                cbf, _ = self.residual(3, inc, coeffs=dc)
+                self.cbf_cdc[my, mx, pl] = cbf
+        if cbp_c == 2:
+            for pl, acp in ((0, ac_u), (1, ac_v)):
+                for sb in range(4):
+                    inc = self.cbf_inc_cac(mx, my, sb, pl, intra_mb)
+                    cbf, _ = self.residual(4, inc, coeffs=acp[sb])
+                    gy, gx = 2 * my + (sb >> 1), 2 * mx + (sb & 1)
+                    self.cbf_cac[gy, gx, pl] = cbf
+
+    def end_mb(self, last: bool) -> None:
+        self.io.terminate(int(last))
+
+    def payload(self) -> bytes:
+        return self.enc.bytes()
+
+
+class CabacSliceReader(CabacSliceBase):
+    """Decoder-facing mirror: same routines in read mode."""
+
+    def __init__(self, qp, intra, mbh, mbw, data: bytes, cabac_init_idc=0):
+        st, mps = init_contexts(intra, qp, cabac_init_idc)
+        self.dec = CabacDecoder(st, mps, data)
+        super().__init__(_Reader(self.dec), qp, intra, mbh, mbw)
+
+    def read_p_mb(self, mx, my):
+        """Returns dict with skip/mvd/cbp/levels arrays."""
+        self.coded[my, mx] = True
+        if self.skip_flag(mx, my):
+            return {"skip": True}
+        io = self.io
+        b0 = io.decision(14)
+        if b0:
+            t = self.p_intra_suffix()
+            out = self._read_intra_common(mx, my, t)
+            out["intra"] = True
+            out["skip"] = False
+            return out
+        b1 = io.decision(15)
+        b2 = io.decision(16 if b1 == 0 else 17)
+        if (b1, b2) != (0, 0):
+            raise NotImplementedError(f"P mb_type bins {b0}{b1}{b2}")
+        mvd = np.array([self.mvd_comp(mx, my, 0), self.mvd_comp(mx, my, 1)],
+                       np.int32)
+        self.mvd[my, mx] = mvd
+        cbp_l, cbp_c = self.cbp(mx, my)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        out = {"skip": False, "intra": False, "mvd": mvd,
+               "cbp_l": cbp_l, "cbp_c": cbp_c,
+               "levels": np.zeros((16, 16), np.int32),
+               "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
+               "ac_u": np.zeros((4, 15), np.int32),
+               "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return out
+        out["qpd"] = self.qp_delta()
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
+            cbf, coeffs = self.residual(2, inc, n=16)
+            out["levels"][blk] = coeffs
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._read_chroma(mx, my, cbp_c, False, out)
+        return out
+
+    def read_i16_mb_body(self, mx, my, ac_flag, cbp_c):
+        """After mb_type bins were read by the caller."""
+        out = {"dc": np.zeros(16, np.int32), "ac": np.zeros((16, 15), np.int32),
+               "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
+               "ac_u": np.zeros((4, 15), np.int32),
+               "ac_v": np.zeros((4, 15), np.int32)}
+        out["cmode"] = self.chroma_pred_mode(mx, my)
+        out["qpd"] = self.qp_delta()
+        cbf, out["dc"] = self.residual(0, self.cbf_inc_dc(mx, my, True), n=16)
+        self.cbf_dc[my, mx] = cbf
+        if ac_flag:
+            for blk in range(16):
+                bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+                inc = self.cbf_inc_luma4(mx, my, bx, by, True)
+                cbf, coeffs = self.residual(1, inc, n=15)
+                out["ac"][blk] = coeffs
+                self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._read_chroma(mx, my, cbp_c, True, out)
+        return out
+
+    def read_i_mb(self, mx, my):
+        t = self.i_mb_type(mx, my)
+        return self._read_intra_common(mx, my, t)
+
+    def _read_intra_common(self, mx, my, t):
+        self.coded[my, mx] = True
+        self.is_intra[my, mx] = True
+        if t[0] == "i4":
+            self.is_inxn[my, mx] = True
+            return self.read_i4_mb_body(mx, my)
+        ac, cbc, pred = t[1:]
+        self.is_i16[my, mx] = True
+        self.cbp_luma[my, mx] = 15 if ac else 0
+        self.cbp_chroma[my, mx] = cbc
+        out = self.read_i16_mb_body(mx, my, ac, cbc)
+        out.update(kind="i16", ac_flag=ac, cbp_c=cbc, pred=pred)
+        return out
+
+    def read_i4_mb_body(self, mx, my):
+        out = {"kind": "i4",
+               "modes_bins": [self.i4_pred_bins() for _ in range(16)]}
+        out["cmode"] = self.chroma_pred_mode(mx, my)
+        cbp_l, cbp_c = self.cbp(mx, my)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        out.update(cbp_l=cbp_l, cbp_c=cbp_c, qpd=0,
+                   levels=np.zeros((16, 16), np.int32),
+                   dc_u=np.zeros(4, np.int32), dc_v=np.zeros(4, np.int32),
+                   ac_u=np.zeros((4, 15), np.int32),
+                   ac_v=np.zeros((4, 15), np.int32))
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return out
+        out["qpd"] = self.qp_delta()
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, True)
+            cbf, coeffs = self.residual(2, inc, n=16)
+            out["levels"][blk] = coeffs
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._read_chroma(mx, my, cbp_c, True, out)
+        return out
+
+    def _read_chroma(self, mx, my, cbp_c, intra_mb, out):
+        if cbp_c >= 1:
+            for pl, key in ((0, "dc_u"), (1, "dc_v")):
+                inc = self.cbf_inc_cdc(mx, my, pl, intra_mb)
+                cbf, out[key] = self.residual(3, inc, n=4)
+                self.cbf_cdc[my, mx, pl] = cbf
+        if cbp_c == 2:
+            for pl, key in ((0, "ac_u"), (1, "ac_v")):
+                for sb in range(4):
+                    inc = self.cbf_inc_cac(mx, my, sb, pl, intra_mb)
+                    cbf, coeffs = self.residual(4, inc, n=15)
+                    out[key][sb] = coeffs
+                    gy, gx = 2 * my + (sb >> 1), 2 * mx + (sb & 1)
+                    self.cbf_cac[gy, gx, pl] = cbf
+
+    def end_mb(self) -> int:
+        return self.io.terminate()

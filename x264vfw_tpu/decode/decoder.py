@@ -109,8 +109,6 @@ class H264Decoder:
         pps = self.pps[pps_id]
         sps = self.sps[pps.seq_parameter_set_id]
         h = SliceHeader.parse(r, sps, pps, nal_type, nal_ref_idc)
-        if pps.entropy_coding_mode_flag:
-            raise NotImplementedError("CABAC decode not implemented yet")
         if h.is_b():
             raise NotImplementedError("B slices not implemented yet")
         if h.first_mb_in_slice != 0:
@@ -120,7 +118,15 @@ class H264Decoder:
             self.dpb.clear()
 
         st = _SliceDecoder(self, sps, pps, h, nal_type, nal_ref_idc)
-        frame = st.decode_slice_data(r)
+        if pps.entropy_coding_mode_flag:
+            # cabac_alignment_one_bit(s), then the arithmetic payload
+            pad = (-r.bit_position) % 8
+            if pad:
+                r.u(pad)
+            frame = st.decode_slice_data_cabac(
+                np.asarray(rbsp[r.bit_position // 8:], np.uint8).tobytes())
+        else:
+            frame = st.decode_slice_data(r)
 
         if nal_ref_idc != 0:
             frame.is_ref = True
@@ -240,6 +246,166 @@ class _SliceDecoder:
         fr.syntax = self.collect if self.collect["eligible"] else None
         return fr
 
+    # ----------------------------------------------------------- CABAC path
+    def decode_slice_data_cabac(self, payload: bytes) -> Frame:
+        from ..bitstream.cabac_slice import CabacSliceReader
+        h = self.h
+        rd = CabacSliceReader(self.qp, h.is_i(), self.mbh, self.mbw, payload,
+                              h.cabac_init_idc)
+        self.collect["eligible"] = False
+        n = self.mbh * self.mbw
+        for k in range(n):
+            mx, my = k % self.mbw, k // self.mbw
+            if h.is_p():
+                o = rd.read_p_mb(mx, my)
+                if o["skip"]:
+                    self._decode_p_skip(mx, my)
+                elif o.get("intra"):
+                    self._recon_intra_cabac(mx, my, o)
+                else:
+                    self._recon_p16_cabac(mx, my, o)
+            else:
+                o = rd.read_i_mb(mx, my)
+                self._recon_intra_cabac(mx, my, o)
+            eos = rd.end_mb()
+            if bool(eos) != (k == n - 1):
+                raise ValueError(f"end_of_slice_flag={eos} at MB {k}/{n}")
+
+        if h.disable_deblocking_filter_idc != 1:
+            deblock_frame(self)
+        fr = Frame(self.y, self.u, self.v, frame_num=h.frame_num,
+                   is_idr=self.is_idr,
+                   mb_types=self.mb_type.copy(), qps=self.qp_map.copy(),
+                   mvs=self.mv.copy(), refs=self.ref.copy())
+        fr.syntax = None
+        return fr
+
+    def _recon_p16_cabac(self, mx: int, my: int, o: dict) -> None:
+        gx, gy = mx * 4, my * 4
+        self.mb_type[my, mx] = 100
+        pmv = self._mv_pred(mx, my, 0, 0, 4, 4, 0)
+        mv = pmv + o["mvd"]
+        self.mv[gy:gy + 4, gx:gx + 4] = mv
+        self.ref[gy:gy + 4, gx:gx + 4] = 0
+        self.blk_done[gy:gy + 4, gx:gx + 4] = True
+        self._inter_recon_16x16(mx, my, mv, 0)
+        self.qp += o["qpd"]
+        self.qp_map[my, mx] = self.qp
+        qp = self.qp
+        qpc = int(tnp.chroma_qp(qp, self.pps.chroma_qp_index_offset))
+        x0, y0 = mx * 16, my * 16
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            ggx, ggy = mx * 4 + bx, my * 4 + by
+            lv = o["levels"][blk]
+            self.tc_luma[ggy, ggx] = int(np.count_nonzero(lv))
+            if not lv.any():
+                continue
+            blkc = tnp.zigzag_unscan(lv.reshape(1, 16))[0]
+            d = tnp.dequant4x4(blkc.reshape(1, 4, 4), qp)
+            res = tnp.idct4x4_core(d)[0]
+            px, py = x0 + bx * 4, y0 + by * 4
+            self.y[py:py + 4, px:px + 4] = np.clip(
+                self.y[py:py + 4, px:px + 4] + res, 0, 255)
+        xc, yc = mx * 8, my * 8
+        preds = [self.u[yc:yc + 8, xc:xc + 8].copy(),
+                 self.v[yc:yc + 8, xc:xc + 8].copy()]
+        self.tc_chroma[0, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_u"], axis=1).reshape(2, 2)
+        self.tc_chroma[1, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_v"], axis=1).reshape(2, 2)
+        resid = {"dc": [o["dc_u"], o["dc_v"]],
+                 "ac": np.stack([o["ac_u"], o["ac_v"]])}
+        self._recon_chroma(preds, resid, mx, my, qpc)
+
+    def _recon_intra_cabac(self, mx: int, my: int, o: dict) -> None:
+        if o["kind"] == "i16":
+            self._recon_i16_cabac(mx, my, o)
+        else:
+            self._recon_i4_cabac(mx, my, o)
+
+    def _recon_i4_cabac(self, mx: int, my: int, o: dict) -> None:
+        self.mb_type[my, mx] = I_NXN
+        modes = np.zeros(16, np.int32)
+        for blk in range(16):
+            prev, rem = o["modes_bins"][blk]
+            pred = self._i4_pred_mode(mx, my, blk, modes)
+            modes[blk] = pred if prev else (rem if rem < pred else rem + 1)
+        for blk in range(16):
+            gx, gy = mx * 4 + int(BLK_X[blk]), my * 4 + int(BLK_Y[blk])
+            self.i4_modes[gy, gx] = modes[blk]
+        self.qp += o["qpd"]
+        self.qp_map[my, mx] = self.qp
+        qp = self.qp
+        qpc = int(tnp.chroma_qp(qp, self.pps.chroma_qp_index_offset))
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            self.tc_luma[my * 4 + by, mx * 4 + bx] = \
+                int(np.count_nonzero(o["levels"][blk]))
+        self._recon_i4_luma(mx, my, modes, o["levels"], qp)
+        preds = self._chroma_pred_pair(mx, my, o["cmode"])
+        self.tc_chroma[0, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_u"], axis=1).reshape(2, 2)
+        self.tc_chroma[1, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_v"], axis=1).reshape(2, 2)
+        resid = {"dc": [o["dc_u"], o["dc_v"]],
+                 "ac": np.stack([o["ac_u"], o["ac_v"]])}
+        self._recon_chroma(preds, resid, mx, my, qpc)
+        gx, gy = mx * 4, my * 4
+        self.mv[gy:gy + 4, gx:gx + 4] = 0
+        self.ref[gy:gy + 4, gx:gx + 4] = -1
+        self.blk_done[gy:gy + 4, gx:gx + 4] = True
+
+    def _recon_i16_cabac(self, mx: int, my: int, o: dict) -> None:
+        it = 1 + o["pred"] + 4 * o["cbp_c"] + 12 * int(o["ac_flag"])
+        self.mb_type[my, mx] = it
+        self.qp += o["qpd"]
+        self.qp_map[my, mx] = self.qp
+        qp = self.qp
+        qpc = int(tnp.chroma_qp(qp, self.pps.chroma_qp_index_offset))
+        ac = np.zeros((16, 16), dtype=np.int32)
+        ac[:, 1:] = o["ac"]
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            self.tc_luma[my * 4 + by, mx * 4 + bx] = \
+                int(np.count_nonzero(o["ac"][blk]))
+        self._recon_i16_luma(mx, my, o["pred"], o["dc"], ac, qp)
+        preds = self._chroma_pred_pair(mx, my, o["cmode"])
+        self.tc_chroma[0, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_u"], axis=1).reshape(2, 2)
+        self.tc_chroma[1, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_v"], axis=1).reshape(2, 2)
+        resid = {"dc": [o["dc_u"], o["dc_v"]],
+                 "ac": np.stack([o["ac_u"], o["ac_v"]])}
+        self._recon_chroma(preds, resid, mx, my, qpc)
+        gx, gy = mx * 4, my * 4
+        self.mv[gy:gy + 4, gx:gx + 4] = 0
+        self.ref[gy:gy + 4, gx:gx + 4] = -1
+        self.blk_done[gy:gy + 4, gx:gx + 4] = True
+
+    def _recon_i16_luma(self, mx: int, my: int, pred_mode: int,
+                        dc_levels: np.ndarray, ac: np.ndarray,
+                        qp: int) -> None:
+        """I16x16 luma recon from parsed coefficients (entropy-agnostic).
+        ac: (16, 16) per block zigzag incl. the (ignored) DC slot."""
+        top, left, tl = self._intra_neighbors_luma(mx, my)
+        pred = ipred.pred16x16(pred_mode, top, left, tl)
+        x0, y0 = mx * 16, my * 16
+        dc_raster = tnp.zigzag_unscan(dc_levels.reshape(1, 16))[0]
+        dc_vals = tnp.luma_dc_dequant(dc_raster.reshape(1, 4, 4), qp)[0]
+        blocks = tnp.zigzag_unscan(ac)  # (16,4,4)
+        d = tnp.dequant4x4(blocks, qp)
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            d[blk, 0, 0] = dc_vals[by, bx]
+        res = tnp.idct4x4_core(d)
+        rec = np.zeros((16, 16), dtype=np.int32)
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            rec[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
+                pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res[blk])
+        self.y[y0:y0 + 16, x0:x0 + 16] = np.clip(rec, 0, 255)
+
     # -------------------------------------------------------------- intra
     def _intra_neighbors_luma(self, mx: int, my: int):
         """(top16, left16, topleft) sample arrays or None."""
@@ -251,17 +417,10 @@ class _SliceDecoder:
 
     def _decode_intra16x16(self, r: BitReader, mx: int, my: int, pred_mode: int,
                            cbp_luma: int, cbp_chroma: int, qp: int) -> None:
-        top, left, tl = self._intra_neighbors_luma(mx, my)
-        pred = ipred.pred16x16(pred_mode, top, left, tl)
-
-        # --- residuals ---
-        x0, y0 = mx * 16, my * 16
         # luma DC: nC context of block 0
         nc = self._nc_luma(mx * 4, my * 4)
         dc_levels = decode_residual_block(r, nc, 16)
         # (the I16x16 DC block does not update the nC context map)
-        dc_raster = tnp.zigzag_unscan(dc_levels.reshape(1, 16))[0]
-        dc_vals = tnp.luma_dc_dequant(dc_raster.reshape(1, 4, 4), qp)[0]
 
         ac = np.zeros((16, 16), dtype=np.int32)  # per block, zigzag incl DC slot
         for blk in range(16):
@@ -274,23 +433,29 @@ class _SliceDecoder:
                 self.tc_luma[gy, gx] = int(np.count_nonzero(lv))
             else:
                 self.tc_luma[gy, gx] = 0
-        blocks = tnp.zigzag_unscan(ac)  # (16,4,4)
-        d = tnp.dequant4x4(blocks, qp)
-        # inject DC values
-        for blk in range(16):
-            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
-            d[blk, 0, 0] = dc_vals[by, bx]
-        res = tnp.idct4x4_core(d)
-        rec = np.zeros((16, 16), dtype=np.int32)
-        for blk in range(16):
-            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
-            rec[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] = (
-                pred[by * 4:by * 4 + 4, bx * 4:bx * 4 + 4] + res[blk])
-        self.y[y0:y0 + 16, x0:x0 + 16] = np.clip(rec, 0, 255)
+        self._recon_i16_luma(mx, my, pred_mode, dc_levels, ac, qp)
 
     def _decode_intra4x4(self, r: BitReader, mx: int, my: int,
                          modes: np.ndarray, cbp_luma: int, qp: int) -> None:
-        """modes: (16,) decoded I4x4 modes in block order."""
+        """CAVLC parse + recon. modes: (16,) I4x4 modes in block order."""
+        lv16 = np.zeros((16, 16), np.int32)
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            gx, gy = mx * 4 + bx, my * 4 + by
+            if cbp_luma & (1 << (blk // 4)):
+                nc = self._nc_luma(gx, gy)
+                lv = decode_residual_block(r, nc, 16)
+                self.collect["levels"][my * self.mbw + mx, blk] = lv
+                self.tc_luma[gy, gx] = int(np.count_nonzero(lv))
+                lv16[blk] = lv
+            else:
+                self.tc_luma[gy, gx] = 0
+        self._recon_i4_luma(mx, my, modes, lv16, qp)
+
+    def _recon_i4_luma(self, mx: int, my: int, modes: np.ndarray,
+                       lv16: np.ndarray, qp: int) -> None:
+        """I4x4 luma recon from parsed coefficients (entropy-agnostic).
+        lv16: (16,16) zigzag per block (zeros when uncoded)."""
         x0, y0 = mx * 16, my * 16
         for blk in range(16):
             bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
@@ -316,16 +481,12 @@ class _SliceDecoder:
                 tr = None  # replicate handled in pred4x4
             pred = ipred.pred4x4(int(modes[blk]), top, tr, left, tl)
 
-            if cbp_luma & (1 << (blk // 4)):
-                nc = self._nc_luma(gx, gy)
-                lv = decode_residual_block(r, nc, 16)
-                self.collect["levels"][my * self.mbw + mx, blk] = lv
-                self.tc_luma[gy, gx] = int(np.count_nonzero(lv))
+            lv = lv16[blk]
+            if lv.any():
                 blkc = tnp.zigzag_unscan(lv.reshape(1, 16))[0]
                 d = tnp.dequant4x4(blkc.reshape(1, 4, 4), qp)
                 res = tnp.idct4x4_core(d)[0]
             else:
-                self.tc_luma[gy, gx] = 0
                 res = 0
             self.y[py:py + 4, px:px + 4] = np.clip(pred + res, 0, 255)
 
@@ -580,9 +741,9 @@ class _SliceDecoder:
             preds.append(ipred.pred_chroma8x8(mode, top, left, tl))
         return preds
 
-    def _parse_i4_mode(self, r: BitReader, mx: int, my: int, blk: int,
-                       modes_sofar: np.ndarray) -> int:
-        """§8.3.1.1 predicted mode + coded refinement."""
+    def _i4_pred_mode(self, mx: int, my: int, blk: int,
+                      modes_sofar: np.ndarray) -> int:
+        """§8.3.1.1 predIntra4x4PredMode (entropy-agnostic)."""
         bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
         gx, gy = mx * 4 + bx, my * 4 + by
 
@@ -600,7 +761,11 @@ class _SliceDecoder:
         top_in_mb = modes_sofar[RASTER_TO_BLK[(by - 1) * 4 + bx]] if by > 0 else None
         mA = nb_mode(gx - 1, gy, left_in_mb)
         mB = nb_mode(gx, gy - 1, top_in_mb)
-        pred = 2 if (mA is None or mB is None) else min(mA, mB)
+        return 2 if (mA is None or mB is None) else min(mA, mB)
+
+    def _parse_i4_mode(self, r: BitReader, mx: int, my: int, blk: int,
+                       modes_sofar: np.ndarray) -> int:
+        pred = self._i4_pred_mode(mx, my, blk, modes_sofar)
         if r.u(1):  # prev_intra4x4_pred_mode_flag
             return pred
         rem = r.u(3)

@@ -45,6 +45,7 @@ class EncoderConfig:
     num_ref_frames: int = 1
     search_range: int = 8
     subpel: bool = True
+    cabac: bool = False      # CABAC entropy coding (Main profile)
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1

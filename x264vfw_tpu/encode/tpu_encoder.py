@@ -21,7 +21,7 @@ import numpy as np
 from ..bitstream import cavlc_vec
 from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_I, SLICE_P
 from ..bitstream.nal import NAL_PPS, NAL_SLICE, NAL_SLICE_IDR, NAL_SPS, wrap_nal
-from ..bitstream.params import PPS, SPS, PROFILE_BASELINE
+from ..bitstream.params import PPS, SPS, PROFILE_BASELINE, PROFILE_MAIN
 from ..bitstream.slice import SliceHeader
 from ..ops import transform_np as tnp
 from ..utils.bitstream import BitWriter, se_codes, ue_codes
@@ -43,8 +43,8 @@ class TpuEncoder:
         self.mbw = (cfg.width + 15) // 16
         self.mbh = (cfg.height + 15) // 16
         self.sps = SPS(
-            profile_idc=PROFILE_BASELINE,
-            constraint_set0=1, constraint_set1=1,
+            profile_idc=PROFILE_MAIN if cfg.cabac else PROFILE_BASELINE,
+            constraint_set0=0 if cfg.cabac else 1, constraint_set1=1,
             level_idc=_level_for(cfg.width, cfg.height, cfg.fps_num, cfg.fps_den),
             log2_max_frame_num_minus4=4,
             pic_order_cnt_type=2,
@@ -56,7 +56,7 @@ class TpuEncoder:
             self.sps.frame_cropping_flag = 1
             self.sps.frame_crop_right_offset = (self.mbw * 16 - cfg.width) // 2
             self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
-        self.pps = PPS(entropy_coding_mode_flag=0,
+        self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        deblocking_filter_control_present_flag=1)
         self.frame_idx = 0
@@ -275,9 +275,101 @@ class TpuEncoder:
                 + version_sei(opts))
 
     # ------------------------------------------------------------------
+    def _encode_frame_cabac(self, y, u, v, qp) -> bytes:
+        """CABAC finalization (host) over the device syntax tensors: the
+        tensor->bitstream ABI with the arithmetic coder as the host stage
+        (SURVEY §7).  Constant-QP, P16/skip + I16 — mirrors the CAVLC
+        device path's syntax exactly."""
+        import jax.numpy as _jnp
+        from ..bitstream.cabac_slice import CabacSlice
+        from .device import encode_i_frame, encode_p_frame
+        from .device_finalize import p16_mv_pred as _pmv
+        from . import device_finalize as _fin
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        mbh, mbw = self.mbh, self.mbw
+        n = mbh * mbw
+        is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if qp is not None:
+            self.qp = int(min(max(qp, 0), 51))
+            self.qpc = int(tnp.chroma_qp(self.qp,
+                                         self.pps.chroma_qp_index_offset))
+        sy = jnp.asarray(_pad(y, H, W), jnp.int32)
+        su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
+        sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
+        if is_idr:
+            self.frame_num = 0
+            nal_type = NAL_SLICE_IDR
+            outj = encode_i_frame(sy, su, sv, self.qp, self.qpc)
+        else:
+            nal_type = NAL_SLICE
+            outj = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
+                                  rng=cfg.search_range, subpel=cfg.subpel,
+                                  me_backend=cfg.me_backend)
+        out = {k: np.asarray(v2) for k, v2 in outj.items()
+               if not k.startswith("recon")}
+        hw = self._slice_header_codes(
+            SLICE_I if is_idr else SLICE_P, nal_type)
+        pad_bits = (-hw.bit_position) % 8
+        if pad_bits:
+            hw.u(pad_bits, (1 << pad_bits) - 1)   # cabac_alignment_one_bit
+        hdr = hw.to_rbsp().tobytes()
+
+        cs = CabacSlice(self.qp, is_idr, mbh, mbw)
+        if is_idr:
+            my_ = np.arange(n) // mbw
+            i16_mode = np.where(my_ == 0, 2, 0)
+            cmode = np.where(my_ == 0, 0, 2)
+            for k in range(n):
+                mx, my = k % mbw, k // mbw
+                cs.i16_mb(mx, my, int(i16_mode[k]), int(cmode[k]),
+                          bool(out["cbp_luma_nz"][k]),
+                          int(out["cbp_chroma"][k]),
+                          out["dc"][k], out["ac"][k],
+                          out["dc_u"][k].reshape(4),
+                          out["dc_v"][k].reshape(4),
+                          out["ac_u"][k], out["ac_v"][k])
+                cs.end_mb(k == n - 1)
+        else:
+            mv = out["mv"].reshape(mbh, mbw, 2)
+            pmv, skip_zero = (np.asarray(a) for a in _pmv(_jnp.asarray(mv)))
+            cbp_l = out["cbp_luma"]
+            cbp_c = out["cbp_chroma"]
+            quad = ((cbp_l[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
+            levels = np.where(quad[:, :, None], out["levels"], 0)
+            ac_u = np.where((cbp_c == 2)[:, None, None], out["ac_u"], 0)
+            ac_v = np.where((cbp_c == 2)[:, None, None], out["ac_v"], 0)
+            dc_u = np.where((cbp_c >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
+            dc_v = np.where((cbp_c >= 1)[:, None], out["dc_v"].reshape(n, 4), 0)
+            for k in range(n):
+                mx, my = k % mbw, k // mbw
+                mvk = mv[my, mx]
+                cbp = int(cbp_l[k]) | (int(cbp_c[k]) << 4)
+                skip = (cbp == 0 and mvk[0] == 0 and mvk[1] == 0
+                        and bool(skip_zero[my, mx]))
+                cs.p_mb(mx, my, skip, mvk - pmv[my, mx], int(cbp_l[k]),
+                        int(cbp_c[k]), levels[k], dc_u[k], dc_v[k],
+                        ac_u[k], ac_v[k])
+                cs.end_mb(k == n - 1)
+        self.ref = (outj["recon_y"], outj["recon_u"], outj["recon_v"])
+        if cfg.deblock:
+            from .device import apply_loop_filter
+            self.ref = apply_loop_filter(
+                {k: outj[k] for k in outj} if is_idr else outj, self.qp,
+                mbh, mbw, is_idr, offA=2 * cfg.deblock_alpha,
+                offB=2 * cfg.deblock_beta)
+        self.frame_idx += 1
+        self.frame_num = (self.frame_num + 1) % (
+            1 << (self.sps.log2_max_frame_num_minus4 + 4))
+        if is_idr:
+            self.idr_id = (self.idr_id + 1) % 65536
+        return wrap_nal(3, nal_type, hdr + cs.payload())
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None) -> bytes:
         cfg = self.cfg
+        if cfg.cabac:
+            return self._encode_frame_cabac(y, u, v, qp)
         H, W = self.mbh * 16, self.mbw * 16
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
         if qp is not None:
