@@ -180,3 +180,36 @@ def test_encoder_cabac_conformance(deblock):
                                     deblock=deblock))
     sz_cavlc = sum(len(enc2.encode_frame(*f)) for f in fr)
     assert sum(len(a) for a in aus) < sz_cavlc
+
+
+def test_native_matches_python_writer():
+    """tools/cabac C engine must be byte-identical to the Python golden."""
+    from x264vfw_tpu.bitstream import cabac_native as cn
+    if not cn.available():
+        pytest.skip("gcc/native build unavailable")
+    rng = np.random.default_rng(7)
+    for _ in range(6):
+        mbh, mbw = int(rng.integers(1, 4)), int(rng.integers(1, 5))
+        qp = int(rng.integers(10, 48))
+        n = mbh * mbw
+        skip = (rng.random(n) < 0.3).astype(np.uint8)
+        mvd = (rng.integers(-40, 41, (n, 2)) * (1 - skip)[:, None]).astype(np.int32)
+        cbp_l = (rng.integers(0, 16, n) * (1 - skip)).astype(np.int32)
+        cbp_c = (rng.integers(0, 3, n) * (1 - skip)).astype(np.int32)
+        levels = np.zeros((n, 16, 16), np.int32)
+        quadok = ((cbp_l[:, None] >> (np.arange(16) // 4)) & 1) > 0
+        levels[:, :, 2] = np.where(quadok & (rng.random((n, 16)) < 0.6),
+                                   rng.integers(-20, 21, (n, 16)), 0)
+        dcu = np.where((cbp_c >= 1)[:, None], rng.integers(-5, 6, (n, 4)), 0).astype(np.int32)
+        dcv = dcu[:, ::-1].copy()
+        acu = np.where((cbp_c == 2)[:, None, None],
+                       rng.integers(-3, 4, (n, 4, 15)), 0).astype(np.int32)
+        acv = -acu
+        cs = CabacSlice(qp, False, mbh, mbw)
+        for k in range(n):
+            cs.p_mb(k % mbw, k // mbw, bool(skip[k]), mvd[k], int(cbp_l[k]),
+                    int(cbp_c[k]), levels[k], dcu[k], dcv[k], acu[k], acv[k])
+            cs.end_mb(k == n - 1)
+        assert cs.payload() == cn.encode_p_slice(
+            qp, 0, mbh, mbw, skip, mvd, cbp_l, cbp_c, levels,
+            dcu, dcv, acu, acv)

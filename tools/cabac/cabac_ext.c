@@ -1,0 +1,457 @@
+/* CABAC slice encoder — native hot loop (ITU-T H.264 §9.3).
+ *
+ * C port of x264vfw_tpu/bitstream/cabac_slice.py (the behavioural golden
+ * model): encodes a whole P or I slice from the encoder's packed syntax
+ * arrays in one call.  Output must be byte-identical to the Python writer —
+ * tests/test_cabac.py asserts this on random syntax, and the Python writer
+ * itself is validated against stock FFmpeg decode of real streams.
+ *
+ * Role in the architecture (SURVEY §7): the host finalization stage fed by
+ * TPU-resident syntax tensors; native because the per-bin loop is the one
+ * part of the codec that is inherently serial (the reference's equivalent
+ * lives in libx264's assembly-tuned CABAC engine).
+ *
+ * Build: gcc -O2 -shared -fPIC cabac_ext.c -o libcabac.so
+ */
+
+#include <stdint.h>
+#include <string.h>
+#include "cabac_tables.h"
+
+typedef struct {
+    uint8_t state[1024];
+    uint8_t mps[1024];
+    uint32_t low;
+    int32_t range;
+    int32_t bits_outstanding;
+    int first_bit;
+    uint8_t *out;
+    long cap;
+    long nbits;     /* bits written so far */
+    int overflow;
+} Cabac;
+
+static void put_raw(Cabac *c, int b)
+{
+    long idx = c->nbits >> 3;
+    if (idx >= c->cap) { c->overflow = 1; return; }
+    if (b)
+        c->out[idx] |= (uint8_t)(0x80u >> (c->nbits & 7));
+    c->nbits++;
+}
+
+static void put_bit(Cabac *c, int b)
+{
+    if (c->first_bit)
+        c->first_bit = 0;
+    else
+        put_raw(c, b);
+    while (c->bits_outstanding > 0) {
+        put_raw(c, 1 - b);
+        c->bits_outstanding--;
+    }
+}
+
+static void renorm(Cabac *c)
+{
+    while (c->range < 256) {
+        if (c->low >= 512) {
+            put_bit(c, 1);
+            c->low -= 512;
+        } else if (c->low < 256) {
+            put_bit(c, 0);
+        } else {
+            c->low -= 256;
+            c->bits_outstanding++;
+        }
+        c->range <<= 1;
+        c->low <<= 1;
+    }
+}
+
+static void decision(Cabac *c, int ctx, int binval)
+{
+    int s = c->state[ctx];
+    int rlps = RANGE_LPS[(s << 2) | ((c->range >> 6) & 3)];
+    c->range -= rlps;
+    if (binval != c->mps[ctx]) {
+        c->low += (uint32_t)c->range;
+        c->range = rlps;
+        if (s == 0)
+            c->mps[ctx] ^= 1;
+        c->state[ctx] = TRANS_LPS[s];
+    } else {
+        c->state[ctx] = TRANS_MPS[s];
+    }
+    renorm(c);
+}
+
+static void bypass(Cabac *c, int binval)
+{
+    c->low <<= 1;
+    if (binval)
+        c->low += (uint32_t)c->range;
+    if (c->low >= 1024) {
+        put_bit(c, 1);
+        c->low -= 1024;
+    } else if (c->low < 512) {
+        put_bit(c, 0);
+    } else {
+        c->low -= 512;
+        c->bits_outstanding++;
+    }
+}
+
+static void terminate(Cabac *c, int binval)
+{
+    c->range -= 2;
+    if (binval) {
+        c->low += (uint32_t)c->range;
+        c->range = 2;
+        renorm(c);
+        put_bit(c, (c->low >> 9) & 1);
+        put_raw(c, (c->low >> 8) & 1);
+        put_raw(c, 1);
+    } else {
+        renorm(c);
+    }
+}
+
+static void cabac_init(Cabac *c, int intra, int qp, int init_idc,
+                       uint8_t *out, long cap)
+{
+    const int8_t *t = intra ? CTX_INIT_I : (CTX_INIT_PB + init_idc * 2048);
+    int q = qp < 0 ? 0 : (qp > 51 ? 51 : qp);
+    for (int i = 0; i < 1024; i++) {
+        int m = t[2 * i], n = t[2 * i + 1];
+        int pre = ((m * q) >> 4) + n;
+        if (pre < 1) pre = 1;
+        if (pre > 126) pre = 126;
+        if (pre <= 63) { c->state[i] = (uint8_t)(63 - pre); c->mps[i] = 0; }
+        else           { c->state[i] = (uint8_t)(pre - 64); c->mps[i] = 1; }
+    }
+    c->low = 0;
+    c->range = 510;
+    c->bits_outstanding = 0;
+    c->first_bit = 1;
+    c->out = out;
+    c->cap = cap;
+    c->nbits = 0;
+    c->overflow = 0;
+    memset(out, 0, (size_t)cap);
+}
+
+/* ---------------- binarizations ---------------- */
+
+static void ueg(Cabac *c, const int *ctxs, int nctx, int k, int ucoff,
+                int value, int signedval)
+{
+    int mag = value < 0 ? -value : value;
+    int prefix = mag < ucoff ? mag : ucoff;
+    for (int i = 0; i < prefix; i++)
+        decision(c, ctxs[i < nctx - 1 ? i : nctx - 1], 1);
+    if (prefix < ucoff) {
+        decision(c, ctxs[prefix < nctx - 1 ? prefix : nctx - 1], 0);
+    } else {
+        int suf = mag - ucoff, kk = k;
+        while (suf >= (1 << kk)) {
+            bypass(c, 1);
+            suf -= 1 << kk;
+            kk++;
+        }
+        bypass(c, 0);
+        for (int i = kk - 1; i >= 0; i--)
+            bypass(c, (suf >> i) & 1);
+    }
+    if (signedval && mag)
+        bypass(c, value < 0 ? 1 : 0);
+}
+
+/* per-slice neighbor maps (static scratch; single-threaded use) */
+#define MAXMB_W 512
+#define MAXMB_H 512
+typedef struct {
+    int mbh, mbw;
+    uint8_t skip[MAXMB_H * MAXMB_W];
+    int32_t cbp_l[MAXMB_H * MAXMB_W];
+    int32_t cbp_c[MAXMB_H * MAXMB_W];
+    int32_t mvdx[MAXMB_H * MAXMB_W];
+    int32_t mvdy[MAXMB_H * MAXMB_W];
+    uint8_t cbf4[4 * MAXMB_H * 4 * MAXMB_W];
+    uint8_t cbf_dc[MAXMB_H * MAXMB_W];
+    uint8_t is_i16[MAXMB_H * MAXMB_W];
+    uint8_t cbf_cdc[MAXMB_H * MAXMB_W * 2];
+    uint8_t cbf_cac[2 * MAXMB_H * 2 * MAXMB_W * 2];
+    int32_t cmode[MAXMB_H * MAXMB_W];
+} Maps;
+
+static Maps g_maps;
+
+/* block coding order -> raster within MB */
+static const int BLKX[16] = {0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3};
+static const int BLKY[16] = {0,0,1,1,0,0,1,1,2,2,3,3,2,2,3,3};
+
+static const int CBF_OFF[5] = {0, 4, 8, 12, 16};
+static const int SIG_OFF[5] = {0, 15, 29, 44, 47};
+static const int ABS_OFF[5] = {0, 10, 20, 30, 39};
+
+static int residual(Cabac *c, int cat, int cbf_inc, const int32_t *coeffs,
+                    int n)
+{
+    int last = -1;
+    for (int i = 0; i < n; i++)
+        if (coeffs[i])
+            last = i;
+    decision(c, 85 + CBF_OFF[cat] + cbf_inc, last >= 0);
+    if (last < 0)
+        return 0;
+    for (int i = 0; i < n - 1; i++) {
+        decision(c, 105 + SIG_OFF[cat] + i, coeffs[i] != 0);
+        if (coeffs[i]) {
+            decision(c, 166 + SIG_OFF[cat] + i, i == last);
+            if (i == last)
+                break;
+        }
+    }
+    int num_eq1 = 0, num_gt1 = 0;
+    for (int i = last; i >= 0; i--) {
+        int v = coeffs[i];
+        if (!v)
+            continue;
+        int mag = (v < 0 ? -v : v) - 1;
+        int c0 = 227 + ABS_OFF[cat]
+                 + (num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4));
+        int c1 = 227 + ABS_OFF[cat] + 5 + (num_gt1 < 4 ? num_gt1 : 4);
+        int ctxs[2] = {c0, c1};
+        ueg(c, ctxs, 2, 0, 14, mag, 0);
+        bypass(c, v < 0);
+        if (mag == 0) num_eq1++; else num_gt1++;
+    }
+    return 1;
+}
+
+static int cbf_inc_luma4(Maps *m, int mx, int my, int bx, int by, int intra)
+{
+    int gx = 4 * mx + bx, gy = 4 * my + by;
+    int a = (gx - 1 < 0 || gy < 0) ? (intra ? 1 : 0)
+            : m->cbf4[gy * 4 * m->mbw + gx - 1];
+    int b = (gy - 1 < 0) ? (intra ? 1 : 0)
+            : m->cbf4[(gy - 1) * 4 * m->mbw + gx];
+    return a + 2 * b;
+}
+
+static int cbf_inc_dc(Maps *m, int mx, int my, int intra)
+{
+    int a, b;
+    if (mx - 1 < 0) a = intra ? 1 : 0;
+    else a = m->is_i16[my * m->mbw + mx - 1]
+             ? m->cbf_dc[my * m->mbw + mx - 1] : 0;
+    if (my - 1 < 0) b = intra ? 1 : 0;
+    else b = m->is_i16[(my - 1) * m->mbw + mx]
+             ? m->cbf_dc[(my - 1) * m->mbw + mx] : 0;
+    return a + 2 * b;
+}
+
+static int cbf_inc_cdc(Maps *m, int mx, int my, int pl, int intra)
+{
+    int a = (mx - 1 < 0) ? (intra ? 1 : 0)
+            : m->cbf_cdc[(my * m->mbw + mx - 1) * 2 + pl];
+    int b = (my - 1 < 0) ? (intra ? 1 : 0)
+            : m->cbf_cdc[((my - 1) * m->mbw + mx) * 2 + pl];
+    return a + 2 * b;
+}
+
+static int cbf_inc_cac(Maps *m, int mx, int my, int sb, int pl, int intra)
+{
+    int gx = 2 * mx + (sb & 1), gy = 2 * my + (sb >> 1);
+    int a = (gx - 1 < 0 || gy < 0) ? (intra ? 1 : 0)
+            : m->cbf_cac[(gy * 2 * m->mbw + gx - 1) * 2 + pl];
+    int b = (gy - 1 < 0) ? (intra ? 1 : 0)
+            : m->cbf_cac[((gy - 1) * 2 * m->mbw + gx) * 2 + pl];
+    return a + 2 * b;
+}
+
+static void mvd_comp(Cabac *c, Maps *m, int mx, int my, int comp, int val)
+{
+    const int32_t *arr = comp ? m->mvdy : m->mvdx;
+    int sa = 0, sb = 0;
+    if (mx - 1 >= 0) { int t = arr[my * m->mbw + mx - 1]; sa = t < 0 ? -t : t; }
+    if (my - 1 >= 0) { int t = arr[(my - 1) * m->mbw + mx]; sb = t < 0 ? -t : t; }
+    int s = sa + sb;
+    int inc = s < 3 ? 0 : (s <= 32 ? 1 : 2);
+    int off = comp ? 47 : 40;
+    int ctxs[5] = {off + inc, off + 3, off + 4, off + 5, off + 6};
+    ueg(c, ctxs, 5, 3, 9, val, 1);
+}
+
+static void cbp_code(Cabac *c, Maps *m, int mx, int my, int cbp_l, int cbp_c)
+{
+    int cur = 0;
+    for (int b = 0; b < 4; b++) {
+        int bx = b & 1, by = b >> 1;
+        int la, has_a, tb, has_b;
+        if (bx == 0) {
+            has_a = mx - 1 >= 0;
+            la = has_a ? (m->cbp_l[my * m->mbw + mx - 1] >> (b + 1)) & 1 : 0;
+        } else { has_a = 1; la = (cur >> (b - 1)) & 1; }
+        if (by == 0) {
+            has_b = my - 1 >= 0;
+            tb = has_b ? (m->cbp_l[(my - 1) * m->mbw + mx] >> (b + 2)) & 1 : 0;
+        } else { has_b = 1; tb = (cur >> (b - 2)) & 1; }
+        int conda = has_a ? 1 - la : 0;
+        int condb = has_b ? 1 - tb : 0;
+        int bit = (cbp_l >> b) & 1;
+        decision(c, 73 + conda + 2 * condb, bit);
+        cur |= bit << b;
+    }
+    int a = mx - 1 >= 0 ? m->cbp_c[my * m->mbw + mx - 1] : 0;
+    int b2 = my - 1 >= 0 ? m->cbp_c[(my - 1) * m->mbw + mx] : 0;
+    decision(c, 77 + (a != 0) + 2 * (b2 != 0), cbp_c != 0);
+    if (cbp_c)
+        decision(c, 77 + 4 + (a == 2) + 2 * (b2 == 2), cbp_c == 2);
+}
+
+static void chroma_res(Cabac *c, Maps *m, int mx, int my, int cbp_c,
+                       int intra, const int32_t *dc_u, const int32_t *dc_v,
+                       const int32_t *ac_u, const int32_t *ac_v)
+{
+    if (cbp_c >= 1) {
+        m->cbf_cdc[(my * m->mbw + mx) * 2 + 0] =
+            (uint8_t)residual(c, 3, cbf_inc_cdc(m, mx, my, 0, intra), dc_u, 4);
+        m->cbf_cdc[(my * m->mbw + mx) * 2 + 1] =
+            (uint8_t)residual(c, 3, cbf_inc_cdc(m, mx, my, 1, intra), dc_v, 4);
+    }
+    if (cbp_c == 2) {
+        for (int pl = 0; pl < 2; pl++) {
+            const int32_t *acp = pl ? ac_v : ac_u;
+            for (int sb = 0; sb < 4; sb++) {
+                int cbf = residual(c, 4, cbf_inc_cac(m, mx, my, sb, pl, intra),
+                                   acp + sb * 15, 15);
+                int gy = 2 * my + (sb >> 1), gx = 2 * mx + (sb & 1);
+                m->cbf_cac[(gy * 2 * m->mbw + gx) * 2 + pl] = (uint8_t)cbf;
+            }
+        }
+    }
+}
+
+/* returns payload bytes, or -1 on overflow / -2 on bad dims */
+long cabac_encode_p_slice(
+    int qp, int init_idc, int mbh, int mbw,
+    const uint8_t *skip, const int32_t *mvd,           /* (n,2) */
+    const int32_t *cbp_l, const int32_t *cbp_c,
+    const int32_t *levels,                              /* (n,16,16) masked */
+    const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
+    const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
+    uint8_t *out, long cap)
+{
+    if (mbh > MAXMB_H || mbw > MAXMB_W)
+        return -2;
+    Cabac c;
+    Maps *m = &g_maps;
+    memset(m, 0, sizeof(*m));
+    m->mbh = mbh;
+    m->mbw = mbw;
+    cabac_init(&c, 0, qp, init_idc, out, cap);
+    int n = mbh * mbw;
+    for (int k = 0; k < n; k++) {
+        int mx = k % mbw, my = k / mbw;
+        /* mb_skip_flag: 3 contexts, inc = condA + condB */
+        int ca = mx - 1 >= 0 ? !m->skip[my * mbw + mx - 1] : 0;
+        int cb = my - 1 >= 0 ? !m->skip[(my - 1) * mbw + mx] : 0;
+        decision(&c, 11 + ca + cb, skip[k]);
+        m->skip[my * mbw + mx] = skip[k];
+        if (!skip[k]) {
+            decision(&c, 14, 0);    /* mb_type P_L0_16x16 = 000 */
+            decision(&c, 15, 0);
+            decision(&c, 16, 0);
+            mvd_comp(&c, m, mx, my, 0, mvd[2 * k]);
+            mvd_comp(&c, m, mx, my, 1, mvd[2 * k + 1]);
+            m->mvdx[my * mbw + mx] = mvd[2 * k];
+            m->mvdy[my * mbw + mx] = mvd[2 * k + 1];
+            cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
+            m->cbp_l[my * mbw + mx] = cbp_l[k];
+            m->cbp_c[my * mbw + mx] = cbp_c[k];
+            if (cbp_l[k] || cbp_c[k]) {
+                decision(&c, 60, 0);    /* mb_qp_delta = 0 */
+                for (int blk = 0; blk < 16; blk++) {
+                    if (!((cbp_l[k] >> (blk / 4)) & 1))
+                        continue;
+                    int bx = BLKX[blk], by = BLKY[blk];
+                    int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
+                    int cbf = residual(&c, 2, inc, levels + (k * 16 + blk) * 16, 16);
+                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx] = (uint8_t)cbf;
+                }
+                chroma_res(&c, m, mx, my, cbp_c[k], 0, dc_u + 4 * k,
+                           dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
+            }
+        }
+        terminate(&c, k == n - 1);
+        if (c.overflow)
+            return -1;
+    }
+    return (c.nbits + 7) >> 3;
+}
+
+long cabac_encode_i_slice(
+    int qp, int mbh, int mbw,
+    const int32_t *i16mode, const int32_t *cmode, const uint8_t *acflag,
+    const int32_t *cbp_c,
+    const int32_t *dc,                                  /* (n,16) */
+    const int32_t *ac,                                  /* (n,16,15) */
+    const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) */
+    const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) */
+    uint8_t *out, long cap)
+{
+    if (mbh > MAXMB_H || mbw > MAXMB_W)
+        return -2;
+    Cabac c;
+    Maps *m = &g_maps;
+    memset(m, 0, sizeof(*m));
+    m->mbh = mbh;
+    m->mbw = mbw;
+    cabac_init(&c, 1, qp, 0, out, cap);
+    int n = mbh * mbw;
+    for (int k = 0; k < n; k++) {
+        int mx = k % mbw, my = k / mbw;
+        /* mb_type I16: b0 at 3 + condA + condB (no I_NxN emitted) */
+        int ca = mx - 1 >= 0 ? 1 : 0;
+        int cb = my - 1 >= 0 ? 1 : 0;
+        decision(&c, 3 + ca + cb, 1);
+        terminate(&c, 0);
+        decision(&c, 6, acflag[k]);
+        decision(&c, 7, cbp_c[k] != 0);
+        if (cbp_c[k])
+            decision(&c, 8, cbp_c[k] == 2);
+        decision(&c, 9, (i16mode[k] >> 1) & 1);
+        decision(&c, 10, i16mode[k] & 1);
+        m->is_i16[my * mbw + mx] = 1;
+        m->cbp_l[my * mbw + mx] = acflag[k] ? 15 : 0;
+        m->cbp_c[my * mbw + mx] = cbp_c[k];
+        /* intra_chroma_pred_mode: TU cMax 3 */
+        int ia = mx - 1 >= 0 ? (m->cmode[my * mbw + mx - 1] != 0) : 0;
+        int ib = my - 1 >= 0 ? (m->cmode[(my - 1) * mbw + mx] != 0) : 0;
+        int inc = ia + ib;
+        for (int v = 0; v < cmode[k]; v++)
+            decision(&c, v == 0 ? 64 + inc : 67, 1);
+        if (cmode[k] < 3)
+            decision(&c, cmode[k] == 0 ? 64 + inc : 67, 0);
+        m->cmode[my * mbw + mx] = cmode[k];
+        decision(&c, 60, 0);        /* mb_qp_delta = 0 */
+        int cbf = residual(&c, 0, cbf_inc_dc(m, mx, my, 1), dc + 16 * k, 16);
+        m->cbf_dc[my * mbw + mx] = (uint8_t)cbf;
+        if (acflag[k]) {
+            for (int blk = 0; blk < 16; blk++) {
+                int bx = BLKX[blk], by = BLKY[blk];
+                int inc2 = cbf_inc_luma4(m, mx, my, bx, by, 1);
+                int cb2 = residual(&c, 1, inc2, ac + (k * 16 + blk) * 15, 15);
+                m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx] = (uint8_t)cb2;
+            }
+        }
+        chroma_res(&c, m, mx, my, cbp_c[k], 1, dc_u + 4 * k, dc_v + 4 * k,
+                   ac_u + 60 * k, ac_v + 60 * k);
+        terminate(&c, k == n - 1);
+        if (c.overflow)
+            return -1;
+    }
+    return (c.nbits + 7) >> 3;
+}

@@ -1,0 +1,92 @@
+"""ctypes loader for the native CABAC slice encoder (tools/cabac).
+
+Builds libcabac.so from source on first use (gcc is part of the baked
+toolchain); falls back to the pure-Python writer when unavailable.  The
+native encoder must produce byte-identical payloads to the Python golden
+model (asserted in tests/test_cabac.py)."""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+
+import numpy as np
+
+_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                    "..", "..", "tools", "cabac")
+_SRC = os.path.join(_DIR, "cabac_ext.c")
+_SO = os.path.join(_DIR, "libcabac.so")
+_lib = None
+_failed = False
+
+
+def _get_lib():
+    global _lib, _failed
+    if _lib is not None or _failed:
+        return _lib
+    try:
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
+            subprocess.run(
+                ["gcc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+                check=True, capture_output=True)
+        lib = ctypes.CDLL(_SO)
+        lib.cabac_encode_p_slice.restype = ctypes.c_long
+        lib.cabac_encode_i_slice.restype = ctypes.c_long
+        _lib = lib
+    except Exception:
+        _failed = True
+    return _lib
+
+
+def available() -> bool:
+    return _get_lib() is not None
+
+
+def _p(a, dt):
+    a = np.ascontiguousarray(a, dtype=dt)
+    return a, a.ctypes.data_as(ctypes.c_void_p)
+
+
+def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
+                   levels, dc_u, dc_v, ac_u, ac_v) -> bytes:
+    lib = _get_lib()
+    n = mbh * mbw
+    cap = max(1 << 16, n * 800)
+    out = np.zeros(cap, np.uint8)
+    holds = []
+    ptrs = []
+    for a, dt in ((skip, np.uint8), (mvd, np.int32), (cbp_l, np.int32),
+                  (cbp_c, np.int32), (levels, np.int32), (dc_u, np.int32),
+                  (dc_v, np.int32), (ac_u, np.int32), (ac_v, np.int32)):
+        arr, p = _p(a, dt)
+        holds.append(arr)
+        ptrs.append(p)
+    sz = lib.cabac_encode_p_slice(
+        qp, init_idc, mbh, mbw, *ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
+    assert sz >= 0, f"native cabac failed: {sz}"
+    return out[:sz].tobytes()
+
+
+def encode_i_slice(qp, mbh, mbw, i16mode, cmode, acflag, cbp_c,
+                   dc, ac, dc_u, dc_v, ac_u, ac_v) -> bytes:
+    lib = _get_lib()
+    n = mbh * mbw
+    cap = max(1 << 16, n * 1200)
+    out = np.zeros(cap, np.uint8)
+    holds = []
+    ptrs = []
+    for a, dt in ((i16mode, np.int32), (cmode, np.int32), (acflag, np.uint8),
+                  (cbp_c, np.int32), (dc, np.int32), (ac, np.int32),
+                  (dc_u, np.int32), (dc_v, np.int32), (ac_u, np.int32),
+                  (ac_v, np.int32)):
+        arr, p = _p(a, dt)
+        holds.append(arr)
+        ptrs.append(p)
+    sz = lib.cabac_encode_i_slice(
+        qp, mbh, mbw, *ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
+    assert sz >= 0, f"native cabac failed: {sz}"
+    return out[:sz].tobytes()

@@ -315,21 +315,32 @@ class TpuEncoder:
             hw.u(pad_bits, (1 << pad_bits) - 1)   # cabac_alignment_one_bit
         hdr = hw.to_rbsp().tobytes()
 
-        cs = CabacSlice(self.qp, is_idr, mbh, mbw)
+        from ..bitstream import cabac_native as cn
+        use_native = cn.available()
         if is_idr:
             my_ = np.arange(n) // mbw
-            i16_mode = np.where(my_ == 0, 2, 0)
-            cmode = np.where(my_ == 0, 0, 2)
-            for k in range(n):
-                mx, my = k % mbw, k // mbw
-                cs.i16_mb(mx, my, int(i16_mode[k]), int(cmode[k]),
-                          bool(out["cbp_luma_nz"][k]),
-                          int(out["cbp_chroma"][k]),
-                          out["dc"][k], out["ac"][k],
-                          out["dc_u"][k].reshape(4),
-                          out["dc_v"][k].reshape(4),
-                          out["ac_u"][k], out["ac_v"][k])
-                cs.end_mb(k == n - 1)
+            i16_mode = np.where(my_ == 0, 2, 0).astype(np.int32)
+            cmode = np.where(my_ == 0, 0, 2).astype(np.int32)
+            acf = out["cbp_luma_nz"].astype(np.uint8)
+            cbc = out["cbp_chroma"].astype(np.int32)
+            dcu = np.where((cbc >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
+            dcv = np.where((cbc >= 1)[:, None], out["dc_v"].reshape(n, 4), 0)
+            acu = np.where((cbc == 2)[:, None, None], out["ac_u"], 0)
+            acv = np.where((cbc == 2)[:, None, None], out["ac_v"], 0)
+            acl = np.where(acf[:, None, None].astype(bool), out["ac"], 0)
+            if use_native:
+                payload = cn.encode_i_slice(self.qp, mbh, mbw, i16_mode,
+                                            cmode, acf, cbc, out["dc"], acl,
+                                            dcu, dcv, acu, acv)
+            else:
+                cs = CabacSlice(self.qp, True, mbh, mbw)
+                for k in range(n):
+                    cs.i16_mb(k % mbw, k // mbw, int(i16_mode[k]),
+                              int(cmode[k]), bool(acf[k]), int(cbc[k]),
+                              out["dc"][k], acl[k], dcu[k], dcv[k],
+                              acu[k], acv[k])
+                    cs.end_mb(k == n - 1)
+                payload = cs.payload()
         else:
             mv = out["mv"].reshape(mbh, mbw, 2)
             pmv, skip_zero = (np.asarray(a) for a in _pmv(_jnp.asarray(mv)))
@@ -341,16 +352,23 @@ class TpuEncoder:
             ac_v = np.where((cbp_c == 2)[:, None, None], out["ac_v"], 0)
             dc_u = np.where((cbp_c >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
             dc_v = np.where((cbp_c >= 1)[:, None], out["dc_v"].reshape(n, 4), 0)
-            for k in range(n):
-                mx, my = k % mbw, k // mbw
-                mvk = mv[my, mx]
-                cbp = int(cbp_l[k]) | (int(cbp_c[k]) << 4)
-                skip = (cbp == 0 and mvk[0] == 0 and mvk[1] == 0
-                        and bool(skip_zero[my, mx]))
-                cs.p_mb(mx, my, skip, mvk - pmv[my, mx], int(cbp_l[k]),
-                        int(cbp_c[k]), levels[k], dc_u[k], dc_v[k],
-                        ac_u[k], ac_v[k])
-                cs.end_mb(k == n - 1)
+            mvf = mv.reshape(n, 2)
+            skipf = ((cbp_l == 0) & (cbp_c == 0) & (mvf == 0).all(1)
+                     & skip_zero.reshape(n)).astype(np.uint8)
+            mvd_all = (mvf - pmv.reshape(n, 2)).astype(np.int32)
+            if use_native:
+                payload = cn.encode_p_slice(
+                    self.qp, 0, mbh, mbw, skipf, mvd_all,
+                    cbp_l.astype(np.int32), cbp_c.astype(np.int32),
+                    levels, dc_u, dc_v, ac_u, ac_v)
+            else:
+                cs = CabacSlice(self.qp, False, mbh, mbw)
+                for k in range(n):
+                    cs.p_mb(k % mbw, k // mbw, bool(skipf[k]), mvd_all[k],
+                            int(cbp_l[k]), int(cbp_c[k]), levels[k],
+                            dc_u[k], dc_v[k], ac_u[k], ac_v[k])
+                    cs.end_mb(k == n - 1)
+                payload = cs.payload()
         self.ref = (outj["recon_y"], outj["recon_u"], outj["recon_v"])
         if cfg.deblock:
             from .device import apply_loop_filter
@@ -363,7 +381,7 @@ class TpuEncoder:
             1 << (self.sps.log2_max_frame_num_minus4 + 4))
         if is_idr:
             self.idr_id = (self.idr_id + 1) % 65536
-        return wrap_nal(3, nal_type, hdr + cs.payload())
+        return wrap_nal(3, nal_type, hdr + payload)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None) -> bytes:
