@@ -106,3 +106,27 @@ def test_cli_y4m(tmp_path):
     dec = oracle.decode_container(out)
     assert dec is not None and dec[0].shape[0] == n
     assert abs(dec[4] - 30.0) < 1.0  # fps from y4m header
+
+
+def test_session_qp_offsets_conform():
+    """Per-frame QP changes (I-frame offset on the session path) must be
+    signaled via slice_qp_delta: FFmpeg's decode must bit-match our recon
+    (regression: slice_qp_delta was hardcoded 0)."""
+    w, h, n = 64, 64, 4
+    clip = oracle.make_test_clip(w, h, n)
+    s = CompressSession(EncoderParams(qp=30, keyint=30))
+    s.begin(w, h)
+    bs = b""
+    for f in range(n):
+        y = clip[f, :w * h].reshape(h, w)
+        u = clip[f, w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+        v = clip[f, w * h + w * h // 4:].reshape(h // 2, w // 2)
+        bs += s.compress((y, u, v))
+    s.end()
+    dec = oracle.decode_h264_planes(bs)
+    assert dec is not None
+    ys, us, vs = dec
+    rec = s.encoder.last_recon
+    assert np.array_equal(ys[-1], np.asarray(rec[0])[:h, :w])
+    assert np.array_equal(us[-1], np.asarray(rec[1])[:h // 2, :w // 2])
+    assert np.array_equal(vs[-1], np.asarray(rec[2])[:h // 2, :w // 2])

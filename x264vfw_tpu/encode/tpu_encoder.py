@@ -468,7 +468,7 @@ class TpuEncoder:
         h = SliceHeader(slice_type=slice_type + 5,
                         frame_num=self.frame_num,
                         idr_pic_id=self.idr_id,
-                        slice_qp_delta=0,
+                        slice_qp_delta=self.qp - (26 + self.pps.pic_init_qp_minus26),
                         disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
                         slice_alpha_c0_offset_div2=self.cfg.deblock_alpha,
                         slice_beta_offset_div2=self.cfg.deblock_beta)
