@@ -31,9 +31,15 @@ def make_clip(w, h, n, seed=0):
 def main():
     import jax
     import os
+    # per-host cache dir: XLA AOT artifacts are machine-specific (SIGILL
+    # risk when another host's cache is loaded)
+    import hashlib
+    import platform
+    host = hashlib.sha1((platform.processor() + platform.machine()
+                         + platform.node()).encode()).hexdigest()[:10]
     jax.config.update("jax_compilation_cache_dir",
                       os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                                   ".jax_cache"))
+                                   ".jax_cache", f"tpu-{host}"))
     jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 

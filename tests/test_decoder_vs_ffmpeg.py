@@ -84,3 +84,56 @@ def test_medium_preset_cavlc_no_b():
     opts = "no-cabac=1:bframes=0:weightp=0:8x8dct=0:keyint=30:no-mbtree=1:rc-lookahead=0:scenecut=0"
     _, bs = x264_stream(96, 96, 6, 28, opts, preset="medium", seed=7)
     check_match(bs, "medium cavlc")
+
+
+def check_match_display(bs, label=""):
+    """Like check_match but in display order (B-frame reordering)."""
+    ref = oracle.decode_h264_planes(bs)
+    assert ref is not None, f"oracle failed to decode {label}"
+    ry, ru, rv = ref
+    dec = H264Decoder()
+    dec.decode(bs)
+    frames = dec.display_order()
+    assert len(frames) == ry.shape[0], (label, len(frames), ry.shape[0])
+    for i, f in enumerate(frames):
+        np.testing.assert_array_equal(
+            np.asarray(f.y, dtype=np.uint8), ry[i], err_msg=f"{label} frame {i} luma")
+        np.testing.assert_array_equal(
+            np.asarray(f.u, dtype=np.uint8), ru[i], err_msg=f"{label} frame {i} cb")
+        np.testing.assert_array_equal(
+            np.asarray(f.v, dtype=np.uint8), rv[i], err_msg=f"{label} frame {i} cr")
+
+
+B_BASE = ("bframes=2:b-adapt=0:b-pyramid=none:cabac=0:ref=1:weightp=0:"
+          "weightb=0:8x8dct=0:partitions=none:keyint=30:scenecut=0:"
+          "threads=1:direct=spatial:no-mbtree=1:rc-lookahead=0")
+
+
+@pytest.mark.parametrize("qp", [22, 30])
+def test_b_frames_spatial_direct(qp):
+    """Real x264 B stream: direct/skip/L0/L1/Bi 16x16 + I4x4-in-P,
+    deblocking ON (per-list bs rules)."""
+    _, bs = x264_stream(96, 80, 10, qp, B_BASE + ":subme=1", preset="medium")
+    check_match_display(bs, f"bframes qp{qp}")
+
+
+def test_b_frames_16x8_partitions():
+    """B_L0_L0_16x8-family two-partition types + subpel."""
+    _, bs = x264_stream(96, 80, 10, 26,
+                        B_BASE.replace("partitions=none", "partitions=p8x8")
+                        + ":subme=4", preset="medium", seed=5)
+    check_match_display(bs, "bframes 16x8")
+
+
+def test_b_frames_bframes1_nodeblock():
+    _, bs = x264_stream(64, 64, 8, 28, B_BASE + ":no-deblock=1:subme=0")
+    check_match_display(bs, "bframes=1 nodeblock")
+
+
+@pytest.mark.parametrize("qp", [22, 30])
+def test_cabac_b_frames_spatial_direct(qp):
+    """Real x264 CABAC B stream (16x16 modes, direct/skip, deblock on)."""
+    _, bs = x264_stream(96, 80, 10, qp,
+                        B_BASE.replace("cabac=0", "cabac=1") + ":subme=1",
+                        preset="medium")
+    check_match_display(bs, f"cabac bframes qp{qp}")

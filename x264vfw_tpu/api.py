@@ -79,10 +79,13 @@ class CompressSession:
             raise ValueError(f"unsupported geometry {width}x{height}")
         self.rc = RateController(p)
         qp = self.rc.qp_for_frame(True)
+        bframes = min(p.bframes, 16)
+        cabac = p.cabac
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
             search_range=min(p.merange, 16),
+            bframes=bframes, cabac=cabac,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,
@@ -90,6 +93,8 @@ class CompressSession:
             # interpret mode instead of compiled Mosaic
             me_backend="pallas_interpret" if p.no_asm else "auto",
         ))
+        self._encode_idx = 0
+        self._delay = 1 if bframes else 0
         if output is not None:
             self.muxer = select_muxer(
                 output if isinstance(output, str) else "", container)
@@ -107,33 +112,51 @@ class CompressSession:
     # ---------------------------------------------------------- compress
     def compress(self, frame, fmt: str = "i420") -> bytes:
         """frame: (y, u, v) planes for planar fmts, packed array otherwise.
-        Returns the Annex-B access unit (also routed to the muxer)."""
+        Returns the Annex-B access units emitted for this input (b"" while
+        frames are buffered for B-frame reordering — the delayed-frames
+        model of the reference, codec.c:1798-1831)."""
         if self.error:
             raise RuntimeError("encoder in error state")
         assert self.encoder is not None, "begin() not called"
-        is_idr = (self.frame_count % self.params.keyint) == 0
-        qp = self.rc.qp_for_frame(is_idr)
+        qp_i = self.rc.qp_for_type("I")
+        qp_p = self.rc.qp_for_type("P")
+        qp_b = self.rc.qp_for_type("B")
         try:
             y, u, v = _to_i420(frame, fmt)
-            au = self.encoder.encode_frame(y, u, v, qp=qp)
+            outs = self.encoder.push_frame(y, u, v, qp_i=qp_i, qp_p=qp_p,
+                                           qp_b=qp_b)
         except Exception:
             self.error = True
             raise
-        self.rc.update(is_idr, qp, len(au) * 8)
-        pts = self.frame_count
         self.frame_count += 1
-        self._second = self._largest
-        self._largest = pts
-        self._bits_total += len(au) * 8
-        if self.muxer is not None:
-            payload, key = _strip_parameter_sets(au)
-            self.muxer.write_frame(payload, pts=pts, dts=pts, keyframe=key)
-        return au
+        return self._emit(outs)
+
+    def _emit(self, outs) -> bytes:
+        result = b""
+        for (au, pts, key) in outs:
+            ftype = "I" if key else ("B" if (au[4] & 0x60) == 0 else "P")
+            self.rc.update(ftype, self.rc.qp_for_type(ftype), len(au) * 8)
+            if pts > self._largest:
+                self._second = self._largest
+                self._largest = pts
+            elif pts > self._second:
+                self._second = pts
+            self._bits_total += len(au) * 8
+            if self.muxer is not None:
+                payload, k = _strip_parameter_sets(au)
+                dts = max(0, self._encode_idx - self._delay)
+                self.muxer.write_frame(payload, pts=pts, dts=dts, keyframe=k)
+            self._encode_idx += 1
+            result += au
+        return result
 
     # --------------------------------------------------------------- end
     def end(self) -> dict:
-        """Flush and close; returns summary stats (fps/bitrate telemetry,
-        the log-callback stats role of the reference)."""
+        """Flush delayed frames and close; returns summary stats (the
+        log-callback stats role of the reference)."""
+        tail = b""
+        if self.encoder is not None and not self.error:
+            tail = self._emit(self.encoder.flush(qp_p=self.rc.qp_for_type("P")))
         if self.muxer is not None:
             self.muxer.close_file(self._largest, self._second)
             self.muxer = None
@@ -144,6 +167,7 @@ class CompressSession:
         stats = {
             "frames": self.frame_count,
             "kbps": self._bits_total / 1000.0 / dur if dur else 0.0,
+            "tail": tail,  # delayed AUs flushed at end (B reordering)
         }
         if self.frame_count:
             self.log.info(f"encoded {self.frame_count} frames, "
@@ -151,7 +175,7 @@ class CompressSession:
         return stats
 
     def frames_info(self) -> FramesInfo:
-        return FramesInfo(delay=0)
+        return FramesInfo(delay=min(self.params.bframes, 16))
 
 
 class DecompressSession:
@@ -162,22 +186,41 @@ class DecompressSession:
 
     def __init__(self) -> None:
         self.decoder = H264Decoder()
-        self._emitted = 0
+        self._consumed = 0
+        self._reorder: list = []
 
     def begin(self, width: int = 0, height: int = 0) -> None:
         self.decoder = H264Decoder()
-        self._emitted = 0
+        self._consumed = 0
+        self._reorder = []
         self._wh = (width, height)
 
+    def _pop_display(self):
+        """Emit the earliest frame in display order (IDR epoch, POC)."""
+        i = min(range(len(self._reorder)),
+                key=lambda k: (getattr(self._reorder[k], "idr_epoch", 0),
+                               self._reorder[k].poc))
+        f = self._reorder.pop(i)
+        return (np.asarray(f.y, np.uint8), np.asarray(f.u, np.uint8),
+                np.asarray(f.v, np.uint8))
+
     def decompress(self, au: bytes):
-        """Feed one access unit; returns (y, u, v) or a black frame if the
-        decoder produced nothing yet."""
-        frames = self.decoder.decode(au)
-        if len(frames) > self._emitted:
-            f = frames[self._emitted]
-            self._emitted += 1
-            return (np.asarray(f.y, np.uint8), np.asarray(f.u, np.uint8),
-                    np.asarray(f.v, np.uint8))
+        """Feed one access unit; returns (y, u, v) in DISPLAY order, or a
+        black frame if nothing is ready yet (delayed-frame masking like the
+        reference, codec.c:2250-2256).  Feed b"" to drain at end of stream."""
+        if au:
+            frames = self.decoder.decode(au)
+            self._reorder += frames[self._consumed:]
+            self._consumed = len(frames)
+        # reordering window: streams without B emit immediately; POC-type-0
+        # streams hold 1 frame (non-ref B delay)
+        delay = 0
+        if self._reorder:
+            sps = next(iter(self.decoder.sps.values()), None)
+            if au and sps is not None and sps.pic_order_cnt_type == 0:
+                delay = 1
+        if len(self._reorder) > delay:
+            return self._pop_display()
         w, h = self._wh
         if not w:
             return None
@@ -186,7 +229,7 @@ class DecompressSession:
                 np.full((h // 2, w // 2), 128, np.uint8))
 
     def end(self) -> None:
-        pass
+        self._reorder = []
 
 
 def _crf_to_qp(crf: float) -> int:

@@ -107,7 +107,9 @@ class CabacSliceBase:
         self.coded = np.zeros((mbh, mbw), bool)
         self.cbp_luma = np.zeros((mbh, mbw), np.int32)
         self.cbp_chroma = np.zeros((mbh, mbw), np.int32)
-        self.mvd = np.zeros((mbh, mbw, 2), np.int32)
+        self.mvd = np.zeros((mbh, mbw, 2), np.int32)       # list 0
+        self.mvd1 = np.zeros((mbh, mbw, 2), np.int32)      # list 1 (B)
+        self.direct = np.zeros((mbh, mbw), bool)           # B_Skip/B_Direct
         self.cbf4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.cbf_dc = np.zeros((mbh, mbw), np.int32)
         self.is_i16 = np.zeros((mbh, mbw), bool)
@@ -213,23 +215,25 @@ class CabacSliceBase:
         return cond(gx - 1, gy) + 2 * cond(gx, gy - 1)
 
     # ---------------- element coders ----------------
-    def skip_flag(self, mx, my, skipped=None):
+    def skip_flag(self, mx, my, skipped=None, base=11):
         def cond(x, y):
             if not self.avail(x, y):
                 return 0
             return 0 if self.skip[y, x] else 1
 
-        # 3 contexts (11..13): ctxIdxInc = condTermFlagA + condTermFlagB
-        v = self.io.decision(11 + cond(mx - 1, my) + cond(mx, my - 1),
+        # P: ctx 11..13, B: ctx 24..26; ctxIdxInc = condTermA + condTermB
+        v = self.io.decision(base + cond(mx - 1, my) + cond(mx, my - 1),
                              int(skipped) if skipped is not None else None)
         self.skip[my, mx] = bool(v)
         return bool(v)
 
-    def mvd_comp(self, mx, my, comp, val=None):
+    def mvd_comp(self, mx, my, comp, val=None, lst=0):
+        mvd_f = self.mvd if lst == 0 else self.mvd1
+
         def absmvd(x, y):
             if not self.avail(x, y):
                 return 0
-            return abs(int(self.mvd[y, x, comp]))
+            return abs(int(mvd_f[y, x, comp]))
 
         s = absmvd(mx - 1, my) + absmvd(mx, my - 1)
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
@@ -237,6 +241,67 @@ class CabacSliceBase:
         v = _ueg(self.io, [off + inc, off + 3, off + 4, off + 5, off + 6],
                  3, 9, value=val)
         return v
+
+    def b_mb_type(self, mx, my, val=None):
+        """B-slice mb_type bins (ctxIdxOffset 27, Table 9-37 shape as
+        implemented by x264/FFmpeg).  val: Table 7-14 value to write, or
+        None to read.  Returns the value; intra returns ('intra',) and the
+        caller reads the intra suffix (ctx base 32)."""
+        io = self.io
+
+        def cond(x, y):
+            if not self.avail(x, y) or not self.coded[y, x]:
+                return 0
+            return 0 if (self.skip[y, x] or self.direct[y, x]) else 1
+
+        inc = cond(mx - 1, my) + cond(mx, my - 1)
+        write = val is not None
+        num = (23 if isinstance(val, tuple) else val) if write else None
+        b0 = io.decision(27 + inc, int(num != 0) if write else None)
+        if not b0:
+            return 0
+        b1 = io.decision(27 + 3, int(num > 2) if write else None)
+        if not b1:
+            b = io.decision(27 + 5, int(num == 2) if write else None)
+            return 1 + b
+        # 4-bin field (then maybe one more for values 12..21)
+        if write:
+            if num >= 23:                       # intra suffix follows
+                bits = 13
+            elif num <= 10:
+                bits = num - 3
+            elif num == 11:
+                bits = 14
+            elif num == 22:
+                bits = 15
+            else:                               # 12..21 -> 5-bin (num+4)
+                bits = (num + 4) >> 1
+        else:
+            bits = 0
+        got = io.decision(27 + 4, (bits >> 3) & 1 if write else None) << 3
+        got |= io.decision(27 + 5, (bits >> 2) & 1 if write else None) << 2
+        got |= io.decision(27 + 5, (bits >> 1) & 1 if write else None) << 1
+        got |= io.decision(27 + 5, bits & 1 if write else None)
+        if got < 8:
+            return got + 3
+        if got == 13:
+            return ("intra",)
+        if got == 14:
+            return 11
+        if got == 15:
+            return 22
+        extra = io.decision(27 + 5, ((num + 4) & 1) if write else None)
+        return ((got << 1) | extra) - 4
+
+    def b_intra_suffix(self, val=None):
+        """Intra mb_type suffix in B slices (ctx base 32)."""
+        io = self.io
+        b0 = io.decision(32, 1 if val is not None else None)
+        if not b0:
+            return ("i4",)
+        if io.terminate(0 if val is not None else None):
+            raise NotImplementedError("I_PCM")
+        return ("i16",) + self._i16_type_bins(33, 34, 34, 35, 35, val)
 
     def cbp(self, mx, my, cbp_l=None, cbp_c=None):
         io = self.io
@@ -384,6 +449,7 @@ class CabacSlice(CabacSliceBase):
              dc_u, dc_v, ac_u, ac_v):
         self.coded[my, mx] = True
         if self.skip_flag(mx, my, skipped):
+            self.prev_qp_delta_nz = 0
             return
         io = self.io
         io.decision(14, 0)
@@ -392,6 +458,43 @@ class CabacSlice(CabacSliceBase):
         self.mvd_comp(mx, my, 0, int(mv_d[0]))
         self.mvd_comp(mx, my, 1, int(mv_d[1]))
         self.mvd[my, mx] = mv_d
+        self.cbp(mx, my, cbp_l, cbp_c)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return
+        self.qp_delta(0)
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
+            cbf, _ = self.residual(2, inc, coeffs=levels16[blk])
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._chroma_res(mx, my, cbp_c, False,
+                         dc_u=dc_u, dc_v=dc_v, ac_u=ac_u, ac_v=ac_v)
+
+    def b_mb(self, mx, my, skipped, mode, mvd0, mvd1, cbp_l, cbp_c,
+             levels16, dc_u, dc_v, ac_u, ac_v):
+        """One B macroblock: B_Skip / B_Direct_16x16 / B_{L0,L1,Bi}_16x16.
+        mode: 0=direct, 1=L0, 2=L1, 3=Bi (Table 7-14)."""
+        self.coded[my, mx] = True
+        if self.skip_flag(mx, my, skipped, base=24):
+            self.direct[my, mx] = True
+            self.prev_qp_delta_nz = 0
+            return
+        io = self.io
+        self.b_mb_type(mx, my, mode)
+        self.direct[my, mx] = mode == 0
+        if mode in (1, 3):
+            self.mvd_comp(mx, my, 0, int(mvd0[0]), lst=0)
+            self.mvd_comp(mx, my, 1, int(mvd0[1]), lst=0)
+            self.mvd[my, mx] = mvd0
+        if mode in (2, 3):
+            self.mvd_comp(mx, my, 0, int(mvd1[0]), lst=1)
+            self.mvd_comp(mx, my, 1, int(mvd1[1]), lst=1)
+            self.mvd1[my, mx] = mvd1
         self.cbp(mx, my, cbp_l, cbp_c)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
@@ -463,6 +566,7 @@ class CabacSliceReader(CabacSliceBase):
         """Returns dict with skip/mvd/cbp/levels arrays."""
         self.coded[my, mx] = True
         if self.skip_flag(mx, my):
+            self.prev_qp_delta_nz = 0
             return {"skip": True}
         io = self.io
         b0 = io.decision(14)
@@ -488,6 +592,56 @@ class CabacSliceReader(CabacSliceBase):
                "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
                "ac_u": np.zeros((4, 15), np.int32),
                "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return out
+        out["qpd"] = self.qp_delta()
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
+            cbf, coeffs = self.residual(2, inc, n=16)
+            out["levels"][blk] = coeffs
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._read_chroma(mx, my, cbp_c, False, out)
+        return out
+
+    def read_b_mb(self, mx, my):
+        """Returns dict for one B MB (16x16 modes + direct/skip; intra)."""
+        self.coded[my, mx] = True
+        if self.skip_flag(mx, my, base=24):
+            self.direct[my, mx] = True
+            self.prev_qp_delta_nz = 0
+            return {"skip": True}
+        t = self.b_mb_type(mx, my)
+        if isinstance(t, tuple):
+            it = self.b_intra_suffix()
+            out = self._read_intra_common(mx, my, it)
+            out["intra"] = True
+            out["skip"] = False
+            return out
+        if t > 3:
+            raise NotImplementedError(f"B mb_type {t} (partitions) in CABAC")
+        self.direct[my, mx] = t == 0
+        out = {"skip": False, "intra": False, "mode": t,
+               "mvd0": np.zeros(2, np.int32), "mvd1": np.zeros(2, np.int32),
+               "levels": np.zeros((16, 16), np.int32),
+               "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
+               "ac_u": np.zeros((4, 15), np.int32),
+               "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        if t in (1, 3):
+            out["mvd0"] = np.array([self.mvd_comp(mx, my, 0, lst=0),
+                                    self.mvd_comp(mx, my, 1, lst=0)], np.int32)
+            self.mvd[my, mx] = out["mvd0"]
+        if t in (2, 3):
+            out["mvd1"] = np.array([self.mvd_comp(mx, my, 0, lst=1),
+                                    self.mvd_comp(mx, my, 1, lst=1)], np.int32)
+            self.mvd1[my, mx] = out["mvd1"]
+        cbp_l, cbp_c = self.cbp(mx, my)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        out["cbp_l"], out["cbp_c"] = cbp_l, cbp_c
         if cbp_l == 0 and cbp_c == 0:
             self.prev_qp_delta_nz = 0
             return out

@@ -82,6 +82,10 @@ class H264Decoder:
         self.pps: dict[int, PPS] = {}
         self.dpb: list[Frame] = []   # short-term refs, most recent first
         self.frames: list[Frame] = []
+        # POC (type 0) decoding state, §8.2.1.1
+        self._prev_poc_msb = 0
+        self._prev_poc_lsb = 0
+        self._idr_epoch = 0
 
     # ------------------------------------------------------------------ API
     def decode(self, annexb: bytes) -> list[Frame]:
@@ -98,7 +102,35 @@ class H264Decoder:
             # SEI/AUD/filler ignored
         return self.frames
 
+    def display_order(self) -> list[Frame]:
+        """Decoded frames reordered for output (IDR epoch, then POC) —
+        the output-order role FFmpeg plays in the reference decode path."""
+        return sorted(self.frames,
+                      key=lambda f: (getattr(f, "idr_epoch", 0), f.poc))
+
     # -------------------------------------------------------------- slices
+    def _compute_poc(self, sps: SPS, h: SliceHeader, nal_type: int,
+                     nal_ref_idc: int) -> int:
+        if sps.pic_order_cnt_type == 2:
+            return 2 * len(self.frames)   # decode order == display order
+        # type 0 (§8.2.1.1)
+        max_lsb = 1 << (sps.log2_max_pic_order_cnt_lsb_minus4 + 4)
+        if nal_type == NAL_SLICE_IDR:
+            self._prev_poc_msb = 0
+            self._prev_poc_lsb = 0
+        lsb = h.pic_order_cnt_lsb
+        if (lsb < self._prev_poc_lsb
+                and self._prev_poc_lsb - lsb >= max_lsb // 2):
+            msb = self._prev_poc_msb + max_lsb
+        elif (lsb > self._prev_poc_lsb
+                and lsb - self._prev_poc_lsb > max_lsb // 2):
+            msb = self._prev_poc_msb - max_lsb
+        else:
+            msb = self._prev_poc_msb
+        if nal_ref_idc != 0:
+            self._prev_poc_msb, self._prev_poc_lsb = msb, lsb
+        return msb + lsb
+
     def _decode_slice(self, rbsp: np.ndarray, nal_type: int, nal_ref_idc: int) -> None:
         r = BitReader(rbsp)
         # need pps id before full parse: peek via temp parse
@@ -109,15 +141,17 @@ class H264Decoder:
         pps = self.pps[pps_id]
         sps = self.sps[pps.seq_parameter_set_id]
         h = SliceHeader.parse(r, sps, pps, nal_type, nal_ref_idc)
-        if h.is_b():
-            raise NotImplementedError("B slices not implemented yet")
+        if h.is_b() and not h.direct_spatial_mv_pred_flag:
+            raise NotImplementedError("temporal direct mode")
         if h.first_mb_in_slice != 0:
             raise NotImplementedError("multi-slice pictures not yet supported")
 
         if nal_type == NAL_SLICE_IDR:
             self.dpb.clear()
+            self._idr_epoch += 1
 
-        st = _SliceDecoder(self, sps, pps, h, nal_type, nal_ref_idc)
+        poc = self._compute_poc(sps, h, nal_type, nal_ref_idc)
+        st = _SliceDecoder(self, sps, pps, h, nal_type, nal_ref_idc, poc)
         if pps.entropy_coding_mode_flag:
             # cabac_alignment_one_bit(s), then the arithmetic payload
             pad = (-r.bit_position) % 8
@@ -128,21 +162,26 @@ class H264Decoder:
         else:
             frame = st.decode_slice_data(r)
 
+        frame.poc = poc
+        frame.idr_epoch = self._idr_epoch
         if nal_ref_idc != 0:
             frame.is_ref = True
             self.dpb.insert(0, frame)
             # sliding window (§8.2.5.3)
             max_refs = max(1, sps.max_num_ref_frames)
             del self.dpb[max_refs:]
-        self.frames.append(frame.crop(sps.width, sps.height))
+        out = frame.crop(sps.width, sps.height)
+        out.idr_epoch = self._idr_epoch
+        self.frames.append(out)
 
 
 class _SliceDecoder:
     """Decodes one slice's macroblocks into a Frame."""
 
     def __init__(self, top: H264Decoder, sps: SPS, pps: PPS, h: SliceHeader,
-                 nal_type: int, nal_ref_idc: int) -> None:
+                 nal_type: int, nal_ref_idc: int, poc: int = 0) -> None:
         self.sps, self.pps, self.h = sps, pps, h
+        self.poc = poc
         self.mbw = sps.mb_width
         self.mbh = sps.mb_height
         W, H = self.mbw * 16, self.mbh * 16
@@ -157,9 +196,16 @@ class _SliceDecoder:
         self.tc_chroma = np.zeros((2, self.mbh * 2, self.mbw * 2), dtype=np.int32)
         # intra 4x4 modes per 4x4 block (-1 = not I4x4)
         self.i4_modes = np.full((self.mbh * 4, self.mbw * 4), -1, dtype=np.int32)
-        # motion field per 4x4 block
+        # motion field per 4x4 block (list 0; list 1 for B slices)
         self.mv = np.zeros((self.mbh * 4, self.mbw * 4, 2), dtype=np.int32)
         self.ref = np.full((self.mbh * 4, self.mbw * 4), -1, dtype=np.int32)
+        self.mv1 = np.zeros((self.mbh * 4, self.mbw * 4, 2), dtype=np.int32)
+        self.ref1 = np.full((self.mbh * 4, self.mbw * 4), -1, dtype=np.int32)
+        # per-list reference PICTURE identity (id() of the Frame) for the
+        # deblock bs rule "different reference pictures" (§8.7.2.1) — list
+        # index equality is not picture equality across L0/L1
+        self.refpic = np.full((2, self.mbh * 4, self.mbw * 4), -1,
+                              dtype=np.int64)
         # per-4x4-block "decoded" flag (MV-pred availability, §6.4.10.4)
         self.blk_done = np.zeros((self.mbh * 4, self.mbw * 4), dtype=bool)
         self.is_idr = nal_type == NAL_SLICE_IDR
@@ -177,10 +223,21 @@ class _SliceDecoder:
             "cbp_luma": np.zeros(self.mbh * self.mbw, np.int32),
             "cbp_chroma": np.zeros(self.mbh * self.mbw, np.int32),
         }
-        # reference list 0: default order = dpb most-recent-first
-        self.ref_list0 = list(top.dpb[:h.num_ref_idx_l0_active_minus1 + 1]) \
-            if (h.is_p()) else []
-        if h.ref_pic_list_mod_l0:
+        # reference lists (§8.2.4.2): P L0 = dpb most-recent-first;
+        # B L0 = POC-before (descending) then POC-after (ascending),
+        # B L1 = POC-after (ascending) then POC-before (descending)
+        self.ref_list0: list[Frame] = []
+        self.ref_list1: list[Frame] = []
+        if h.is_p():
+            self.ref_list0 = list(top.dpb[:h.num_ref_idx_l0_active_minus1 + 1])
+        elif h.is_b():
+            before = sorted((f for f in top.dpb if f.poc < poc),
+                            key=lambda f: -f.poc)
+            after = sorted((f for f in top.dpb if f.poc > poc),
+                           key=lambda f: f.poc)
+            self.ref_list0 = (before + after)[:h.num_ref_idx_l0_active_minus1 + 1]
+            self.ref_list1 = (after + before)[:h.num_ref_idx_l1_active_minus1 + 1]
+        if h.ref_pic_list_mod_l0 or h.ref_pic_list_mod_l1:
             raise NotImplementedError("ref list modification")
         # per-MB intra flag for nC... (kept via mb_type map)
 
@@ -222,11 +279,16 @@ class _SliceDecoder:
         h = self.h
         mb_idx = 0
         n_mbs = self.mbw * self.mbh
+        inter_slice = h.is_p() or h.is_b()
         while mb_idx < n_mbs:
-            if h.is_p():
+            if inter_slice:
                 skip_run = r.ue()
                 for _ in range(skip_run):
-                    self._decode_p_skip(mb_idx % self.mbw, mb_idx // self.mbw)
+                    mx, my = mb_idx % self.mbw, mb_idx // self.mbw
+                    if h.is_p():
+                        self._decode_p_skip(mx, my)
+                    else:
+                        self._decode_b_skip(mx, my)
                     mb_idx += 1
                 if mb_idx >= n_mbs:
                     break
@@ -234,7 +296,7 @@ class _SliceDecoder:
                     break
             self._decode_mb(r, mb_idx % self.mbw, mb_idx // self.mbw)
             mb_idx += 1
-            if not h.is_p() and mb_idx < n_mbs and not r.more_rbsp_data():
+            if not inter_slice and mb_idx < n_mbs and not r.more_rbsp_data():
                 raise ValueError("slice data exhausted early")
 
         if h.disable_deblocking_filter_idc != 1:
@@ -256,7 +318,15 @@ class _SliceDecoder:
         n = self.mbh * self.mbw
         for k in range(n):
             mx, my = k % self.mbw, k // self.mbw
-            if h.is_p():
+            if h.is_b():
+                o = rd.read_b_mb(mx, my)
+                if o["skip"]:
+                    self._decode_b_skip(mx, my)
+                elif o.get("intra"):
+                    self._recon_intra_cabac(mx, my, o)
+                else:
+                    self._recon_b_cabac(mx, my, o)
+            elif h.is_p():
                 o = rd.read_p_mb(mx, my)
                 if o["skip"]:
                     self._decode_p_skip(mx, my)
@@ -285,10 +355,55 @@ class _SliceDecoder:
         self.mb_type[my, mx] = 100
         pmv = self._mv_pred(mx, my, 0, 0, 4, 4, 0)
         mv = pmv + o["mvd"]
-        self.mv[gy:gy + 4, gx:gx + 4] = mv
-        self.ref[gy:gy + 4, gx:gx + 4] = 0
-        self.blk_done[gy:gy + 4, gx:gx + 4] = True
+        self._set_motion(mx, my, (0, 0, 4, 4), True, False, mv, 0, None, None)
         self._inter_recon_16x16(mx, my, mv, 0)
+        self.qp += o["qpd"]
+        self.qp_map[my, mx] = self.qp
+        qp = self.qp
+        qpc = int(tnp.chroma_qp(qp, self.pps.chroma_qp_index_offset))
+        x0, y0 = mx * 16, my * 16
+        for blk in range(16):
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            ggx, ggy = mx * 4 + bx, my * 4 + by
+            lv = o["levels"][blk]
+            self.tc_luma[ggy, ggx] = int(np.count_nonzero(lv))
+            if not lv.any():
+                continue
+            blkc = tnp.zigzag_unscan(lv.reshape(1, 16))[0]
+            d = tnp.dequant4x4(blkc.reshape(1, 4, 4), qp)
+            res = tnp.idct4x4_core(d)[0]
+            px, py = x0 + bx * 4, y0 + by * 4
+            self.y[py:py + 4, px:px + 4] = np.clip(
+                self.y[py:py + 4, px:px + 4] + res, 0, 255)
+        xc, yc = mx * 8, my * 8
+        preds = [self.u[yc:yc + 8, xc:xc + 8].copy(),
+                 self.v[yc:yc + 8, xc:xc + 8].copy()]
+        self.tc_chroma[0, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_u"], axis=1).reshape(2, 2)
+        self.tc_chroma[1, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = \
+            np.count_nonzero(o["ac_v"], axis=1).reshape(2, 2)
+        resid = {"dc": [o["dc_u"], o["dc_v"]],
+                 "ac": np.stack([o["ac_u"], o["ac_v"]])}
+        self._recon_chroma(preds, resid, mx, my, qpc)
+
+    def _recon_b_cabac(self, mx: int, my: int, o: dict) -> None:
+        """B MB recon from CABAC syntax (16x16 modes + direct)."""
+        t = o["mode"]
+        self.mb_type[my, mx] = 200 + t
+        if t == 0:
+            self._b_direct_recon(mx, my)
+        else:
+            use = (t in (1, 3), t in (2, 3))
+            mvs = [np.zeros(2, np.int32), np.zeros(2, np.int32)]
+            for x in (0, 1):
+                if use[x]:
+                    pmv = self._mv_pred(mx, my, 0, 0, 4, 4, 0, x)
+                    mvs[x] = pmv + o["mvd0" if x == 0 else "mvd1"]
+            self._set_motion(mx, my, (0, 0, 4, 4), use[0], use[1],
+                             mvs[0], 0, mvs[1], 0)
+            self._inter_recon_b(mx, my, (0, 0, 16, 16), use[0], use[1],
+                                mvs[0], 0, mvs[1], 0)
+        # residual application (same tail as CABAC P, §-shared helpers)
         self.qp += o["qpd"]
         self.qp_map[my, mx] = self.qp
         qp = self.qp
@@ -567,11 +682,15 @@ class _SliceDecoder:
 
     # --------------------------------------------------------------- inter
     def _mv_pred(self, mx: int, my: int, part_x: int, part_y: int,
-                 part_w: int, part_h: int, ref_idx: int) -> np.ndarray:
+                 part_w: int, part_h: int, ref_idx: int,
+                 lst: int = 0) -> np.ndarray:
         """Median MV prediction (§8.4.1.3). part coords in 4-pel units
-        relative to MB origin; sizes in 4-pel units."""
+        relative to MB origin; sizes in 4-pel units.  lst selects the
+        motion field (list 0 / list 1 for B slices)."""
         gx = mx * 4 + part_x
         gy = my * 4 + part_y
+        mv_f = self.mv if lst == 0 else self.mv1
+        ref_f = self.ref if lst == 0 else self.ref1
 
         def nb(bx, by):
             """-> (avail, mv, ref)"""
@@ -579,8 +698,10 @@ class _SliceDecoder:
                 return False, np.zeros(2, np.int32), -1
             if not self.blk_done[by, bx]:
                 return False, np.zeros(2, np.int32), -1
-            # intra neighbors: available but treated as ref -1, mv 0
-            return True, self.mv[by, bx], int(self.ref[by, bx])
+            # intra / not-using-this-list neighbors: available, ref -1, mv 0
+            rr = int(ref_f[by, bx])
+            return True, (mv_f[by, bx] if rr >= 0
+                          else np.zeros(2, np.int32)), rr
 
         availA, mvA, refA = nb(gx - 1, gy)
         availB, mvB, refB = nb(gx, gy - 1)
@@ -634,23 +755,76 @@ class _SliceDecoder:
             mv = self._mv_pred(mx, my, 0, 0, 4, 4, 0)
         self.mb_type[my, mx] = 1000  # P_Skip marker (>=0 means decoded)
         self._inter_recon_16x16(mx, my, mv, 0)
-        self.mv[gy:gy + 4, gx:gx + 4] = mv
-        self.ref[gy:gy + 4, gx:gx + 4] = 0
-        self.blk_done[gy:gy + 4, gx:gx + 4] = True
+        self._set_motion(mx, my, (0, 0, 4, 4), True, False, mv, 0, None, None)
         self.tc_luma[gy:gy + 4, gx:gx + 4] = 0
         self.tc_chroma[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
 
+    def _mc_pred(self, ref: Frame, x0: int, y0: int, pw: int, ph: int,
+                 mv: np.ndarray):
+        """Interpolated (y, u, v) prediction arrays for one partition."""
+        py_ = luma_mc(ref.y, x0, y0, int(mv[0]), int(mv[1]), pw, ph)
+        cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
+        pu = chroma_mc(ref.u, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
+        pv = chroma_mc(ref.v, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
+        return py_, pu, pv
+
     def _inter_recon_16x16(self, mx: int, my: int, mv: np.ndarray, ref_idx: int,
                            part: tuple[int, int, int, int] = (0, 0, 16, 16),
-                           store_only_pred: np.ndarray | None = None) -> None:
-        """Motion-compensate one partition into self planes (no residual)."""
+                           lst: int = 0) -> None:
+        """Motion-compensate one uni-directional partition into self planes."""
         px, py, pw, ph = part
-        ref = self.ref_list0[ref_idx]
+        ref = (self.ref_list0 if lst == 0 else self.ref_list1)[ref_idx]
         x0, y0 = mx * 16 + px, my * 16 + py
-        self.y[y0:y0 + ph, x0:x0 + pw] = luma_mc(ref.y, x0, y0, int(mv[0]), int(mv[1]), pw, ph)
+        gy, gu, gv = self._mc_pred(ref, x0, y0, pw, ph, mv)
         cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
-        self.u[cy:cy + ch, cx:cx + cw] = chroma_mc(ref.u, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
-        self.v[cy:cy + ch, cx:cx + cw] = chroma_mc(ref.v, cx, cy, int(mv[0]), int(mv[1]), cw, ch)
+        self.y[y0:y0 + ph, x0:x0 + pw] = gy
+        self.u[cy:cy + ch, cx:cx + cw] = gu
+        self.v[cy:cy + ch, cx:cx + cw] = gv
+
+    def _inter_recon_b(self, mx: int, my: int, part, flag0, flag1,
+                       mv0, ref0, mv1, ref1) -> None:
+        """B partition MC: L0-only / L1-only / default bi-prediction
+        ((p0 + p1 + 1) >> 1, §8.4.2.3.2, weighted_bipred_idc == 0)."""
+        px, py, pw, ph = part
+        x0, y0 = mx * 16 + px, my * 16 + py
+        cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
+        if flag0 and flag1:
+            a = self._mc_pred(self.ref_list0[ref0], x0, y0, pw, ph, mv0)
+            b = self._mc_pred(self.ref_list1[ref1], x0, y0, pw, ph, mv1)
+            gy = (a[0].astype(np.int32) + b[0] + 1) >> 1
+            gu = (a[1].astype(np.int32) + b[1] + 1) >> 1
+            gv = (a[2].astype(np.int32) + b[2] + 1) >> 1
+        elif flag0:
+            gy, gu, gv = self._mc_pred(self.ref_list0[ref0], x0, y0, pw, ph, mv0)
+        else:
+            gy, gu, gv = self._mc_pred(self.ref_list1[ref1], x0, y0, pw, ph, mv1)
+        self.y[y0:y0 + ph, x0:x0 + pw] = gy
+        self.u[cy:cy + ch, cx:cx + cw] = gu
+        self.v[cy:cy + ch, cx:cx + cw] = gv
+
+    def _set_motion(self, mx, my, part, flag0, flag1, mv0, ref0, mv1, ref1):
+        """Record per-4x4 motion/ref fields + ref-picture ids for one
+        partition (part in 4-pel units relative to the MB)."""
+        px, py, pw, ph = part
+        gx, gy = mx * 4 + px, my * 4 + py
+        sl = np.s_[gy:gy + ph, gx:gx + pw]
+        if flag0:
+            self.mv[sl] = mv0
+            self.ref[sl] = ref0
+            self.refpic[0][sl] = id(self.ref_list0[ref0]) % (1 << 62)
+        else:
+            self.mv[sl] = 0
+            self.ref[sl] = -1
+            self.refpic[0][sl] = -1
+        if flag1:
+            self.mv1[sl] = mv1
+            self.ref1[sl] = ref1
+            self.refpic[1][sl] = id(self.ref_list1[ref1]) % (1 << 62)
+        else:
+            self.mv1[sl] = 0
+            self.ref1[sl] = -1
+            self.refpic[1][sl] = -1
+        self.blk_done[sl] = True
 
     def _decode_inter_residual(self, r: BitReader, mx: int, my: int,
                                cbp_luma: int, qp: int) -> None:
@@ -675,16 +849,169 @@ class _SliceDecoder:
     def _apply_chroma_residual(self, *a, **k):  # pragma: no cover - unused stub
         raise NotImplementedError
 
+    # ------------------------------------------------------------- B MBs
+    def _b_direct_motion(self, mx: int, my: int):
+        """Spatial direct luma motion (§8.4.1.2.2, direct_8x8_inference):
+        returns (flag0, flag1, ref0, ref1, mv0q, mv1q) with per-8x8-quadrant
+        MVs mv*q of shape (2, 2, 2) [qy, qx, xy]."""
+        gx, gy = mx * 4, my * 4
+        w4, h4 = self.mbw * 4, self.mbh * 4
+
+        def nb(ref_f, bx, by):
+            avail = (0 <= bx < w4 and 0 <= by < h4
+                     and bool(self.blk_done[by, bx]))
+            return avail, (int(ref_f[by, bx]) if avail else -1)
+
+        def minpos(a, b):
+            return min(a, b) if (a >= 0 and b >= 0) else max(a, b)
+
+        refs = []
+        for ref_f in (self.ref, self.ref1):
+            _, rA = nb(ref_f, gx - 1, gy)
+            availC, rC = nb(ref_f, gx + 4, gy - 1)
+            if not availC:
+                _, rC = nb(ref_f, gx - 1, gy - 1)   # D substitutes
+            _, rB = nb(ref_f, gx, gy - 1)
+            refs.append(minpos(minpos(rA, rB), rC))
+        ref0, ref1 = refs
+        z = np.zeros((2, 2, 2), np.int32)
+        if ref0 < 0 and ref1 < 0:
+            # directZeroPredictionFlag: bi(0,0) with refIdx 0,0
+            return True, True, 0, 0, z, z
+        mvp0 = (self._mv_pred(mx, my, 0, 0, 4, 4, ref0, 0)
+                if ref0 >= 0 else np.zeros(2, np.int32))
+        mvp1 = (self._mv_pred(mx, my, 0, 0, 4, 4, ref1, 1)
+                if ref1 >= 0 else np.zeros(2, np.int32))
+        col = self.ref_list1[0]
+        mv0q = np.zeros((2, 2, 2), np.int32)
+        mv1q = np.zeros((2, 2, 2), np.int32)
+        for qy in (0, 1):
+            for qx in (0, 1):
+                cbx, cby = gx + 3 * qx, gy + 3 * qy   # corner 4x4 of quadrant
+                colref = int(col.refs[cby, cbx]) if col.refs is not None else -1
+                if colref < 0 and getattr(col, "refs1", None) is not None:
+                    colref = int(col.refs1[cby, cbx])
+                    colmv = col.mvs1[cby, cbx]
+                else:
+                    colmv = (col.mvs[cby, cbx] if col.mvs is not None
+                             else np.zeros(2, np.int32))
+                colzero = (colref == 0 and abs(int(colmv[0])) <= 1
+                           and abs(int(colmv[1])) <= 1)
+                mv0q[qy, qx] = 0 if (ref0 == 0 and colzero) else mvp0
+                mv1q[qy, qx] = 0 if (ref1 == 0 and colzero) else mvp1
+        return ref0 >= 0, ref1 >= 0, max(ref0, 0), max(ref1, 0), mv0q, mv1q
+
+    def _b_direct_recon(self, mx: int, my: int) -> None:
+        f0, f1, r0, r1, mv0q, mv1q = self._b_direct_motion(mx, my)
+        for qy in (0, 1):
+            for qx in (0, 1):
+                self._inter_recon_b(mx, my, (8 * qx, 8 * qy, 8, 8), f0, f1,
+                                    mv0q[qy, qx], r0, mv1q[qy, qx], r1)
+                self._set_motion(mx, my, (2 * qx, 2 * qy, 2, 2), f0, f1,
+                                 mv0q[qy, qx], r0, mv1q[qy, qx], r1)
+
+    def _decode_b_skip(self, mx: int, my: int) -> None:
+        self.qp_map[my, mx] = self.qp
+        self.mb_type[my, mx] = 1001  # B_Skip marker
+        self._b_direct_recon(mx, my)
+        gx, gy = mx * 4, my * 4
+        self.tc_luma[gy:gy + 4, gx:gx + 4] = 0
+        self.tc_chroma[:, my * 2:my * 2 + 2, mx * 2:mx * 2 + 2] = 0
+
+    # Table 7-14 list usage for two-partition B types 4..21:
+    #   (partition0_lists, partition1_lists), type&1 -> 8x16 else 16x8
+    _B2_COMBO = {
+        4: ((1, 0), (1, 0)), 5: ((1, 0), (1, 0)),
+        6: ((0, 1), (0, 1)), 7: ((0, 1), (0, 1)),
+        8: ((1, 0), (0, 1)), 9: ((1, 0), (0, 1)),
+        10: ((0, 1), (1, 0)), 11: ((0, 1), (1, 0)),
+        12: ((1, 0), (1, 1)), 13: ((1, 0), (1, 1)),
+        14: ((0, 1), (1, 1)), 15: ((0, 1), (1, 1)),
+        16: ((1, 1), (1, 0)), 17: ((1, 1), (1, 0)),
+        18: ((1, 1), (0, 1)), 19: ((1, 1), (0, 1)),
+        20: ((1, 1), (1, 1)), 21: ((1, 1), (1, 1)),
+    }
+
+    def _decode_b_mb(self, r: BitReader, mx: int, my: int, mb_type: int) -> None:
+        h = self.h
+        nref = (h.num_ref_idx_l0_active_minus1 + 1,
+                h.num_ref_idx_l1_active_minus1 + 1)
+        self.mb_type[my, mx] = 200 + mb_type
+
+        def read_ref(n):
+            if n == 1:
+                return 0
+            if n == 2:
+                return 1 - r.u(1)
+            return r.ue()
+
+        if mb_type == 0:                      # B_Direct_16x16
+            self._b_direct_recon(mx, my)
+        elif mb_type <= 3:                    # 16x16 L0/L1/Bi
+            use = (mb_type in (1, 3), mb_type in (2, 3))
+            refs = [read_ref(nref[x]) if use[x] else 0 for x in (0, 1)]
+            mvs = [np.zeros(2, np.int32), np.zeros(2, np.int32)]
+            for x in (0, 1):
+                if use[x]:
+                    pmv = self._mv_pred(mx, my, 0, 0, 4, 4, refs[x], x)
+                    mvs[x] = pmv + np.array([r.se(), r.se()], np.int32)
+            self._set_motion(mx, my, (0, 0, 4, 4), use[0], use[1],
+                             mvs[0], refs[0], mvs[1], refs[1])
+            self._inter_recon_b(mx, my, (0, 0, 16, 16), use[0], use[1],
+                                mvs[0], refs[0], mvs[1], refs[1])
+        elif mb_type <= 21:                   # two partitions
+            combo = self._B2_COMBO[mb_type]
+            vert = mb_type & 1                # odd -> 8x16
+            parts4 = [(0, 0, 2, 4), (2, 0, 2, 4)] if vert else \
+                     [(0, 0, 4, 2), (0, 2, 4, 2)]
+            refs = [[0, 0], [0, 0]]           # [part][list]
+            for x in (0, 1):
+                for p in (0, 1):
+                    if combo[p][x]:
+                        refs[p][x] = read_ref(nref[x])
+            mvs = [[np.zeros(2, np.int32) for _ in range(2)] for _ in range(2)]
+            for x in (0, 1):
+                for p in (0, 1):
+                    if not combo[p][x]:
+                        continue
+                    px, py, pw, ph = parts4[p]
+                    pmv = self._mv_pred(mx, my, px, py, pw, ph, refs[p][x], x)
+                    mvs[p][x] = pmv + np.array([r.se(), r.se()], np.int32)
+                    # store progressively: partition 1's prediction sees
+                    # partition 0's decoded motion (this list only)
+                    gx, gy = mx * 4 + px, my * 4 + py
+                    sl = np.s_[gy:gy + ph, gx:gx + pw]
+                    if x == 0:
+                        self.mv[sl] = mvs[p][x]
+                        self.ref[sl] = refs[p][x]
+                    else:
+                        self.mv1[sl] = mvs[p][x]
+                        self.ref1[sl] = refs[p][x]
+                    self.blk_done[sl] = True
+            for p in (0, 1):
+                px, py, pw, ph = parts4[p]
+                self._set_motion(mx, my, parts4[p], combo[p][0], combo[p][1],
+                                 mvs[p][0], refs[p][0], mvs[p][1], refs[p][1])
+                self._inter_recon_b(mx, my, (px * 4, py * 4, pw * 4, ph * 4),
+                                    combo[p][0], combo[p][1],
+                                    mvs[p][0], refs[p][0], mvs[p][1], refs[p][1])
+        else:
+            raise NotImplementedError(f"B mb_type {mb_type} (B_8x8)")
+        self._inter_mb_tail(r, mx, my)
+
     # ---------------------------------------------------------------- MB
     def _decode_mb(self, r: BitReader, mx: int, my: int) -> None:
         h = self.h
         mb_type = r.ue()
-        intra_offset = 5 if h.is_p() else 0
+        intra_offset = 5 if h.is_p() else (23 if h.is_b() else 0)
         if h.is_p() and mb_type < 5:
             self._decode_p_mb(r, mx, my, mb_type)
             return
+        if h.is_b() and mb_type < 23:
+            self._decode_b_mb(r, mx, my, mb_type)
+            return
         it = mb_type - intra_offset
-        if h.is_p():
+        if h.is_p() or h.is_b():
             self.collect["eligible"] = False
         if it == I_PCM:
             raise NotImplementedError("I_PCM")
@@ -792,13 +1119,11 @@ class _SliceDecoder:
             pmv = self._mv_pred(mx, my, 0, 0, 4, 4, ref)
             mvd = np.array([r.se(), r.se()], np.int32)
             mv = pmv + mvd
-            self.mv[gy:gy + 4, gx:gx + 4] = mv
-            self.ref[gy:gy + 4, gx:gx + 4] = ref
-            self.blk_done[gy:gy + 4, gx:gx + 4] = True
+            self._set_motion(mx, my, (0, 0, 4, 4), True, False,
+                             mv, ref, None, None)
             self._inter_recon_16x16(mx, my, mv, ref)
         elif mb_type in (P_L0_L0_16X8, P_L0_L0_8X16):
             refs = [read_ref(), read_ref()]
-            mvs = []
             for p in range(2):
                 if mb_type == P_L0_L0_16X8:
                     px, py, pw, ph = 0, p * 2, 4, 2
@@ -807,10 +1132,8 @@ class _SliceDecoder:
                 pmv = self._mv_pred(mx, my, px, py, pw, ph, refs[p])
                 mvd = np.array([r.se(), r.se()], np.int32)
                 mv = pmv + mvd
-                mvs.append(mv)
-                self.mv[gy + py:gy + py + ph, gx + px:gx + px + pw] = mv
-                self.ref[gy + py:gy + py + ph, gx + px:gx + px + pw] = refs[p]
-                self.blk_done[gy + py:gy + py + ph, gx + px:gx + px + pw] = True
+                self._set_motion(mx, my, (px, py, pw, ph), True, False,
+                                 mv, refs[p], None, None)
                 self._inter_recon_16x16(mx, my, mv, refs[p],
                                         part=(px * 4, py * 4, pw * 4, ph * 4))
         elif mb_type in (P_8X8, P_8X8REF0):
@@ -834,15 +1157,17 @@ class _SliceDecoder:
                     pmv = self._mv_pred(mx, my, px, py, pw, ph, refs[sb])
                     mvd = np.array([r.se(), r.se()], np.int32)
                     mv = pmv + mvd
-                    self.mv[gy + py:gy + py + ph, gx + px:gx + px + pw] = mv
-                    self.ref[gy + py:gy + py + ph, gx + px:gx + px + pw] = refs[sb]
-                    self.blk_done[gy + py:gy + py + ph, gx + px:gx + px + pw] = True
+                    self._set_motion(mx, my, (px, py, pw, ph), True, False,
+                                     mv, refs[sb], None, None)
                     self._inter_recon_16x16(mx, my, mv, refs[sb],
                                             part=(px * 4, py * 4, pw * 4, ph * 4))
         else:
             raise NotImplementedError(f"P mb_type {mb_type}")
+        self._inter_mb_tail(r, mx, my)
 
-        # CBP + residual
+    def _inter_mb_tail(self, r: BitReader, mx: int, my: int) -> None:
+        """Shared inter-MB residual tail: CBP, qp_delta, luma + chroma
+        residuals (identical for P and B MBs)."""
         code = r.ue()
         cbp = int(CBP_FROM_CODE[code][1])
         cbp_luma, cbp_chroma = cbp & 15, cbp >> 4

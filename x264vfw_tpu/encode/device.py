@@ -468,6 +468,182 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     }
 
 
+def _direct_flip_mask(mode_map, colzero):
+    """Eligibility masks for flipping explicit-mode MBs to spatial
+    B_Direct_16x16/B_Skip (§8.4.1.2.2) with a decoder prediction that is
+    EXACTLY known in advance, for any subset of eligible MBs flipped.
+
+    With single-entry ref lists, derived refIdxLX = MinPositive over
+    available neighbours A/B/C (C->D fallback) = 0 iff any of them uses
+    list X.  Under colZeroFlag the derived MV is 0 on every used list, so
+    the prediction is fully determined by the derived usage:
+
+    * usage `both` -> bi(0,0); `none` (directZeroPredictionFlag) ->
+      refIdx 0,0, mv 0,0 -> also bi(0,0).  A flipped MB of this class uses
+      both lists, so usage is monotone under flips: `both` stays `both`,
+      `none` can only become `both` — prediction bi(0,0) either way.
+    * usage `L0-only` -> uni pred from ref0 at mv 0 — but ONLY stable if
+      no flip anywhere can introduce L1 usage.  That holds when the
+      phase-1 field uses no L1 at all AND no `none` MBs are flipped (a
+      directZero flip would introduce L1).  Symmetric for L1-only.
+
+    mode_map: (mbh, mbw) phase-1 modes (1=L0, 2=L1, 3=Bi).
+    colzero:  (mbh, mbw) bool colZeroFlag.
+    Returns (elig_bi, elig_l0, elig_l1) bool maps."""
+    mbh, mbw = mode_map.shape
+    useL0 = (mode_map == 1) | (mode_map == 3)
+    useL1 = (mode_map == 2) | (mode_map == 3)
+
+    def nb_any(use):
+        a = jnp.pad(use[:, :-1], ((0, 0), (1, 0)))          # left
+        b = jnp.pad(use[:-1, :], ((1, 0), (0, 0)))          # above
+        c_raw = jnp.pad(use[:-1, 1:], ((1, 0), (0, 1)))     # above-right
+        d = jnp.pad(use[:-1, :-1], ((1, 0), (1, 0)))        # above-left
+        availC_raw = jnp.zeros((mbh, mbw), bool).at[1:, :-1].set(True)
+        c = jnp.where(availC_raw, c_raw, d)
+        return a | b | c
+
+    dL0 = nb_any(useL0)
+    dL1 = nb_any(useL1)
+    both = dL0 & dL1
+    none = ~dL0 & ~dL1
+    elig_bi = colzero & (both | none)
+    no_l1_anywhere = ~useL1.any()
+    no_l0_anywhere = ~useL0.any()
+    elig_l0 = colzero & dL0 & ~dL1 & no_l1_anywhere
+    elig_l1 = colzero & dL1 & ~dL0 & no_l0_anywhere
+    return elig_bi, elig_l0, elig_l1
+
+
+def encode_b_frame_core(src_y, src_u, src_v,
+                        ref0_y, ref0_u, ref0_v,
+                        ref1_y, ref1_u, ref1_v,
+                        mvcol, qp, qpc,
+                        rng=8, subpel=True, me_backend="auto"):
+    """Device B-frame encode: independent L0/L1 motion searches, per-MB
+    {L0, L1, Bi} mode decision (default bi-prediction §8.4.2.3.2:
+    (p0 + p1 + 1) >> 1), then a second phase flipping MBs to spatial
+    B_Direct_16x16/B_Skip where the decoder's direct derivation provably
+    equals bi(0,0) (see _direct_flip_mask) and it is cheaper.
+
+    mvcol: (n, 2) colocated motion field of RefPicList1[0] (our P anchors
+    are all-inter refidx-0 16x16, so colZeroFlag is uniform per MB).
+    B frames are non-reference (no B-pyramid yet), so no recon is computed.
+    mode: 0=direct, 1=L0, 2=L1, 3=Bi per MB.
+    Replaces libx264's B-frame analyse (reference option surface
+    /root/reference/codec.c:843-847)."""
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    n = mbh * mbw
+    src_mbs = mbize(src_y)
+    src16 = src_y.astype(jnp.int16)
+
+    mv0_q4, p0y, p0u, p0v = _motion_search_and_mc(
+        src_y, src_u, src_v, ref0_y, ref0_u, ref0_v, rng, subpel=subpel,
+        me_backend=me_backend)
+    mv1_q4, p1y, p1u, p1v = _motion_search_and_mc(
+        src_y, src_u, src_v, ref1_y, ref1_u, ref1_v, rng, subpel=subpel,
+        me_backend=me_backend)
+
+    biy = (p0y + p1y + 1) >> 1
+    biu = (p0u + p1u + 1) >> 1
+    biv = (p0v + p1v + 1) >> 1
+    # direct candidate: bi-prediction at zero MV (the only direct shape the
+    # flip rule admits) — plain plane average of the two references
+    diy = (ref0_y + ref1_y + 1) >> 1
+    diu = (ref0_u + ref1_u + 1) >> 1
+    div_ = (ref0_v + ref1_v + 1) >> 1
+
+    def mbsad(pred_pl):
+        d = jnp.abs(src16 - pred_pl.astype(jnp.int16)).astype(jnp.int32)
+        return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3)).reshape(n)
+
+    sad0 = mbsad(p0y)
+    sad1 = mbsad(p1y)
+    sadbi = mbsad(biy)
+    saddi = mbsad(diy)
+    sadz0 = mbsad(ref0_y)          # uni-direct candidates: refX at mv 0
+    sadz1 = mbsad(ref1_y)
+
+    mv0 = mv0_q4.reshape(n, 2)
+    mv1 = mv1_q4.reshape(n, 2)
+
+    def mvbits(mv):
+        # rough exp-Golomb cost of an mvd pair (pmv unknown at this stage)
+        a = jnp.abs(mv).sum(axis=-1)
+        return 2 * jnp.ceil(jnp.log2(a.astype(jnp.float32) + 2.0)).astype(jnp.int32) + 2
+
+    lam = 4  # matches the integer-search lambda (sad*4 + bits)
+    c0 = sad0 * 4 + lam * (3 + mvbits(mv0))
+    c1 = sad1 * 4 + lam * (3 + mvbits(mv1))
+    cbi = sadbi * 4 + lam * (5 + mvbits(mv0) + mvbits(mv1))
+    costs = jnp.stack([c0, c1, cbi])
+    mode = jnp.argmin(costs, axis=0).astype(jnp.int32) + 1  # 1=L0 2=L1 3=Bi
+    cmin = jnp.min(costs, axis=0)
+
+    # ---- phase 2: direct/skip flips (exact-by-construction) ----
+    colzero = ((jnp.abs(mvcol) <= 1).all(axis=-1)).reshape(mbh, mbw)
+    elig_bi, elig_l0, elig_l1 = _direct_flip_mask(mode.reshape(mbh, mbw),
+                                                  colzero)
+    cd_bi = saddi * 4 + lam * 1
+    cd_l0 = sadz0 * 4 + lam * 1
+    cd_l1 = sadz1 * 4 + lam * 1
+    flip_bi = elig_bi.reshape(n) & (cd_bi <= cmin)
+    flip_l0 = elig_l0.reshape(n) & (cd_l0 <= cmin)
+    flip_l1 = elig_l1.reshape(n) & (cd_l1 <= cmin)
+    # direct flavor per MB: 0=bi(0,0), 1=L0(0,0), 2=L1(0,0)
+    flip = flip_bi | flip_l0 | flip_l1
+    flavor = jnp.where(flip_l0, 1, jnp.where(flip_l1, 2, 0)).astype(jnp.int32)
+    mode = jnp.where(flip, 0, mode)
+
+    mmap = mode.reshape(mbh, mbw)
+    fmap = flavor.reshape(mbh, mbw)
+    dsel_y = jnp.repeat(jnp.repeat(fmap, 16, 0), 16, 1)
+    dsel_c = jnp.repeat(jnp.repeat(fmap, 8, 0), 8, 1)
+    dy_pl = jnp.where(dsel_y == 1, ref0_y, jnp.where(dsel_y == 2, ref1_y, diy))
+    du_pl = jnp.where(dsel_c == 1, ref0_u, jnp.where(dsel_c == 2, ref1_u, diu))
+    dv_pl = jnp.where(dsel_c == 1, ref0_v, jnp.where(dsel_c == 2, ref1_v, div_))
+    my = jnp.repeat(jnp.repeat(mmap, 16, 0), 16, 1)
+    mc_ = jnp.repeat(jnp.repeat(mmap, 8, 0), 8, 1)
+    pred_y = jnp.where(my == 0, dy_pl, jnp.where(my == 1, p0y,
+                       jnp.where(my == 2, p1y, biy))).astype(jnp.int32)
+    pred_u = jnp.where(mc_ == 0, du_pl, jnp.where(mc_ == 1, p0u,
+                       jnp.where(mc_ == 2, p1u, biu))).astype(jnp.int32)
+    pred_v = jnp.where(mc_ == 0, dv_pl, jnp.where(mc_ == 1, p0v,
+                       jnp.where(mc_ == 2, p1v, biv))).astype(jnp.int32)
+
+    pred = mbize(pred_y)
+    levels, _ = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
+    nz_blk = (levels != 0).any(axis=-1)
+    cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
+    cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
+
+    pred_u_mbs = mbize(pred_u, 8)
+    pred_v_mbs = mbize(pred_v, 8)
+    dc_u, ac_u = _chroma_residual_pipeline(mbize(src_u, 8), pred_u_mbs, qpc, False)
+    dc_v, ac_v = _chroma_residual_pipeline(mbize(src_v, 8), pred_v_mbs, qpc, False)
+    has_ac = (ac_u != 0).any(axis=(1, 2)) | (ac_v != 0).any(axis=(1, 2))
+    has_dc = (dc_u != 0).any(axis=(1, 2)) | (dc_v != 0).any(axis=(1, 2))
+    cbp_chroma = jnp.where(has_ac, 2, jnp.where(has_dc, 1, 0)).astype(jnp.int32)
+
+    # FINAL per-list usage (decoder view) for MV prediction contexts:
+    # explicit modes use their lists; direct MBs use the lists of their
+    # flavor (bi -> both, L0-only, L1-only)
+    uses0 = jnp.where(flip, flavor != 2, (mode == 1) | (mode == 3))
+    uses1 = jnp.where(flip, flavor != 1, (mode == 2) | (mode == 3))
+
+    return {
+        "mode": mode,                  # (n,) 0=direct 1=L0 2=L1 3=Bi
+        "mv0": mv0, "mv1": mv1,        # (n,2) quarter-pel
+        "uses0": uses0, "uses1": uses1,
+        "levels": levels,
+        "cbp_luma": cbp_luma,
+        "cbp_chroma": cbp_chroma,
+        "dc_u": dc_u, "dc_v": dc_v,
+        "ac_u": ac_u, "ac_v": ac_v,
+    }
+
+
 # --------------------------------------------------------------------------
 # I-frame pipeline (row scan, V/DC modes)
 # --------------------------------------------------------------------------
@@ -655,4 +831,5 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
 
 
 encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_p_frame_core)
+encode_b_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

@@ -115,7 +115,9 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
                    dbA=0, dbB=0):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
-    syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes).
+    syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
+    The mv field stays on device — it is the colocated-motion input of the
+    next mini-GOP's B frames (spatial direct colZeroFlag, §8.4.1.2.2).
     Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
     nbits on the host — worst-case-sized packing would dominate runtime."""
     from .device import encode_p_frame_core
@@ -129,7 +131,193 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                               rng, subpel, me_backend)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
-    return v, l, l.sum(), *recon
+    return v, l, l.sum(), *recon, out["mv"]
+
+
+def b_mv_pred(mv, uses):
+    """§8.4.1.3 MV prediction for one list of a B frame with single-entry
+    ref lists: a neighbour 'matches' iff it is available AND uses the list
+    (refIdx 0 == refIdx 0); non-using neighbours contribute mv 0 to the
+    median.  mv: (mbh,mbw,2) the FINAL per-MB mv of this list (0 where the
+    MB doesn't use the list or is direct); uses: (mbh,mbw) bool."""
+    mbh, mbw, _ = mv.shape
+
+    def sh(arr, dy, dx):
+        out = jnp.zeros_like(arr)
+        ys = slice(max(dy, 0), arr.shape[0] + min(dy, 0))
+        xs = slice(max(dx, 0), arr.shape[1] + min(dx, 0))
+        yd = slice(max(-dy, 0), arr.shape[0] + min(-dy, 0))
+        xd = slice(max(-dx, 0), arr.shape[1] + min(-dx, 0))
+        return out.at[yd, xd].set(arr[ys, xs])
+
+    mvA = sh(mv, 0, -1)
+    mvB = sh(mv, -1, 0)
+    mvC = sh(mv, -1, 1)
+    mvD = sh(mv, -1, -1)
+    usA = sh(uses[..., None], 0, -1)[..., 0]
+    usB = sh(uses[..., None], -1, 0)[..., 0]
+    usC = sh(uses[..., None], -1, 1)[..., 0]
+    usD = sh(uses[..., None], -1, -1)[..., 0]
+    yy = jnp.arange(mbh)[:, None] * jnp.ones((1, mbw), jnp.int32)
+    xx = jnp.ones((mbh, 1), jnp.int32) * jnp.arange(mbw)[None, :]
+    availA = xx > 0
+    availB = yy > 0
+    availC_raw = (yy > 0) & (xx < mbw - 1)
+    availD = (yy > 0) & (xx > 0)
+    mvC_eff = jnp.where(availC_raw[..., None], mvC, mvD)
+    usC_eff = jnp.where(availC_raw, usC, usD)
+    availC = availC_raw | availD
+
+    matchA = availA & usA
+    matchB = availB & usB
+    matchC = availC & usC_eff
+    mA = jnp.where(matchA[..., None], mvA, 0)
+    mB = jnp.where(matchB[..., None], mvB, 0)
+    mC = jnp.where(matchC[..., None], mvC_eff, 0)
+    nmatch = matchA.astype(jnp.int32) + matchB + matchC
+    med = _median3(mA, mB, mC)
+    one = mA + mB + mC                      # exact when nmatch == 1
+    only_a = availA & ~availB & ~availC     # MB-level availability
+    pmv = jnp.where(only_a[..., None], jnp.where(matchA[..., None], mvA, 0),
+                    jnp.where((nmatch == 1)[..., None], one, med))
+    return pmv
+
+
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
+def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
+                   mvcol, qp, qpc, hdr_vals, hdr_lens,
+                   rng, subpel=True, me_backend="auto"):
+    """Fused B-frame phase 1: unpack -> B encode -> syntax slots.
+    Returns (slot_vals, slot_lens, nbits) — no recon (B is non-reference)."""
+    from .device import encode_b_frame_core
+    H, W = ref0_y.shape
+    ys = H * W
+    cs = ys // 4
+    sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
+    su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
+    sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
+    out = encode_b_frame_core(sy, su, sv, ref0_y, ref0_u, ref0_v,
+                              ref1_y, ref1_u, ref1_v, mvcol, qp, qpc,
+                              rng, subpel, me_backend)
+    v, l = _finalize_b_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+    return v, l, l.sum()
+
+
+def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw):
+    """B-slice syntax tensors -> CAVLC slot arrays.
+
+    mode: 0=B_Direct_16x16, 1=B_L0_16x16, 2=B_L1_16x16, 3=B_Bi_16x16
+    (Table 7-14 values coincide with our mode numbering).  Direct MBs with
+    cbp == 0 fold into mb_skip_run (B_Skip)."""
+    n = mbh * mbw
+    mode = out["mode"]
+    mv0 = out["mv0"].reshape(mbh, mbw, 2)
+    mv1 = out["mv1"].reshape(mbh, mbw, 2)
+    levels = out["levels"]
+    cbp_luma = out["cbp_luma"]
+    cbp_chroma = out["cbp_chroma"]
+    dc_u = out["dc_u"].reshape(n, 4)
+    dc_v = out["dc_v"].reshape(n, 4)
+    ac_u, ac_v = out["ac_u"], out["ac_v"]
+
+    ac_u = jnp.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
+    ac_v = jnp.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
+    dc_u = jnp.where((cbp_chroma >= 1)[:, None], dc_u, 0)
+    dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
+    cbp = cbp_luma | (cbp_chroma << 4)
+
+    # FINAL per-list mv/usage fields (decoder view: direct MBs use the
+    # lists of their flavor at mv 0 — device._direct_flip_mask guarantees
+    # the decoder derives exactly this)
+    mmap = mode.reshape(mbh, mbw)
+    uses0 = out["uses0"].reshape(mbh, mbw)
+    uses1 = out["uses1"].reshape(mbh, mbw)
+    mvL0 = jnp.where(((mmap == 1) | (mmap == 3))[..., None], mv0, 0)
+    mvL1 = jnp.where(((mmap == 2) | (mmap == 3))[..., None], mv1, 0)
+    pmv0 = b_mv_pred(mvL0, uses0)
+    pmv1 = b_mv_pred(mvL1, uses1)
+    mvd0 = (mvL0 - pmv0).reshape(n, 2)
+    mvd1 = (mvL1 - pmv1).reshape(n, 2)
+
+    skip = (mode == 0) & (cbp == 0)
+    i = jnp.arange(n, dtype=jnp.int32)
+    ns = ~skip
+    ns_pos = jnp.where(ns, i, -1)
+    prev_ns = jnp.concatenate([jnp.full((1,), -1, jnp.int32),
+                               jax.lax.cummax(ns_pos)[:-1]])
+    runs = jnp.where(ns, i - prev_ns - 1, 0)
+    last_ns = jnp.max(ns_pos)
+    trailing = n - 1 - last_ns
+
+    quad_coded = ((cbp_luma[:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
+    levels = jnp.where(quad_coded[:, :, None], levels, 0)
+
+    tc_blk = (levels != 0).sum(-1)
+    nc_l = _nc_luma(tc_blk, mbh, mbw)
+    nc_cu = _nc_chroma((ac_u != 0).sum(-1), mbh, mbw)
+    nc_cv = _nc_chroma((ac_v != 0).sum(-1), mbh, mbw)
+
+    vlu, llu = cj.encode_blocks(levels.reshape(-1, 16), nc_l.reshape(-1), 16)
+    vlu = vlu.reshape(n, 16, S)
+    llu = jnp.where(quad_coded[:, :, None], llu.reshape(n, 16, S), 0)
+    vcdu, lcdu = cj.encode_blocks(dc_u, jnp.full(n, -1), 4)
+    vcdv, lcdv = cj.encode_blocks(dc_v, jnp.full(n, -1), 4)
+    has_cdc = (cbp_chroma >= 1)[:, None]
+    lcdu = jnp.where(has_cdc, lcdu, 0)
+    lcdv = jnp.where(has_cdc, lcdv, 0)
+    vcau, lcau = cj.encode_blocks(ac_u.reshape(-1, 15), nc_cu.reshape(-1), 15)
+    vcav, lcav = cj.encode_blocks(ac_v.reshape(-1, 15), nc_cv.reshape(-1), 15)
+    has_cac = (cbp_chroma == 2)[:, None, None]
+    vcau = vcau.reshape(n, 4, S)
+    lcau = jnp.where(has_cac, lcau.reshape(n, 4, S), 0)
+    vcav = vcav.reshape(n, 4, S)
+    lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
+
+    # header slots: [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp, qpd]
+    hv = jnp.zeros((n, 8), jnp.uint32)
+    hl = jnp.zeros((n, 8), jnp.int32)
+    rv, rl = cj.ue_codes_j(runs)
+    hv = hv.at[:, 0].set(rv)
+    hl = hl.at[:, 0].set(rl)
+    tv, tl = cj.ue_codes_j(mode)
+    hv = hv.at[:, 1].set(tv)
+    hl = hl.at[:, 1].set(tl)
+    has0 = (mode == 1) | (mode == 3)
+    has1 = (mode == 2) | (mode == 3)
+    for k, (mvd, hasl) in enumerate(((mvd0, has0), (mvd1, has1))):
+        xv, xl = cj.se_codes_j(mvd[:, 0])
+        yv, yl = cj.se_codes_j(mvd[:, 1])
+        hv = hv.at[:, 2 + 2 * k].set(xv)
+        hl = hl.at[:, 2 + 2 * k].set(jnp.where(hasl, xl, 0))
+        hv = hv.at[:, 3 + 2 * k].set(yv)
+        hl = hl.at[:, 3 + 2 * k].set(jnp.where(hasl, yl, 0))
+    bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
+    hv = hv.at[:, 6].set(bv)
+    hl = hl.at[:, 6].set(bl)
+    hv = hv.at[:, 7].set(1)
+    hl = hl.at[:, 7].set(jnp.where(cbp != 0, 1, 0))  # se(0) qp_delta
+
+    mb_vals = jnp.concatenate([
+        hv, vlu.reshape(n, -1), vcdu, vcdv,
+        vcau.reshape(n, -1), vcav.reshape(n, -1)], axis=1)
+    mb_lens = jnp.concatenate([
+        hl, llu.reshape(n, -1), lcdu, lcdv,
+        lcau.reshape(n, -1), lcav.reshape(n, -1)], axis=1)
+    mb_lens = jnp.where(skip[:, None], 0, mb_lens)
+
+    tv2, tl2 = cj.ue_codes_j(jnp.maximum(trailing, 0))
+    tl2 = jnp.where(trailing > 0, tl2, 0)
+    body_bits = hdr_lens.sum() + mb_lens.sum() + tl2
+    pad = (-(body_bits + 1)) % 8
+    tail_vals = jnp.concatenate([
+        tv2[None], jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)])
+    tail_lens = jnp.concatenate([tl2[None], (1 + pad)[None]])
+
+    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
+                                mb_vals.reshape(-1), tail_vals])
+    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
+                                mb_lens.reshape(-1), tail_lens])
+    return all_vals, all_lens
 
 
 @partial(jax.jit, static_argnames=("cap_words",))

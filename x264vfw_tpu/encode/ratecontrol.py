@@ -21,6 +21,7 @@ from ..config.params import (EncoderParams, RC_2PASS1, RC_2PASS2, RC_ABR,
                              RC_CQP, RC_CRF)
 
 I_FRAME_QP_OFFSET = -3  # ipratio-equivalent bias for intra frames
+B_FRAME_QP_OFFSET = 2   # pbratio-equivalent bias for non-ref B frames
 
 
 @dataclass
@@ -107,9 +108,21 @@ class RateController:
             qp += I_FRAME_QP_OFFSET
         return int(min(max(qp, self.p.qp_min), min(self.p.qp_max, 51)))
 
-    def update(self, is_idr: bool, qp_used: int, bits: int) -> None:
-        self.stats.append(FrameStats(self.frame_idx,
-                                     "I" if is_idr else "P", qp_used, bits))
+    def qp_for_type(self, ftype: str) -> int:
+        """Per-frame-type QP (x264 CQP semantics: I = qp+ipoffset,
+        B = qp+pboffset; mirrored from the reference's ipratio/pbratio
+        flags, codec.c:915-916)."""
+        qp = self.qp_for_frame(False)
+        if ftype == "I":
+            qp += I_FRAME_QP_OFFSET
+        elif ftype == "B":
+            qp += B_FRAME_QP_OFFSET
+        return int(min(max(qp, self.p.qp_min), min(self.p.qp_max, 51)))
+
+    def update(self, ftype, qp_used: int, bits: int) -> None:
+        if isinstance(ftype, bool):  # legacy is_idr signature
+            ftype = "I" if ftype else "P"
+        self.stats.append(FrameStats(self.frame_idx, ftype, qp_used, bits))
         self.bits_total += bits
         self.frame_idx += 1
         if self.mode == RC_ABR and self.p.bitrate:

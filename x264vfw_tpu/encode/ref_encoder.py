@@ -45,6 +45,7 @@ class EncoderConfig:
     num_ref_frames: int = 1
     search_range: int = 8
     subpel: bool = True
+    bframes: int = 0         # consecutive B frames between anchors
     cabac: bool = False      # CABAC entropy coding (Main profile)
     i4x4: bool = False
     fps_num: int = 25

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bitstream import cavlc_vec
-from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_I, SLICE_P
+from ..bitstream.mb_syntax import CBP_TO_CODE, SLICE_B, SLICE_I, SLICE_P
 from ..bitstream.nal import NAL_PPS, NAL_SLICE, NAL_SLICE_IDR, NAL_SPS, wrap_nal
 from ..bitstream.params import PPS, SPS, PROFILE_BASELINE, PROFILE_MAIN
 from ..bitstream.slice import SliceHeader
@@ -43,12 +43,15 @@ class TpuEncoder:
         self.mbw = (cfg.width + 15) // 16
         self.mbh = (cfg.height + 15) // 16
         self.sps = SPS(
-            profile_idc=PROFILE_MAIN if cfg.cabac else PROFILE_BASELINE,
-            constraint_set0=0 if cfg.cabac else 1, constraint_set1=1,
+            profile_idc=PROFILE_MAIN if (cfg.cabac or cfg.bframes)
+            else PROFILE_BASELINE,
+            constraint_set0=0 if (cfg.cabac or cfg.bframes) else 1,
+            constraint_set1=1,
             level_idc=_level_for(cfg.width, cfg.height, cfg.fps_num, cfg.fps_den),
             log2_max_frame_num_minus4=4,
-            pic_order_cnt_type=2,
-            max_num_ref_frames=1,
+            pic_order_cnt_type=0 if cfg.bframes else 2,
+            log2_max_pic_order_cnt_lsb_minus4=4,
+            max_num_ref_frames=2 if cfg.bframes else 1,
             pic_width_in_mbs_minus1=self.mbw - 1,
             pic_height_in_map_units_minus1=self.mbh - 1,
         )
@@ -62,7 +65,13 @@ class TpuEncoder:
         self.frame_idx = 0
         self.frame_num = 0
         self.idr_id = 0
+        self.poc = 0                  # pic_order_cnt_lsb of current frame
         self.ref: tuple | None = None  # device arrays (y, u, v)
+        # --- B-frame scheduler state (push_frame/flush) ---
+        self.display_idx = 0
+        self.poc_base = 0             # display idx of last IDR
+        self.pending: list = []       # buffered (y, u, v, display) B candidates
+        self.last_mv = None           # device mv field of last anchor (colocated)
         self.qp = cfg.qp
         self.qpc = int(tnp.chroma_qp(cfg.qp, self.pps.chroma_qp_index_offset))
         # host_entropy=True uses the numpy finalization path (reference /
@@ -238,12 +247,13 @@ class TpuEncoder:
             nal_type = NAL_SLICE
             hw = self._slice_header_codes(SLICE_P, nal_type)
             hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-            sv_, sl_, nbits, ry, ru, rv = device_finalize.encode_p_slots(
+            sv_, sl_, nbits, ry, ru, rv, mv = device_finalize.encode_p_slots(
                 src_d, *self.ref, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
                 jnp.asarray(hl.astype(np.int32)),
                 cfg.search_range, cfg.subpel, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+            self.last_mv = mv
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
@@ -275,7 +285,7 @@ class TpuEncoder:
                 + version_sei(opts))
 
     # ------------------------------------------------------------------
-    def _encode_frame_cabac(self, y, u, v, qp) -> bytes:
+    def _encode_frame_cabac(self, y, u, v, qp, force_idr=None) -> bytes:
         """CABAC finalization (host) over the device syntax tensors: the
         tensor->bitstream ABI with the arithmetic coder as the host stage
         (SURVEY §7).  Constant-QP, P16/skip + I16 — mirrors the CAVLC
@@ -290,6 +300,8 @@ class TpuEncoder:
         mbh, mbw = self.mbh, self.mbw
         n = mbh * mbw
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if force_idr is not None:
+            is_idr = force_idr or self.ref is None
         if qp is not None:
             self.qp = int(min(max(qp, 0), 51))
             self.qpc = int(tnp.chroma_qp(self.qp,
@@ -306,6 +318,7 @@ class TpuEncoder:
             outj = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
                                   rng=cfg.search_range, subpel=cfg.subpel,
                                   me_backend=cfg.me_backend)
+            self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
         hw = self._slice_header_codes(
@@ -379,17 +392,175 @@ class TpuEncoder:
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
             1 << (self.sps.log2_max_frame_num_minus4 + 4))
+        bs = b""
         if is_idr:
             self.idr_id = (self.idr_id + 1) % 65536
-        return wrap_nal(3, nal_type, hdr + payload)
+            bs = self.headers()
+        return bs + wrap_nal(3, nal_type, hdr + payload)
+
+    # ------------------------------------------------------------------
+    # B-frame GOP scheduler: display-order input -> encode-order output.
+    # The reference exposes this capability as x264's --bframes (forwarded
+    # at codec.c:843-847); delay bookkeeping mirrors compress_frames_info.
+    def push_frame(self, y, u, v, qp_i: int | None = None,
+                   qp_p: int | None = None, qp_b: int | None = None
+                   ) -> list[tuple[bytes, int, bool]]:
+        """Submit one display-order frame.  Returns zero or more encoded AUs
+        as (annexb_bytes, display_index, is_keyframe) in DECODE order."""
+        cfg = self.cfg
+        d = self.display_idx
+        self.display_idx += 1
+        if cfg.bframes == 0:
+            au = self.encode_frame(y, u, v, qp=qp_i if (
+                d % cfg.keyint == 0) else qp_p)
+            return [(au, d, d % cfg.keyint == 0)]
+        out: list[tuple[bytes, int, bool]] = []
+        if d % cfg.keyint == 0:
+            # IDR boundary: no future anchor for pending frames -> P chain
+            out += self._drain_pending_as_p(qp_p)
+            self.poc_base = d
+            self.poc = 0
+            au = self.encode_frame(y, u, v, qp=qp_i, force_idr=True)
+            out.append((au, d, True))
+            return out
+        if len(self.pending) < cfg.bframes:
+            self.pending.append((y, u, v, d))
+            return out
+        # anchor position: encode P first, then the buffered B frames
+        old_ref = self.ref
+        self.poc = 2 * (d - self.poc_base)
+        au = self.encode_frame(y, u, v, qp=qp_p, force_idr=False)
+        out.append((au, d, False))
+        mvcol = self.last_mv
+        for (by, bu, bv, bd) in self.pending:
+            out.append((self._encode_b(by, bu, bv, old_ref, self.ref, mvcol,
+                                       2 * (bd - self.poc_base), qp_b), bd,
+                        False))
+        self.pending = []
+        return out
+
+    def flush(self, qp_p: int | None = None) -> list[tuple[bytes, int, bool]]:
+        """End of stream: encode any buffered frames as a P chain."""
+        return self._drain_pending_as_p(qp_p)
+
+    def _drain_pending_as_p(self, qp_p):
+        out = []
+        for (py, pu, pv, pd) in self.pending:
+            self.poc = 2 * (pd - self.poc_base)
+            out.append((self.encode_frame(py, pu, pv, qp=qp_p,
+                                          force_idr=False), pd, False))
+        self.pending = []
+        return out
+
+    def _encode_b(self, y, u, v, ref0, ref1, mvcol, poc: int,
+                  qp: int | None) -> bytes:
+        """Encode one non-reference B frame between anchors ref0/ref1.
+        frame_num is PrevRefFrameNum + 1 == the current (post-anchor)
+        counter and is NOT advanced (non-reference, §7.4.3)."""
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        if qp is not None:
+            self.qp = int(min(max(qp, 0), 51))
+            self.qpc = int(tnp.chroma_qp(self.qp,
+                                         self.pps.chroma_qp_index_offset))
+        self.poc = poc
+        if cfg.cabac:
+            return self._encode_b_cabac(y, u, v, ref0, ref1, mvcol)
+        src = np.concatenate([
+            np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
+        hw = self._slice_header_codes(SLICE_B, NAL_SLICE, nal_ref_idc=0)
+        hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+        sv_, sl_, nbits = device_finalize.encode_b_slots(
+            jnp.asarray(src), *ref0, *ref1, mvcol, self.qp, self.qpc,
+            jnp.asarray(hv.astype(np.uint32)),
+            jnp.asarray(hl.astype(np.int32)),
+            cfg.search_range, cfg.subpel, cfg.me_backend)
+        nb = int(nbits)
+        cap_words = (H * W * 3 // 2 + 4096) // 4
+        need_words = (nb + 31) // 32 + 8
+        bucket = 1 << max(12, (need_words - 1).bit_length())
+        bucket = min(bucket, cap_words)
+        data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
+        payload = self._pull_payload(data, nbits2)
+        self.frame_idx += 1
+        return wrap_nal(0, NAL_SLICE, payload)
+
+    def _encode_b_cabac(self, y, u, v, ref0, ref1, mvcol) -> bytes:
+        """CABAC finalization of one B frame (host stage over the device
+        syntax tensors, like _encode_frame_cabac)."""
+        from ..bitstream.cabac_slice import CabacSlice
+        from .device import encode_b_frame
+        cfg = self.cfg
+        H, W = self.mbh * 16, self.mbw * 16
+        mbh, mbw = self.mbh, self.mbw
+        n = mbh * mbw
+        sy = jnp.asarray(_pad(y, H, W), jnp.int32)
+        su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
+        sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
+        outj = encode_b_frame(sy, su, sv, *ref0, *ref1, mvcol,
+                              self.qp, self.qpc, rng=cfg.search_range,
+                              subpel=cfg.subpel, me_backend=cfg.me_backend)
+        out = {k: np.asarray(v2) for k, v2 in outj.items()}
+        mode = out["mode"]
+        mv0 = out["mv0"].reshape(mbh, mbw, 2)
+        mv1 = out["mv1"].reshape(mbh, mbw, 2)
+        cbp_l = out["cbp_luma"]
+        cbp_c = out["cbp_chroma"]
+        # final mv/usage fields + pmv (same derivation as the CAVLC path)
+        mmap = mode.reshape(mbh, mbw)
+        mvL0 = np.where(((mmap == 1) | (mmap == 3))[..., None], mv0, 0)
+        mvL1 = np.where(((mmap == 2) | (mmap == 3))[..., None], mv1, 0)
+        pmv0 = np.asarray(device_finalize.b_mv_pred(
+            jnp.asarray(mvL0), jnp.asarray(out["uses0"].reshape(mbh, mbw))))
+        pmv1 = np.asarray(device_finalize.b_mv_pred(
+            jnp.asarray(mvL1), jnp.asarray(out["uses1"].reshape(mbh, mbw))))
+        mvd0 = (mvL0 - pmv0).reshape(n, 2)
+        mvd1 = (mvL1 - pmv1).reshape(n, 2)
+
+        quad = ((cbp_l[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
+        levels = np.where(quad[:, :, None], out["levels"], 0)
+        ac_u = np.where((cbp_c == 2)[:, None, None], out["ac_u"], 0)
+        ac_v = np.where((cbp_c == 2)[:, None, None], out["ac_v"], 0)
+        dc_u = np.where((cbp_c >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
+        dc_v = np.where((cbp_c >= 1)[:, None], out["dc_v"].reshape(n, 4), 0)
+        skipf = (mode == 0) & (cbp_l == 0) & (cbp_c == 0)
+
+        hw = self._slice_header_codes(SLICE_B, NAL_SLICE, nal_ref_idc=0)
+        pad_bits = (-hw.bit_position) % 8
+        if pad_bits:
+            hw.u(pad_bits, (1 << pad_bits) - 1)
+        hdr = hw.to_rbsp().tobytes()
+
+        from ..bitstream import cabac_native as cn
+        if cn.available() and hasattr(cn, "encode_b_slice"):
+            payload = cn.encode_b_slice(
+                self.qp, 0, mbh, mbw, skipf.astype(np.uint8),
+                mode.astype(np.int32), mvd0.astype(np.int32),
+                mvd1.astype(np.int32), cbp_l.astype(np.int32),
+                cbp_c.astype(np.int32), levels, dc_u, dc_v, ac_u, ac_v)
+        else:
+            cs = CabacSlice(self.qp, False, mbh, mbw)
+            for k in range(n):
+                cs.b_mb(k % mbw, k // mbw, bool(skipf[k]), int(mode[k]),
+                        mvd0[k], mvd1[k], int(cbp_l[k]), int(cbp_c[k]),
+                        levels[k], dc_u[k], dc_v[k], ac_u[k], ac_v[k])
+                cs.end_mb(k == n - 1)
+            payload = cs.payload()
+        self.frame_idx += 1
+        return wrap_nal(0, NAL_SLICE, hdr + payload)
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
-                     qp: int | None = None) -> bytes:
+                     qp: int | None = None,
+                     force_idr: bool | None = None) -> bytes:
         cfg = self.cfg
         if cfg.cabac:
-            return self._encode_frame_cabac(y, u, v, qp)
+            return self._encode_frame_cabac(y, u, v, qp, force_idr=force_idr)
         H, W = self.mbh * 16, self.mbw * 16
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
+        if force_idr is not None:
+            is_idr = force_idr or self.ref is None
         if qp is not None:
             self.qp = int(min(max(qp, 0), 51))
             self.qpc = int(tnp.chroma_qp(self.qp,
@@ -437,12 +608,13 @@ class TpuEncoder:
                 nal_type = NAL_SLICE
                 hw = self._slice_header_codes(SLICE_P, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-                sv_, sl_, nbits, ry, ru, rv = device_finalize.encode_p_slots(
+                sv_, sl_, nbits, ry, ru, rv, mv = device_finalize.encode_p_slots(
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
                     cfg.search_range, cfg.subpel, cfg.me_backend,
-                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                    cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
             nb = int(nbits)
@@ -463,16 +635,20 @@ class TpuEncoder:
         return bs
 
     # ------------------------------------------------------------------
-    def _slice_header_codes(self, slice_type: int, nal_type: int) -> BitWriter:
+    def _slice_header_codes(self, slice_type: int, nal_type: int,
+                            nal_ref_idc: int = 3) -> BitWriter:
         w = BitWriter()
         h = SliceHeader(slice_type=slice_type + 5,
                         frame_num=self.frame_num,
                         idr_pic_id=self.idr_id,
+                        pic_order_cnt_lsb=self.poc & (
+                            (1 << (self.sps.log2_max_pic_order_cnt_lsb_minus4
+                                   + 4)) - 1),
                         slice_qp_delta=self.qp - (26 + self.pps.pic_init_qp_minus26),
                         disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
                         slice_alpha_c0_offset_div2=self.cfg.deblock_alpha,
                         slice_beta_offset_div2=self.cfg.deblock_beta)
-        h.write(w, self.sps, self.pps, nal_type, 3)
+        h.write(w, self.sps, self.pps, nal_type, nal_ref_idc)
         return w
 
     def _nc_luma_map(self, tc_blk: np.ndarray) -> np.ndarray:

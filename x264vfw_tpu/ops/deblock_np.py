@@ -25,13 +25,15 @@ BETA_TABLE = np.array(
     [2, 2, 2, 3, 3, 3, 3, 4, 4, 4, 6, 6, 7, 7, 8, 8, 9, 9, 10, 10, 11, 11,
      12, 12, 13, 13, 14, 14, 15, 15, 16, 16, 17, 17, 18, 18], dtype=np.int32)
 
-# Table 8-17: tc0 by (bS-1, indexA)
+# Table 8-17: tc0 by (bS-1, indexA) — cross-checked byte-exact against
+# libx264's i_tc0_table rodata (the earlier transcription had shifted
+# leading zeros in the bs=2/bs=3 rows, off by one/three entries)
 TC0_TABLE = np.array([
     [0] * 16 + [0, 0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2,
                 2, 3, 3, 3, 4, 4, 4, 5, 6, 6, 7, 8, 9, 10, 11, 13],
-    [0] * 16 + [0, 0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
+    [0] * 16 + [0, 0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3,
                 3, 3, 4, 4, 5, 5, 6, 7, 8, 8, 10, 11, 12, 13, 15, 17],
-    [0] * 16 + [0, 0, 0, 0, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
+    [0] * 16 + [0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 2, 2, 2, 2, 3, 3, 3, 4, 4,
                 4, 5, 6, 6, 7, 8, 9, 10, 11, 13, 14, 16, 18, 20, 23, 25],
 ], dtype=np.int32)
 
@@ -131,6 +133,25 @@ def deblock_frame(sd) -> None:
         t = sd.mb_type[my, mx]
         return 0 <= t < 100
 
+    refpic = getattr(sd, "refpic", None)
+    mv1 = getattr(sd, "mv1", None)
+
+    def motion_of(bx, by):
+        """[(pic_id, mv)] for each list the block uses."""
+        out = []
+        if refpic is not None:
+            if refpic[0][by, bx] >= 0:
+                out.append((int(refpic[0][by, bx]), sd.mv[by, bx]))
+            if refpic[1][by, bx] >= 0:
+                out.append((int(refpic[1][by, bx]), mv1[by, bx]))
+        else:  # legacy single-list state (device recon path)
+            out.append((int(sd.ref[by, bx]), sd.mv[by, bx]))
+        return out
+
+    def mv_close(a, b):
+        return (abs(int(a[0]) - int(b[0])) < 4
+                and abs(int(a[1]) - int(b[1])) < 4)
+
     def bs_edge(mx, my, vertical, edge, line):
         """boundary strength for 4-sample group `line` (0..3) of edge."""
         # sample coords of q-side 4x4 block
@@ -146,13 +167,26 @@ def deblock_frame(sd) -> None:
             return 4 if mb_edge else 3
         if sd.tc_luma[bqy, bqx] > 0 or sd.tc_luma[bpy, bpx] > 0:
             return 2
-        mvp, mvq = sd.mv[bpy, bpx], sd.mv[bqy, bqx]
-        refp, refq = sd.ref[bpy, bpx], sd.ref[bqy, bqx]
-        if refp != refq:
+        # §8.7.2.1 inter/inter: different ref-picture sets, different mv
+        # counts, or an mv gap >= 4 quarter-pels for the matching picture
+        P = motion_of(bpx, bpy)
+        Q = motion_of(bqx, bqy)
+        if len(P) != len(Q):
             return 1
-        if abs(int(mvp[0]) - int(mvq[0])) >= 4 or abs(int(mvp[1]) - int(mvq[1])) >= 4:
+        if sorted(p for p, _ in P) != sorted(q for q, _ in Q):
             return 1
-        return 0
+        if len(P) == 1:
+            return 0 if mv_close(P[0][1], Q[0][1]) else 1
+        (pa, ma), (pb, mb) = P
+        (qa, na), (qb, nb) = Q
+        if pa == pb:  # both lists use the same picture: either pairing may pass
+            ok = ((mv_close(ma, na) and mv_close(mb, nb))
+                  or (mv_close(ma, nb) and mv_close(mb, na)))
+        elif pa == qa:
+            ok = mv_close(ma, na) and mv_close(mb, nb)
+        else:
+            ok = mv_close(ma, nb) and mv_close(mb, na)
+        return 0 if ok else 1
 
     for my in range(sd.mbh):
         for mx in range(sd.mbw):

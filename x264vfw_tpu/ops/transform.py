@@ -100,20 +100,23 @@ def dequant4x4(coef: jnp.ndarray, qp) -> jnp.ndarray:
 
 
 def idct4x4_core(d: jnp.ndarray) -> jnp.ndarray:
-    """Inverse 4x4 butterflies + (x+32)>>6 (§8.5.12.2)."""
+    """Inverse 4x4 butterflies + (x+32)>>6 (§8.5.12.2).
+
+    ROW transform first, then columns — the >>1 floors make stage order
+    observable at qP/6 < 2 (see transform_np.idct4x4_core)."""
     d = d.astype(jnp.int32)
-    d0, d1, d2, d3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
+    d0, d1, d2, d3 = d[..., :, 0], d[..., :, 1], d[..., :, 2], d[..., :, 3]
     e0 = d0 + d2
     e1 = d0 - d2
     e2 = (d1 >> 1) - d3
     e3 = d1 + (d3 >> 1)
-    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
-    g0, g1, g2, g3 = f[..., 0], f[..., 1], f[..., 2], f[..., 3]
+    f = jnp.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0, g1, g2, g3 = f[..., 0, :], f[..., 1, :], f[..., 2, :], f[..., 3, :]
     h0 = g0 + g2
     h1 = g0 - g2
     h2 = (g1 >> 1) - g3
     h3 = g1 + (g3 >> 1)
-    r = jnp.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-1)
+    r = jnp.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-2)
     return (r + 32) >> 6
 
 

@@ -128,20 +128,25 @@ def dequant4x4(coef: np.ndarray, qp: np.ndarray | int) -> np.ndarray:
 
 
 def idct4x4_core(d: np.ndarray) -> np.ndarray:
-    """Inverse 4x4 transform butterflies + (x+32)>>6 (§8.5.12.2)."""
+    """Inverse 4x4 transform butterflies + (x+32)>>6 (§8.5.12.2).
+
+    Stage order matters: the spec transforms each ROW first (mixing
+    columns), then each column.  The >>1 floors make the opposite order
+    differ by ±1 on knife-edge inputs whenever qP/6 < 2 (d not a multiple
+    of 4) — caught against stock FFmpeg at QP<12."""
     d = d.astype(np.int64)
-    d0, d1, d2, d3 = d[..., 0, :], d[..., 1, :], d[..., 2, :], d[..., 3, :]
+    d0, d1, d2, d3 = d[..., :, 0], d[..., :, 1], d[..., :, 2], d[..., :, 3]
     e0 = d0 + d2
     e1 = d0 - d2
     e2 = (d1 >> 1) - d3
     e3 = d1 + (d3 >> 1)
-    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-2)
-    g0, g1, g2, g3 = f[..., 0], f[..., 1], f[..., 2], f[..., 3]
+    f = np.stack([e0 + e3, e1 + e2, e1 - e2, e0 - e3], axis=-1)
+    g0, g1, g2, g3 = f[..., 0, :], f[..., 1, :], f[..., 2, :], f[..., 3, :]
     h0 = g0 + g2
     h1 = g0 - g2
     h2 = (g1 >> 1) - g3
     h3 = g1 + (g3 >> 1)
-    r = np.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-1)
+    r = np.stack([h0 + h3, h1 + h2, h1 - h2, h0 - h3], axis=-2)
     return ((r + 32) >> 6).astype(np.int32)
 
 

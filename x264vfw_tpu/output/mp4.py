@@ -67,9 +67,15 @@ class Mp4Muxer(Muxer):
         keys = [i + 1 for i, s in enumerate(self._samples) if s[3]]
         stss = fullbox(b"stss", 0, 0, struct.pack(">I", len(keys))
                        + b"".join(struct.pack(">I", k) for k in keys))
-        # composition offsets (pts - dts), version 0 unsigned
+        # composition offsets: decode time is implicitly k*delta (stts), so
+        # offset_k = (pts_k - k + delay)*delta with delay = max(k - pts_k)
+        # >= 0; the edit list below skips the initial `delay` of media time
+        # (the L-SMASH layout, mp4_lsmash.c:146-169,408-421)
         ctts = b""
-        offs = [(s[2] - d) * delta for s, d in zip(self._samples, self._dts)]
+        delay = max((k - s[2] for k, s in enumerate(self._samples)),
+                    default=0)
+        offs = [(s[2] - k + delay) * delta
+                for k, s in enumerate(self._samples)]
         if any(o != 0 for o in offs):
             runs = []
             for o in offs:
@@ -123,13 +129,11 @@ class Mp4Muxer(Muxer):
                        + b"\x00" * 8 + struct.pack(">hhhh", 0, 0, 0, 0)
                        + mtx
                        + struct.pack(">II", p.width << 16, p.height << 16))
-        # edit list for initial delay (mp4_lsmash.c:146-169)
-        delay = -min((s[2] - d) for s, d in zip(self._samples, self._dts)) \
-            if ns else 0
+        # edit list skipping the initial reorder delay (mp4_lsmash.c:146-169)
         edts = b""
-        start_ct = min((s[2] for s in self._samples), default=0) * delta
-        if start_ct > 0 or any(o for o in offs):
-            media_time = min((s[2] * delta for s in self._samples), default=0)
+        if any(o for o in offs):
+            media_time = (delay + min((s[2] for s in self._samples),
+                                      default=0)) * delta
             elst = fullbox(b"elst", 0, 0, struct.pack(">I", 1)
                            + struct.pack(">IiHH", max(0, dur_movie),
                                          media_time, 1, 0))
