@@ -213,3 +213,47 @@ def test_native_matches_python_writer():
         assert cs.payload() == cn.encode_p_slice(
             qp, 0, mbh, mbw, skip, mvd, cbp_l, cbp_c, levels,
             dcu, dcv, acu, acv)
+
+
+def test_native_b_slice_matches_python():
+    """C engine B-slice output must be byte-identical to the Python golden
+    model on random syntax (mode mix incl. direct/skip, both-list mvds)."""
+    from x264vfw_tpu.bitstream import cabac_native as cn
+    from x264vfw_tpu.bitstream.cabac_slice import CabacSlice
+    if not cn.available():
+        pytest.skip("native cabac unavailable")
+    rng = np.random.default_rng(5)
+    for trial in range(4):
+        mbh, mbw = 5, 6
+        n = mbh * mbw
+        mode = rng.integers(0, 4, n).astype(np.int32)
+        cbp_l = np.where(rng.random(n) < 0.3, 0,
+                         rng.integers(0, 16, n)).astype(np.int32)
+        cbp_c = rng.integers(0, 3, n).astype(np.int32)
+        skip = ((mode == 0) & (cbp_l == 0) & (cbp_c == 0)).astype(np.uint8)
+        mvd0 = rng.integers(-40, 40, (n, 2)).astype(np.int32)
+        mvd1 = rng.integers(-40, 40, (n, 2)).astype(np.int32)
+        mvd0[(mode == 0) | (mode == 2)] = 0
+        mvd1[(mode == 0) | (mode == 1)] = 0
+        quad = ((cbp_l[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
+        levels = np.where(quad[:, :, None],
+                          rng.integers(-9, 9, (n, 16, 16)), 0).astype(np.int32)
+        dc_u = np.where((cbp_c >= 1)[:, None],
+                        rng.integers(-5, 5, (n, 4)), 0).astype(np.int32)
+        dc_v = np.where((cbp_c >= 1)[:, None],
+                        rng.integers(-5, 5, (n, 4)), 0).astype(np.int32)
+        ac_u = np.where((cbp_c == 2)[:, None, None],
+                        rng.integers(-5, 5, (n, 4, 15)), 0).astype(np.int32)
+        ac_v = np.where((cbp_c == 2)[:, None, None],
+                        rng.integers(-5, 5, (n, 4, 15)), 0).astype(np.int32)
+        qp = int(rng.integers(10, 45))
+        native = cn.encode_b_slice(qp, 0, mbh, mbw, skip, mode, mvd0, mvd1,
+                                   cbp_l, cbp_c, levels, dc_u, dc_v,
+                                   ac_u, ac_v)
+        cs = CabacSlice(qp, False, mbh, mbw)
+        for k in range(n):
+            cs.b_mb(k % mbw, k // mbw, bool(skip[k]), int(mode[k]), mvd0[k],
+                    mvd1[k], int(cbp_l[k]), int(cbp_c[k]), levels[k],
+                    dc_u[k], dc_v[k], ac_u[k], ac_v[k])
+            cs.end_mb(k == n - 1)
+        assert native == cs.payload()

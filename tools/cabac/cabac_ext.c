@@ -173,10 +173,13 @@ static void ueg(Cabac *c, const int *ctxs, int nctx, int k, int ucoff,
 typedef struct {
     int mbh, mbw;
     uint8_t skip[MAXMB_H * MAXMB_W];
+    uint8_t direct[MAXMB_H * MAXMB_W];
     int32_t cbp_l[MAXMB_H * MAXMB_W];
     int32_t cbp_c[MAXMB_H * MAXMB_W];
     int32_t mvdx[MAXMB_H * MAXMB_W];
     int32_t mvdy[MAXMB_H * MAXMB_W];
+    int32_t mvd1x[MAXMB_H * MAXMB_W];
+    int32_t mvd1y[MAXMB_H * MAXMB_W];
     uint8_t cbf4[4 * MAXMB_H * 4 * MAXMB_W];
     uint8_t cbf_dc[MAXMB_H * MAXMB_W];
     uint8_t is_i16[MAXMB_H * MAXMB_W];
@@ -271,9 +274,11 @@ static int cbf_inc_cac(Maps *m, int mx, int my, int sb, int pl, int intra)
     return a + 2 * b;
 }
 
-static void mvd_comp(Cabac *c, Maps *m, int mx, int my, int comp, int val)
+static void mvd_comp_l(Cabac *c, Maps *m, int mx, int my, int comp, int val,
+                       int lst)
 {
-    const int32_t *arr = comp ? m->mvdy : m->mvdx;
+    const int32_t *arr = lst ? (comp ? m->mvd1y : m->mvd1x)
+                             : (comp ? m->mvdy : m->mvdx);
     int sa = 0, sb = 0;
     if (mx - 1 >= 0) { int t = arr[my * m->mbw + mx - 1]; sa = t < 0 ? -t : t; }
     if (my - 1 >= 0) { int t = arr[(my - 1) * m->mbw + mx]; sb = t < 0 ? -t : t; }
@@ -282,6 +287,11 @@ static void mvd_comp(Cabac *c, Maps *m, int mx, int my, int comp, int val)
     int off = comp ? 47 : 40;
     int ctxs[5] = {off + inc, off + 3, off + 4, off + 5, off + 6};
     ueg(c, ctxs, 5, 3, 9, val, 1);
+}
+
+static void mvd_comp(Cabac *c, Maps *m, int mx, int my, int comp, int val)
+{
+    mvd_comp_l(c, m, mx, my, comp, val, 0);
 }
 
 static void cbp_code(Cabac *c, Maps *m, int mx, int my, int cbp_l, int cbp_c)
@@ -449,6 +459,98 @@ long cabac_encode_i_slice(
         }
         chroma_res(&c, m, mx, my, cbp_c[k], 1, dc_u + 4 * k, dc_v + 4 * k,
                    ac_u + 60 * k, ac_v + 60 * k);
+        terminate(&c, k == n - 1);
+        if (c.overflow)
+            return -1;
+    }
+    return (c.nbits + 7) >> 3;
+}
+
+/* B slice: B_Skip / B_Direct_16x16 / B_{L0,L1,Bi}_16x16 (mode 0..3).
+ * Returns payload bytes, -1 overflow, -2 bad dims, -3 unsupported mode. */
+long cabac_encode_b_slice(
+    int qp, int init_idc, int mbh, int mbw,
+    const uint8_t *skip, const int32_t *mode,
+    const int32_t *mvd0, const int32_t *mvd1,          /* (n,2) each */
+    const int32_t *cbp_l, const int32_t *cbp_c,
+    const int32_t *levels,                              /* (n,16,16) masked */
+    const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
+    const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
+    uint8_t *out, long cap)
+{
+    if (mbh > MAXMB_H || mbw > MAXMB_W)
+        return -2;
+    Cabac c;
+    Maps *m = &g_maps;
+    memset(m, 0, sizeof(*m));
+    m->mbh = mbh;
+    m->mbw = mbw;
+    cabac_init(&c, 0, qp, init_idc, out, cap);
+    int n = mbh * mbw;
+    for (int k = 0; k < n; k++) {
+        int mx = k % mbw, my = k / mbw;
+        /* mb_skip_flag for B: ctx 24..26 */
+        int ca = mx - 1 >= 0 ? !m->skip[my * mbw + mx - 1] : 0;
+        int cb = my - 1 >= 0 ? !m->skip[(my - 1) * mbw + mx] : 0;
+        decision(&c, 24 + ca + cb, skip[k]);
+        m->skip[my * mbw + mx] = skip[k];
+        if (skip[k]) {
+            m->direct[my * mbw + mx] = 1;
+        } else {
+            int t = mode[k];
+            if (t < 0 || t > 3)
+                return -3;
+            /* mb_type ctx 27: condTerm = coded && !skip && !direct */
+            int da = mx - 1 >= 0
+                     ? !(m->skip[my * mbw + mx - 1]
+                         || m->direct[my * mbw + mx - 1]) : 0;
+            int db = my - 1 >= 0
+                     ? !(m->skip[(my - 1) * mbw + mx]
+                         || m->direct[(my - 1) * mbw + mx]) : 0;
+            decision(&c, 27 + da + db, t != 0);
+            m->direct[my * mbw + mx] = t == 0;
+            if (t) {
+                decision(&c, 27 + 3, t > 2);
+                if (t <= 2) {
+                    decision(&c, 27 + 5, t == 2);
+                } else {    /* Bi_16x16: 4-bin field = 0 */
+                    decision(&c, 27 + 4, 0);
+                    decision(&c, 27 + 5, 0);
+                    decision(&c, 27 + 5, 0);
+                    decision(&c, 27 + 5, 0);
+                }
+                if (t == 1 || t == 3) {
+                    mvd_comp_l(&c, m, mx, my, 0, mvd0[2 * k], 0);
+                    mvd_comp_l(&c, m, mx, my, 1, mvd0[2 * k + 1], 0);
+                    m->mvdx[my * mbw + mx] = mvd0[2 * k];
+                    m->mvdy[my * mbw + mx] = mvd0[2 * k + 1];
+                }
+                if (t == 2 || t == 3) {
+                    mvd_comp_l(&c, m, mx, my, 0, mvd1[2 * k], 1);
+                    mvd_comp_l(&c, m, mx, my, 1, mvd1[2 * k + 1], 1);
+                    m->mvd1x[my * mbw + mx] = mvd1[2 * k];
+                    m->mvd1y[my * mbw + mx] = mvd1[2 * k + 1];
+                }
+            }
+            cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
+            m->cbp_l[my * mbw + mx] = cbp_l[k];
+            m->cbp_c[my * mbw + mx] = cbp_c[k];
+            if (cbp_l[k] || cbp_c[k]) {
+                decision(&c, 60, 0);    /* mb_qp_delta = 0 */
+                for (int blk = 0; blk < 16; blk++) {
+                    if (!((cbp_l[k] >> (blk / 4)) & 1))
+                        continue;
+                    int bx = BLKX[blk], by = BLKY[blk];
+                    int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
+                    int cbf = residual(&c, 2, inc,
+                                       levels + (k * 16 + blk) * 16, 16);
+                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                        = (uint8_t)cbf;
+                }
+                chroma_res(&c, m, mx, my, cbp_c[k], 0, dc_u + 4 * k,
+                           dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
+            }
+        }
         terminate(&c, k == n - 1);
         if (c.overflow)
             return -1;

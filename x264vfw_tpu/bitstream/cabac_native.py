@@ -34,6 +34,7 @@ def _get_lib():
         lib = ctypes.CDLL(_SO)
         lib.cabac_encode_p_slice.restype = ctypes.c_long
         lib.cabac_encode_i_slice.restype = ctypes.c_long
+        lib.cabac_encode_b_slice.restype = ctypes.c_long
         _lib = lib
     except Exception:
         _failed = True
@@ -64,6 +65,28 @@ def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
         holds.append(arr)
         ptrs.append(p)
     sz = lib.cabac_encode_p_slice(
+        qp, init_idc, mbh, mbw, *ptrs,
+        out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
+    assert sz >= 0, f"native cabac failed: {sz}"
+    return out[:sz].tobytes()
+
+
+def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
+                   cbp_l, cbp_c, levels, dc_u, dc_v, ac_u, ac_v) -> bytes:
+    lib = _get_lib()
+    n = mbh * mbw
+    cap = max(1 << 16, n * 800)
+    out = np.zeros(cap, np.uint8)
+    holds = []
+    ptrs = []
+    for a, dt in ((skip, np.uint8), (mode, np.int32), (mvd0, np.int32),
+                  (mvd1, np.int32), (cbp_l, np.int32), (cbp_c, np.int32),
+                  (levels, np.int32), (dc_u, np.int32), (dc_v, np.int32),
+                  (ac_u, np.int32), (ac_v, np.int32)):
+        arr, p = _p(a, dt)
+        holds.append(arr)
+        ptrs.append(p)
+    sz = lib.cabac_encode_b_slice(
         qp, init_idc, mbh, mbw, *ptrs,
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
     assert sz >= 0, f"native cabac failed: {sz}"
