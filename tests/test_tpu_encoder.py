@@ -118,3 +118,34 @@ def test_device_entropy_matches_host_entropy():
             bs += enc.encode_frame(y, u, v)
         outs.append(bs)
     assert outs[0] == outs[1]
+
+
+def test_quarter_pel_quality_ladder():
+    """subpel ladder 0/1/2: each level must stay conformant (FFmpeg +
+    native decoder) and quarter must not be worse than half."""
+    from x264vfw_tpu.decode.decoder import H264Decoder
+    w, h, n = 96, 80, 6
+    clip = oracle.make_test_clip(w, h, n)
+    res = {}
+    for sub in (1, 2):
+        enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=28, keyint=50,
+                                       search_range=8, me_backend="xla",
+                                       subpel=sub))
+        bs = b""
+        for f in range(n):
+            y = clip[f, :w * h].reshape(h, w)
+            u = clip[f, w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+            v = clip[f, w * h + w * h // 4:].reshape(h // 2, w // 2)
+            bs += enc.encode_frame(y, u, v)
+        dec = oracle.decode_h264_planes(bs)
+        assert dec is not None
+        ys = dec[0]
+        nd = H264Decoder()
+        frames = nd.decode(bs)
+        for i, fr in enumerate(frames):
+            assert np.array_equal(np.asarray(fr.y), ys[i]), (sub, i)
+        ps = [oracle.psnr(clip[f, :w * h].reshape(h, w), ys[f])
+              for f in range(n)]
+        res[sub] = (len(bs), sum(ps) / n)
+    assert res[2][1] >= res[1][1] - 0.05          # quality not worse
+    assert res[2][0] <= res[1][0] * 1.02          # bits not worse

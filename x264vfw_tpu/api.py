@@ -85,6 +85,8 @@ class CompressSession:
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
             search_range=min(p.merange, 16),
+            # --subme ladder: 0 = integer-pel, 1-3 = half, 4+ = quarter
+            subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),
             bframes=bframes, cabac=cabac,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,

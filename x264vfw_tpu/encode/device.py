@@ -129,6 +129,39 @@ def _resolve_me_backend(me_backend: str) -> str:
     return me_backend
 
 
+# quarter-pel sample = (P1 + P2 + 1) >> 1 of two {int,b,h,j} samples
+# (§8.4.2.2.1 Table 8-12).  For fractional position (fx, fy) in quarter
+# units (mod 4), the two (plane, dx, dy) operands, offsets in full pels:
+#   planes: 0=int 1=b 2=h 3=j
+_QPEL_PAIRS = {
+    (0, 0): ((0, 0, 0), (0, 0, 0)),
+    (2, 0): ((1, 0, 0), (1, 0, 0)),
+    (0, 2): ((2, 0, 0), (2, 0, 0)),
+    (2, 2): ((3, 0, 0), (3, 0, 0)),
+    (1, 0): ((0, 0, 0), (1, 0, 0)),
+    (3, 0): ((1, 0, 0), (0, 1, 0)),
+    (0, 1): ((0, 0, 0), (2, 0, 0)),
+    (0, 3): ((2, 0, 0), (0, 0, 1)),
+    (2, 1): ((1, 0, 0), (3, 0, 0)),
+    (2, 3): ((3, 0, 0), (1, 0, 1)),
+    (1, 2): ((2, 0, 0), (3, 0, 0)),
+    (3, 2): ((3, 0, 0), (2, 1, 0)),
+    (1, 1): ((1, 0, 0), (2, 0, 0)),
+    (3, 1): ((1, 0, 0), (2, 1, 0)),
+    (1, 3): ((2, 0, 0), (1, 0, 1)),
+    (3, 3): ((2, 1, 0), (1, 0, 1)),
+}
+
+
+def _qpel_operands(tx: int, ty: int):
+    """Total quarter offset (tx, ty) from the integer-aligned origin ->
+    ((p1, o1x, o1y), (p2, o2x, o2y)) with offsets in full pels."""
+    fx, fy = tx % 4, ty % 4
+    ix, iy = (tx - fx) // 4, (ty - fy) // 4
+    (p1, a1x, a1y), (p2, a2x, a2y) = _QPEL_PAIRS[(fx, fy)]
+    return (p1, a1x + ix, a1y + iy), (p2, a2x + ix, a2y + iy)
+
+
 def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
                           subpel: bool = True, me_backend: str = "auto"):
     """Full-search integer-pel SAD ME (+ half-pel refine) + MC, slice-
@@ -202,7 +235,8 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     oyc = jnp.repeat(dyb, 16, axis=1)[:, None, :]
     shifts = jnp.arange(K, dtype=jnp.int32) - rng
 
-    if subpel:
+    sub_lv = 2 if subpel is True else int(subpel)  # 0=int, 1=half, 2=quarter
+    if sub_lv:
         # -- alignment at the integer best (refine-decision inputs) --
         def h_step(carry, s):
             out = []
@@ -226,72 +260,87 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         aligned, _ = jax.lax.scan(
             v_step, tuple(jnp.zeros((mbh, 18, W), jnp.int16) for _ in bands),
             shifts)                  # 4 x (mbh, 18, W), row 0 = MB row -1
-        aI, aB, aH, aJ = aligned
+        amap = tuple(jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
+                     for a in aligned)   # x padded by 1 each side
 
-        # variant table: candidate (ex, ey) reads plane pm at (+dy, +dx)
-        deltas = [(ex, ey) for ey in (-1, 0, 1) for ex in (-1, 0, 1)]
-        var = []
-        for ex, ey in deltas:
-            if ex == 0 and ey == 0:
-                var.append((0, 0, 0))
-            elif ey == 0:
-                var.append((1, (ex - 1) // 2, 0))   # ex=1 -> 0, ex=-1 -> -1
-            elif ex == 0:
-                var.append((2, 0, (ey - 1) // 2))
-            else:
-                var.append((3, (ex - 1) // 2, (ey - 1) // 2))
+        # candidate grid in quarter-pel units around the integer best:
+        # half refine = even offsets only; quarter = the full [-2,2]^2 grid
+        # (every quarter sample is the rounded mean of two {int,b,h,j}
+        # samples at offsets in {-1,0} — all within the aligned arrays)
+        if sub_lv >= 2:
+            deltas = [(tx, ty) for ty in range(-2, 3) for tx in range(-2, 3)]
+        else:
+            deltas = [(tx, ty) for ty in (-2, 0, 2) for tx in (-2, 0, 2)]
+        ops = [_qpel_operands(tx, ty) for tx, ty in deltas]
 
-        # refine SADs: static +-1 shifts of the aligned planes (values within
-        # 1 px of an MB border come from the neighbour's alignment, so these
-        # SADs are approximate there — a decision heuristic only; the MC
-        # below is exact for whatever variant wins)
+        def read(op):
+            p_, ox_, oy_ = op
+            return amap[p_][:, 1 + oy_:17 + oy_, 1 + ox_:1 + ox_ + W]
+
+        # refine SADs: values within 1 px of an MB border come from the
+        # neighbour's alignment, so these are approximate there — a decision
+        # heuristic only; the MC below is exact for whatever wins
         src_r = src16.reshape(mbh, 16, W)
-        amap = (aI, aB, aH, aJ)
-        cands = []
-        for pm_, dx_, dy_ in var:
-            ap = jnp.pad(amap[pm_], ((0, 0), (0, 0), (1, 1)), mode="edge")
-            cands.append(ap[:, 1 + dy_:17 + dy_, 1 + dx_:1 + dx_ + W])
-        hsads = jnp.stack([
-            jnp.abs(src_r - c).astype(jnp.int32)
-            .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
-            for c in cands])                              # (9, mbh, mbw)
-        hcost = jnp.asarray([4 * (abs(ex) + abs(ey)) for ex, ey in deltas])
+        sads_r = []
+        for (op1, op2) in ops:
+            a = read(op1)
+            c = a if op1 == op2 else (a + read(op2) + 1) >> 1
+            sads_r.append(jnp.abs(src_r - c).astype(jnp.int32)
+                          .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3)))
+        hsads = jnp.stack(sads_r)                         # (ncand, mbh, mbw)
+        hcost = jnp.asarray([2 * (abs(tx) + abs(ty)) for tx, ty in deltas])
         hbest = jnp.argmin(hsads * 4 + hcost[:, None, None], axis=0)
-        exs = jnp.asarray([d[0] for d in deltas])[hbest]
-        eys = jnp.asarray([d[1] for d in deltas])[hbest]
-        mv_q = mv_int * 4 + 2 * jnp.stack([exs, eys], axis=-1)
+        txs = jnp.asarray([d[0] for d in deltas])[hbest]
+        tys = jnp.asarray([d[1] for d in deltas])[hbest]
+        mv_q = mv_int * 4 + jnp.stack([txs, tys], axis=-1)
 
-        pm = jnp.asarray([v[0] for v in var])[hbest]      # (mbh, mbw)
-        oxt = dxb + jnp.asarray([v[1] for v in var])[hbest]
-        oyt = dyb + jnp.asarray([v[2] for v in var])[hbest]
+        pm1 = jnp.asarray([o[0][0] for o in ops])[hbest]  # (mbh, mbw)
+        ox1 = dxb + jnp.asarray([o[0][1] for o in ops])[hbest]
+        oy1 = dyb + jnp.asarray([o[0][2] for o in ops])[hbest]
+        pm2 = jnp.asarray([o[1][0] for o in ops])[hbest]
+        ox2 = dxb + jnp.asarray([o[1][1] for o in ops])[hbest]
+        oy2 = dyb + jnp.asarray([o[1][2] for o in ops])[hbest]
     else:
         mv_q = mv_int * 4
-        pm = jnp.zeros((mbh, mbw), jnp.int32)
-        oxt, oyt = dxb, dyb
+        z = jnp.zeros((mbh, mbw), jnp.int32)
+        pm1 = pm2 = z
+        ox1 = ox2 = dxb
+        oy1 = oy2 = dyb
 
-    # -- exact MC: fold the winning variant's plane + (dx, dy) into one more
-    # h-then-v alignment with shifts in [-rng-1, rng] --
-    pmc = jnp.repeat(pm, 16, axis=1)[:, None, :]
-    oxtc = jnp.repeat(oxt, 16, axis=1)[:, None, :]
-    oytc = jnp.repeat(oyt, 16, axis=1)[:, None, :]
+    # -- exact MC: fold each operand's plane + (dx, dy) into an h-then-v
+    # alignment with shifts in [-rng-1, rng]; prediction is the rounded
+    # mean of the two operands (identity when they coincide) --
     shifts2 = jnp.arange(K + 1, dtype=jnp.int32) - rng - 1
     hA = 16 + 2 * rng + 1           # rows [-rng-1, rng+16) rel. MB start
 
-    def h2_step(acc, s):
-        for p, b in enumerate(bands):
-            sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (mbh, hA, W))
-            acc = acc + jnp.where((oxtc == s) & (pmc == p), sl, 0)
-        return acc, None
+    def mc_pass(pm, oxt, oyt):
+        pmc = jnp.repeat(pm, 16, axis=1)[:, None, :]
+        oxtc = jnp.repeat(oxt, 16, axis=1)[:, None, :]
+        oytc = jnp.repeat(oyt, 16, axis=1)[:, None, :]
 
-    Ah2, _ = jax.lax.scan(h2_step, jnp.zeros((mbh, hA, W), jnp.int16),
-                          shifts2)
+        def h2_step(acc, s):
+            for p, b in enumerate(bands):
+                sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (mbh, hA, W))
+                acc = acc + jnp.where((oxtc == s) & (pmc == p), sl, 0)
+            return acc, None
 
-    def v2_step(acc, s):
-        sl = jax.lax.dynamic_slice(Ah2, (0, rng + 1 + s, 0), (mbh, 16, W))
-        return acc + jnp.where(oytc == s, sl, 0), None
+        Ah2, _ = jax.lax.scan(h2_step, jnp.zeros((mbh, hA, W), jnp.int16),
+                              shifts2)
 
-    pred_r, _ = jax.lax.scan(v2_step, jnp.zeros((mbh, 16, W), jnp.int16),
-                             shifts2)
+        def v2_step(acc, s):
+            sl = jax.lax.dynamic_slice(Ah2, (0, rng + 1 + s, 0), (mbh, 16, W))
+            return acc + jnp.where(oytc == s, sl, 0), None
+
+        pred_r, _ = jax.lax.scan(v2_step, jnp.zeros((mbh, 16, W), jnp.int16),
+                                 shifts2)
+        return pred_r
+
+    predA = mc_pass(pm1, ox1, oy1)
+    if sub_lv >= 2:
+        predB = mc_pass(pm2, ox2, oy2)
+        pred_r = (predA + predB + 1) >> 1
+    else:
+        pred_r = predA
     pred_y = pred_r.reshape(H, W).astype(jnp.int32)
 
     # ---- chroma MC from the final quarter-pel MV (single-stage) ----

@@ -44,7 +44,7 @@ class EncoderConfig:
     deblock_beta: int = 0    # slice_beta_offset_div2
     num_ref_frames: int = 1
     search_range: int = 8
-    subpel: bool = True
+    subpel: int = 2          # 0 = integer-pel, 1 = half, 2 = quarter
     bframes: int = 0         # consecutive B frames between anchors
     cabac: bool = False      # CABAC entropy coding (Main profile)
     i4x4: bool = False
