@@ -58,7 +58,9 @@ def test_session_mp4_and_extra_cmdline(tmp_path):
 def test_decompress_session():
     w, h, n = 64, 48, 3
     clip = oracle.make_test_clip(w, h, n, seed=5)
-    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24))
+    # bframes=0: the 1:1 compress->decompress loop below assumes no
+    # reordering delay on either side
+    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24, bframes=0))
     sess.begin(w, h)
     fsz, csz = w * h, w * h // 4
     dsess = DecompressSession()
@@ -122,7 +124,7 @@ def test_session_qp_offsets_conform():
         u = clip[f, w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
         v = clip[f, w * h + w * h // 4:].reshape(h // 2, w // 2)
         bs += s.compress((y, u, v))
-    s.end()
+    bs += s.end()["tail"]
     dec = oracle.decode_h264_planes(bs)
     assert dec is not None
     ys, us, vs = dec

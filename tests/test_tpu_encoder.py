@@ -149,3 +149,32 @@ def test_quarter_pel_quality_ladder():
         res[sub] = (len(bs), sum(ps) / n)
     assert res[2][1] >= res[1][1] - 0.05          # quality not worse
     assert res[2][0] <= res[1][0] * 1.02          # bits not worse
+
+
+@pytest.mark.parametrize("cabac", [False, True])
+def test_adaptive_quantization_conformance(cabac):
+    """Variance AQ (per-MB qp, mb_qp_delta chain): streams must stay
+    bit-exact through FFmpeg and the native decoder, with deblock using
+    the realized per-MB QP map."""
+    w, h, n = 96, 80, 6
+    clip = oracle.make_test_clip(w, h, n)
+    enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=30, keyint=50,
+                                   search_range=8, me_backend="xla",
+                                   cabac=cabac, aq_strength=1.0,
+                                   deblock=True))
+    bs = b""
+    for f in range(n):
+        y = clip[f, :w * h].reshape(h, w)
+        u = clip[f, w * h:w * h + w * h // 4].reshape(h // 2, w // 2)
+        v = clip[f, w * h + w * h // 4:].reshape(h // 2, w // 2)
+        bs += enc.encode_frame(y, u, v)
+    dec = oracle.decode_h264_planes(bs)
+    assert dec is not None
+    ys = dec[0]
+    nd = H264Decoder()
+    frames = nd.decode(bs)
+    for i, fr in enumerate(frames):
+        np.testing.assert_array_equal(np.asarray(fr.y), ys[i],
+                                      err_msg=f"cabac={cabac} frame {i}")
+    # AQ must actually fire: distinct per-MB QPs in the decoded map
+    assert len(np.unique(frames[-1].qps)) > 1

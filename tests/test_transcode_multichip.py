@@ -41,7 +41,7 @@ def test_transcode_pipeline():
         src_bs += sess.compress((clip[i, :fsz].reshape(h, w),
                                  clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
                                  clip[i, fsz + csz:].reshape(h // 2, w // 2)))
-    sess.end()
+    src_bs += sess.end()["tail"]
     out = transcode(src_bs, 48, 40,
                     EncoderParams(rc_mode="cqp", qp=24, merange=4, log_level=-1))
     dec = oracle.decode_h264_planes(out)

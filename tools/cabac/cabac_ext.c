@@ -344,6 +344,24 @@ static void chroma_res(Cabac *c, Maps *m, int mx, int my, int cbp_c,
     }
 }
 
+/* mb_qp_delta: mapped-unary bins, ctx 60+prev_nz / 62 / 63 (§9.3.2.7) */
+static void qp_delta_code(Cabac *c, int val, int *prev_nz)
+{
+    decision(c, 60 + *prev_nz, val != 0);
+    if (!val) {
+        *prev_nz = 0;
+        return;
+    }
+    int nbins = val > 0 ? 2 * val - 1 : -2 * val;
+    for (int k = 1; ; k++) {
+        int bit = k < nbins;
+        decision(c, k == 1 ? 62 : 63, bit);
+        if (!bit)
+            break;
+    }
+    *prev_nz = 1;
+}
+
 /* returns payload bytes, or -1 on overflow / -2 on bad dims */
 long cabac_encode_p_slice(
     int qp, int init_idc, int mbh, int mbw,
@@ -352,8 +370,10 @@ long cabac_encode_p_slice(
     const int32_t *levels,                              /* (n,16,16) masked */
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
     const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
+    const int32_t *qpd,                                 /* (n,) or NULL */
     uint8_t *out, long cap)
 {
+    int prev_nz = 0;
     if (mbh > MAXMB_H || mbw > MAXMB_W)
         return -2;
     Cabac c;
@@ -382,7 +402,7 @@ long cabac_encode_p_slice(
             m->cbp_l[my * mbw + mx] = cbp_l[k];
             m->cbp_c[my * mbw + mx] = cbp_c[k];
             if (cbp_l[k] || cbp_c[k]) {
-                decision(&c, 60, 0);    /* mb_qp_delta = 0 */
+                qp_delta_code(&c, qpd ? qpd[k] : 0, &prev_nz);
                 for (int blk = 0; blk < 16; blk++) {
                     if (!((cbp_l[k] >> (blk / 4)) & 1))
                         continue;
@@ -393,7 +413,11 @@ long cabac_encode_p_slice(
                 }
                 chroma_res(&c, m, mx, my, cbp_c[k], 0, dc_u + 4 * k,
                            dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
+            } else {
+                prev_nz = 0;
             }
+        } else {
+            prev_nz = 0;
         }
         terminate(&c, k == n - 1);
         if (c.overflow)

@@ -88,6 +88,7 @@ class CompressSession:
             # --subme ladder: 0 = integer-pel, 1-3 = half, 4+ = quarter
             subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),
             bframes=bframes, cabac=cabac,
+            aq_strength=float(p.aq_strength) if p.aq_mode else 0.0,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,

@@ -51,16 +51,19 @@ def _p(a, dt):
 
 
 def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
-                   levels, dc_u, dc_v, ac_u, ac_v) -> bytes:
+                   levels, dc_u, dc_v, ac_u, ac_v, qpd=None) -> bytes:
     lib = _get_lib()
     n = mbh * mbw
     cap = max(1 << 16, n * 800)
     out = np.zeros(cap, np.uint8)
+    if qpd is None:
+        qpd = np.zeros(n, np.int32)
     holds = []
     ptrs = []
     for a, dt in ((skip, np.uint8), (mvd, np.int32), (cbp_l, np.int32),
                   (cbp_c, np.int32), (levels, np.int32), (dc_u, np.int32),
-                  (dc_v, np.int32), (ac_u, np.int32), (ac_v, np.int32)):
+                  (dc_v, np.int32), (ac_u, np.int32), (ac_v, np.int32),
+                  (qpd, np.int32)):
         arr, p = _p(a, dt)
         holds.append(arr)
         ptrs.append(p)

@@ -446,7 +446,7 @@ class CabacSlice(CabacSliceBase):
         super().__init__(_Writer(self.enc), qp, intra, mbh, mbw)
 
     def p_mb(self, mx, my, skipped, mv_d, cbp_l, cbp_c, levels16,
-             dc_u, dc_v, ac_u, ac_v):
+             dc_u, dc_v, ac_u, ac_v, qpd=0):
         self.coded[my, mx] = True
         if self.skip_flag(mx, my, skipped):
             self.prev_qp_delta_nz = 0
@@ -464,7 +464,7 @@ class CabacSlice(CabacSliceBase):
         if cbp_l == 0 and cbp_c == 0:
             self.prev_qp_delta_nz = 0
             return
-        self.qp_delta(0)
+        self.qp_delta(int(qpd))
         for blk in range(16):
             if not (cbp_l >> (blk // 4)) & 1:
                 continue

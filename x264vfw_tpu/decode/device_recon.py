@@ -20,7 +20,17 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops import transform as tj
-from ..encode.device import _halfpel_planes, mbize, unmbize, blocks_to_mb, BLK_X, BLK_Y
+from ..encode.device import (_halfpel_planes, _qpel_operands, mbize, unmbize,
+                             blocks_to_mb, BLK_X, BLK_Y)
+
+# quarter-frac (fy*4+fx) -> two (plane, ox, oy) operands as arrays
+_QP1 = np.zeros((16, 3), np.int32)
+_QP2 = np.zeros((16, 3), np.int32)
+for _fy in range(4):
+    for _fx in range(4):
+        _o1, _o2 = _qpel_operands(_fx, _fy)
+        _QP1[_fy * 4 + _fx] = _o1
+        _QP2[_fy * 4 + _fx] = _o2
 
 
 @partial(jax.jit, static_argnames=("rng",))
@@ -37,36 +47,50 @@ def recon_p16_frame(levels_zz, dc_u, dc_v, ac_u, ac_v, cbp_luma, cbp_chroma,
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
 
-    # ---- motion compensation from the decoded MV field ----
+    # ---- motion compensation from the decoded MV field (quarter-pel:
+    # prediction = rounded mean of two {int,b,h,j} plane samples) ----
     mv_int = mv_q >> 2                       # floor (arithmetic)
-    frac = mv_q & 3                          # 0 or 2 (half-pel) for our streams
-    K = 2 * rng + 1
+    frac = mv_q & 3
+    K = 2 * rng + 3                          # +-1 operand offsets around mv
     PAD = rng + 8
     ref_pad = jnp.pad(ref_y, PAD, mode="edge").astype(jnp.int16)
     hb, hh, hj = _halfpel_planes(ref_pad)
-
-    # offset id per MB for the single-stage pass
-    oid = (jnp.clip(mv_int[..., 1] + rng, 0, K - 1) * K
-           + jnp.clip(mv_int[..., 0] + rng, 0, K - 1))
-    oid16 = jnp.repeat(jnp.repeat(oid, 16, 0), 16, 1)
-    # half-pel selector per MB: 0=I,1=b,2=h,3=j
-    psel = jnp.where(frac[..., 0] > 0, 1, 0) + jnp.where(frac[..., 1] > 0, 2, 0)
-    psel16 = jnp.repeat(jnp.repeat(psel, 16, 0), 16, 1)
     planes = (ref_pad, hb, hh, hj)
 
-    def mc_body(acc, k):
+    fid = frac[..., 1] * 4 + frac[..., 0]    # (mbh, mbw) quarter class
+    qp1 = jnp.asarray(_QP1)[fid]             # (mbh, mbw, 3) plane/ox/oy
+    qp2 = jnp.asarray(_QP2)[fid]
+
+    def sel_maps(op):
+        ox = jnp.clip(mv_int[..., 0] + op[..., 1] + rng + 1, 0, K - 1)
+        oy = jnp.clip(mv_int[..., 1] + op[..., 2] + rng + 1, 0, K - 1)
+        oid = jnp.repeat(jnp.repeat(oy * K + ox, 16, 0), 16, 1)
+        ps = jnp.repeat(jnp.repeat(op[..., 0], 16, 0), 16, 1)
+        return oid, ps
+
+    oid1, ps1 = sel_maps(qp1)
+    oid2, ps2 = sel_maps(qp2)
+
+    def mc_body(carry, k):
+        a1, a2 = carry
         oy = k // K
         ox = k % K
-        base = (PAD - rng + oy, PAD - rng + ox)
-        val = jnp.zeros((H, W), jnp.int16)
+        base = (PAD - rng - 1 + oy, PAD - rng - 1 + ox)
+        val = [None] * 4
         for pi, pl_ in enumerate(planes):
-            c = jax.lax.dynamic_slice(pl_, base, (H, W))
-            val = val + jnp.where(psel16 == pi, c, 0)
-        return acc + jnp.where(oid16 == k, val, 0), None
+            val[pi] = jax.lax.dynamic_slice(pl_, base, (H, W))
+        v1 = jnp.zeros((H, W), jnp.int16)
+        v2 = jnp.zeros((H, W), jnp.int16)
+        for pi in range(4):
+            v1 = v1 + jnp.where(ps1 == pi, val[pi], 0)
+            v2 = v2 + jnp.where(ps2 == pi, val[pi], 0)
+        return (a1 + jnp.where(oid1 == k, v1, 0),
+                a2 + jnp.where(oid2 == k, v2, 0)), None
 
-    pred_y, _ = jax.lax.scan(mc_body, jnp.zeros((H, W), jnp.int16),
-                             jnp.arange(K * K))
-    pred_y = pred_y.astype(jnp.int32)
+    (p1, p2), _ = jax.lax.scan(
+        mc_body, (jnp.zeros((H, W), jnp.int16), jnp.zeros((H, W), jnp.int16)),
+        jnp.arange(K * K))
+    pred_y = ((p1.astype(jnp.int32) + p2 + 1) >> 1)
 
     # chroma MC (same single-stage as the encoder)
     ci = mv_q >> 3

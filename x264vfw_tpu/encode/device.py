@@ -84,6 +84,38 @@ def zigzag16(blocks: jnp.ndarray) -> jnp.ndarray:
     return jnp.take(blocks.reshape(*blocks.shape[:-2], 16), ZZ, axis=-1)
 
 
+def aq_qp_map(src_y: jnp.ndarray, qp, aq_strength: float) -> jnp.ndarray:
+    """Variance adaptive quantization (the reference's --aq-mode 1 /
+    --aq-strength surface, codec.c:911-912): busy MBs get a higher QP,
+    flat MBs a lower one, normalized to the frame's mean energy.
+
+    Returns per-MB QP (n,) int32 clipped to [1, 51]."""
+    mbs = mbize(src_y).astype(jnp.float32)          # (n, 16, 16)
+    mean = mbs.mean(axis=(1, 2), keepdims=True)
+    var = ((mbs - mean) ** 2).mean(axis=(1, 2))     # (n,)
+    energy = jnp.log2(var + 1.0)
+    adj = aq_strength * 1.2 * (energy - energy.mean())
+    adj = jnp.clip(jnp.round(adj), -6, 6).astype(jnp.int32)
+    return jnp.clip(jnp.asarray(qp, jnp.int32) + adj, 1, 51)
+
+
+def realized_qp_chain(qp_mb: jnp.ndarray, coded: jnp.ndarray, slice_qp):
+    """Decoder-visible per-MB QP: only MBs that signal mb_qp_delta (coded
+    residual) can move QP; others inherit the previous MB's QP (§7.4.5).
+
+    Returns (qp_real (n,), qp_delta (n,)) — delta is meaningful only where
+    coded."""
+    n = qp_mb.shape[0]
+    i = jnp.arange(n, dtype=jnp.int32)
+    idx = jax.lax.cummax(jnp.where(coded, i, -1))
+    qp_real = jnp.where(idx >= 0, qp_mb[jnp.maximum(idx, 0)],
+                        jnp.asarray(slice_qp, jnp.int32))
+    prev = jnp.concatenate([jnp.asarray(slice_qp, jnp.int32)[None],
+                            qp_real[:-1]])
+    delta = jnp.where(coded, qp_mb - prev, 0)
+    return qp_real, delta
+
+
 # --------------------------------------------------------------------------
 # P-frame pipeline
 # --------------------------------------------------------------------------
@@ -423,33 +455,36 @@ def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
     return levels, blocks_to_mb(res)
 
 
-def _chroma_residual_pipeline(src_c8, pred_c8, qpc, intra: bool):
+def _chroma_residual_pipeline(src_c8, pred_c8, qpc, intra: bool, qp_dc=None):
     """Chroma 8x8: DC Hadamard + AC. Returns (dc_levels (n,2,2),
     ac_levels (n,4,15), recon (n,8,8) given final cbp known later).
 
-    Recon here assumes both DC and AC coded; caller masks by cbp.
-    """
+    qpc: scalar or (n,1) per-MB; qp_dc: scalar or (n,) for the DC path."""
+    if qp_dc is None:
+        qp_dc = qpc
     resid = src_c8 - pred_c8
     blocks = c8_to_blocks(resid)                    # (n,4,4,4)
     coef = tj.fdct4x4(blocks)
     dc = jnp.stack([jnp.stack([coef[:, 0, 0, 0], coef[:, 1, 0, 0]], axis=-1),
                     jnp.stack([coef[:, 2, 0, 0], coef[:, 3, 0, 0]], axis=-1)],
                    axis=-2)                         # (n,2,2)
-    dc_lv = tj.chroma_dc_fwd_quant(dc, qpc, intra=intra)
+    dc_lv = tj.chroma_dc_fwd_quant(dc, qp_dc, intra=intra)
     q = tj.quant4x4(coef, qpc, intra=intra)
     q = q.at[:, :, 0, 0].set(0)
     ac_lv = zigzag16(q)[:, :, 1:]                   # (n,4,15)
     return dc_lv, ac_lv
 
 
-def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
+def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac, qp_dc=None):
     """Decoder-exact chroma recon with cbp masking.
 
     use_dc/use_ac: (n,) bool."""
+    if qp_dc is None:
+        qp_dc = qpc
     n = pred_c8.shape[0]
     dc_lv = jnp.where(use_dc[:, None, None], dc_lv, 0)
     ac_lv = jnp.where(use_ac[:, None, None], ac_lv, 0)
-    dc_rec = tj.chroma_dc_dequant(dc_lv, qpc)       # (n,2,2)
+    dc_rec = tj.chroma_dc_dequant(dc_lv, qp_dc)     # (n,2,2)
     full = jnp.concatenate([jnp.zeros((n, 4, 1), jnp.int32), ac_lv], axis=-1)
     blocks = tj.zigzag_unscan(full)                 # (n,4,4,4)
     d = tj.dequant4x4(blocks, qpc)
@@ -461,13 +496,27 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac):
 
 
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
-                        rng=8, subpel=True, me_backend="auto"):
+                        rng=8, subpel=True, me_backend="auto",
+                        aq_strength=0.0, qpc_offset=0):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
-    dims. Returns syntax tensors + recon planes (pre-deblock)."""
+    dims. Returns syntax tensors + recon planes (pre-deblock).
+
+    aq_strength > 0 enables per-MB variance AQ: quant/dequant run with a
+    per-MB QP map; qp_delta outputs carry the mb_qp_delta chain (§7.4.5)."""
     H, W = src_y.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
     src_mbs = mbize(src_y)
+    aq = float(aq_strength) > 0.0
+    if aq:
+        qp_mb = aq_qp_map(src_y, qp, float(aq_strength))
+        qpc_mb = tj.chroma_qp(qp_mb, qpc_offset)
+        qp_l = qp_mb[:, None]
+        qp_c = qpc_mb[:, None]
+        qp_cdc = qpc_mb
+    else:
+        qp_mb = None
+        qp_l, qp_c, qp_cdc = qp, qpc, qpc
 
     mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
         src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
@@ -475,7 +524,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     mv_q = mv_q4.reshape(n, 2)
 
     pred = mbize(pred_y_pl)
-    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
+    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp_l,
+                                                intra=False)
 
     # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
     nz_blk = (levels != 0).any(axis=-1)             # (n, 16)
@@ -492,8 +542,10 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     pred_v = mbize(pred_v_pl, 8)
     src_u_mbs = mbize(src_u, 8)
     src_v_mbs = mbize(src_v, 8)
-    dc_u, ac_u = _chroma_residual_pipeline(src_u_mbs, pred_u, qpc, False)
-    dc_v, ac_v = _chroma_residual_pipeline(src_v_mbs, pred_v, qpc, False)
+    dc_u, ac_u = _chroma_residual_pipeline(src_u_mbs, pred_u, qp_c, False,
+                                           qp_dc=qp_cdc)
+    dc_v, ac_v = _chroma_residual_pipeline(src_v_mbs, pred_v, qp_c, False,
+                                           qp_dc=qp_cdc)
 
     has_ac = (ac_u != 0).any(axis=(1, 2)) | (ac_v != 0).any(axis=(1, 2))
     has_dc = (dc_u != 0).any(axis=(1, 2)) | (dc_v != 0).any(axis=(1, 2))
@@ -501,10 +553,12 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
 
     use_dc = cbp_chroma >= 1
     use_ac = cbp_chroma == 2
-    rec_u = _chroma_recon(pred_u, dc_u, ac_u, qpc, use_dc, use_ac)
-    rec_v = _chroma_recon(pred_v, dc_v, ac_v, qpc, use_dc, use_ac)
+    rec_u = _chroma_recon(pred_u, dc_u, ac_u, qp_c, use_dc, use_ac,
+                          qp_dc=qp_cdc)
+    rec_v = _chroma_recon(pred_v, dc_v, ac_v, qp_c, use_dc, use_ac,
+                          qp_dc=qp_cdc)
 
-    return {
+    out = {
         "mv": mv_q,                     # (n,2) quarter-pel
         "levels": levels,               # (n,16,16) zigzag, block order
         "cbp_luma": cbp_luma,
@@ -515,6 +569,12 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         "recon_u": unmbize(rec_u, H // 2, W // 2, 8),
         "recon_v": unmbize(rec_v, H // 2, W // 2, 8),
     }
+    if aq:
+        coded = (cbp_luma != 0) | (cbp_chroma != 0)
+        qp_real, qp_delta = realized_qp_chain(qp_mb, coded, qp)
+        out["qp_real"] = qp_real
+        out["qp_delta"] = qp_delta
+    return out
 
 
 def _direct_flip_mask(mode_map, colzero):
@@ -870,7 +930,8 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
         intra_map = jnp.zeros((mbh, mbw), bool)
     ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
-    qp_map = jnp.full((mbh, mbw), qp, jnp.int32)
+    qp_map = (out["qp_real"].reshape(mbh, mbw) if "qp_real" in out
+              else jnp.full((mbh, mbw), qp, jnp.int32))
     maps = build_maps(intra_map, tc4, mv4, ref4, qp_map, offA, offB,
                       qpc_offset)
     if interpret is None:
@@ -879,6 +940,7 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
                          *maps, interpret=interpret)
 
 
-encode_p_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_p_frame_core)
+encode_p_frame = partial(jax.jit, static_argnames=(
+    "rng", "subpel", "me_backend", "aq_strength", "qpc_offset"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

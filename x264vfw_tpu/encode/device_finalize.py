@@ -110,10 +110,11 @@ def p16_mv_pred(mv):
 
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
-                                   "deblock", "dbA", "dbB"))
+                                   "deblock", "dbA", "dbB", "aq_strength",
+                                   "qpc_offset"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
-                   dbA=0, dbB=0):
+                   dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
     The mv field stays on device — it is the colocated-motion input of the
@@ -128,7 +129,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
-                              rng, subpel, me_backend)
+                              rng, subpel, me_backend,
+                              aq_strength=aq_strength, qpc_offset=qpc_offset)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
     return v, l, l.sum(), *recon, out["mv"]
@@ -326,10 +328,12 @@ def pack_phase(vals, lens, cap_words):
 
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words",
-                                   "me_backend", "deblock", "dbA", "dbB"))
+                                   "me_backend", "deblock", "dbA", "dbB",
+                                   "aq_strength", "qpc_offset"))
 def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                        hdr_vals, hdr_lens, rng, subpel, bucket_words,
-                       me_backend="auto", deblock=False, dbA=0, dbB=0):
+                       me_backend="auto", deblock=False, dbA=0, dbB=0,
+                       aq_strength=0.0, qpc_offset=0):
     """Batched P-frame encoding: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes,
@@ -353,7 +357,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
         su = row[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
-                                  me_backend)
+                                  me_backend, aq_strength=aq_strength,
+                                  qpc_offset=qpc_offset)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
         new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB)
@@ -470,8 +475,13 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw):
     bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
     hv = hv.at[:, 4].set(bv)
     hl = hl.at[:, 4].set(bl)
-    hv = hv.at[:, 5].set(1)
-    hl = hl.at[:, 5].set(jnp.where(cbp != 0, 1, 0))
+    if "qp_delta" in out:        # per-MB AQ: real se(mb_qp_delta) codes
+        qv, ql = cj.se_codes_j(out["qp_delta"])
+        hv = hv.at[:, 5].set(qv)
+        hl = hl.at[:, 5].set(jnp.where(cbp != 0, ql, 0))
+    else:
+        hv = hv.at[:, 5].set(1)
+        hl = hl.at[:, 5].set(jnp.where(cbp != 0, 1, 0))
 
     mb_vals = jnp.concatenate([
         hv, vlu.reshape(n, -1), vcdu, vcdv,

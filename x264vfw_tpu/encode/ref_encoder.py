@@ -47,6 +47,7 @@ class EncoderConfig:
     subpel: int = 2          # 0 = integer-pel, 1 = half, 2 = quarter
     bframes: int = 0         # consecutive B frames between anchors
     cabac: bool = False      # CABAC entropy coding (Main profile)
+    aq_strength: float = 0.0  # variance AQ (0 = off); applies to P frames
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1

@@ -167,7 +167,8 @@ class TpuEncoder:
                 jnp.asarray(rows), *old_ref, self.qp, self.qpc,
                 jnp.asarray(hvs), jnp.asarray(hls),
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
-                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
+                cfg.aq_strength, self.pps.chroma_qp_index_offset)
             nb = np.asarray(nbits)
             need_words = (int(nb.max()) + 31) // 32 + 2
             if need_words <= bucket or bucket >= cap_words:
@@ -252,7 +253,8 @@ class TpuEncoder:
                 jnp.asarray(hv.astype(np.uint32)),
                 jnp.asarray(hl.astype(np.int32)),
                 cfg.search_range, cfg.subpel, cfg.me_backend,
-                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
+                cfg.aq_strength, self.pps.chroma_qp_index_offset)
             self.last_mv = mv
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
@@ -317,7 +319,9 @@ class TpuEncoder:
             nal_type = NAL_SLICE
             outj = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
                                   rng=cfg.search_range, subpel=cfg.subpel,
-                                  me_backend=cfg.me_backend)
+                                  me_backend=cfg.me_backend,
+                                  aq_strength=cfg.aq_strength,
+                                  qpc_offset=self.pps.chroma_qp_index_offset)
             self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
@@ -369,17 +373,19 @@ class TpuEncoder:
             skipf = ((cbp_l == 0) & (cbp_c == 0) & (mvf == 0).all(1)
                      & skip_zero.reshape(n)).astype(np.uint8)
             mvd_all = (mvf - pmv.reshape(n, 2)).astype(np.int32)
+            qpd = out.get("qp_delta", np.zeros(n, np.int32)).astype(np.int32)
             if use_native:
                 payload = cn.encode_p_slice(
                     self.qp, 0, mbh, mbw, skipf, mvd_all,
                     cbp_l.astype(np.int32), cbp_c.astype(np.int32),
-                    levels, dc_u, dc_v, ac_u, ac_v)
+                    levels, dc_u, dc_v, ac_u, ac_v, qpd)
             else:
                 cs = CabacSlice(self.qp, False, mbh, mbw)
                 for k in range(n):
                     cs.p_mb(k % mbw, k // mbw, bool(skipf[k]), mvd_all[k],
                             int(cbp_l[k]), int(cbp_c[k]), levels[k],
-                            dc_u[k], dc_v[k], ac_u[k], ac_v[k])
+                            dc_u[k], dc_v[k], ac_u[k], ac_v[k],
+                            qpd=int(qpd[k]))
                     cs.end_mb(k == n - 1)
                 payload = cs.payload()
         self.ref = (outj["recon_y"], outj["recon_u"], outj["recon_v"])
@@ -613,7 +619,8 @@ class TpuEncoder:
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
                     cfg.search_range, cfg.subpel, cfg.me_backend,
-                    cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                    cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
+                    cfg.aq_strength, self.pps.chroma_qp_index_offset)
                 self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case

@@ -221,10 +221,11 @@ def luma_dc_dequant(levels: np.ndarray, qp: np.ndarray | int) -> np.ndarray:
         else:
             dc = (f * ls + (1 << (5 - qp6))) >> (6 - qp6)
     else:
-        qp6v = (qp // 6).astype(np.int64)
-        hi = (f * ls) * (1 << np.maximum(qp6v - 6, 0))
-        lo = (f * ls + (1 << np.maximum(5 - qp6v, 0))) >> np.maximum(6 - qp6v, 0)
-        dc = np.where(qp >= 36, hi, lo)
+        qp6v = (qp // 6).astype(np.int64)[..., None, None]
+        lsv = np.asarray(ls).reshape(qp.shape + (1, 1))
+        hi = (f * lsv) * (1 << np.maximum(qp6v - 6, 0))
+        lo = (f * lsv + (1 << np.maximum(5 - qp6v, 0))) >> np.maximum(6 - qp6v, 0)
+        dc = np.where(qp[..., None, None] >= 36, hi, lo)
     return dc.astype(np.int32)
 
 
@@ -249,6 +250,9 @@ def chroma_dc_dequant(levels: np.ndarray, qp: np.ndarray | int) -> np.ndarray:
     f = hadamard2x2(levels)
     ls = (16 * DEQUANT_V[qp % 6, 0]).astype(np.int64)
     qp6 = (qp // 6).astype(np.int64)
+    if qp.ndim:
+        ls = ls.reshape(qp.shape + (1, 1))
+        qp6 = qp6[..., None, None]
     dc = ((f * ls) << qp6) >> 5
     return dc.astype(np.int32)
 

@@ -23,7 +23,8 @@ def transcode(bitstream: bytes, dst_w: int, dst_h: int,
               output=None, method: str = "bicubic") -> bytes:
     """H.264 Annex-B in -> decoded -> scaled -> re-encoded Annex-B out."""
     dec = H264Decoder()
-    frames = dec.decode(bitstream)
+    dec.decode(bitstream)
+    frames = dec.display_order()
     if not frames:
         raise ValueError("no frames decoded from input")
     p = params.copy() if params else EncoderParams(rc_mode="cqp", qp=26)
@@ -35,7 +36,7 @@ def transcode(bitstream: bytes, dst_w: int, dst_h: int,
         out += sess.compress((np.asarray(y, np.uint8),
                               np.asarray(u, np.uint8),
                               np.asarray(v, np.uint8)))
-    sess.end()
+    out += sess.end()["tail"]
     return out
 
 
@@ -51,5 +52,5 @@ def transcode_frames(frames_yuv, dst_w: int, dst_h: int,
         out += sess.compress((np.asarray(sy, np.uint8),
                               np.asarray(su, np.uint8),
                               np.asarray(sv, np.uint8)))
-    sess.end()
+    out += sess.end()["tail"]
     return out
