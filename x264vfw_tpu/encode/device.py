@@ -311,16 +311,18 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
 
         # refine SADs: values within 1 px of an MB border come from the
         # neighbour's alignment, so these are approximate there — a decision
-        # heuristic only; the MC below is exact for whatever wins
-        src_r = src16.reshape(mbh, 16, W)
+        # heuristic only; the MC below is exact for whatever wins.  Rows are
+        # 2:1 subsampled (decision metric only): halves the refine cost.
+        src_r = src16.reshape(mbh, 16, W)[:, ::2]
         sads_r = []
         for (op1, op2) in ops:
-            a = read(op1)
-            c = a if op1 == op2 else (a + read(op2) + 1) >> 1
+            a = read(op1)[:, ::2]
+            c = a if op1 == op2 else (a + read(op2)[:, ::2] + 1) >> 1
             sads_r.append(jnp.abs(src_r - c).astype(jnp.int32)
-                          .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3)))
+                          .reshape(mbh, 8, mbw, 16).sum(axis=(1, 3)))
         hsads = jnp.stack(sads_r)                         # (ncand, mbh, mbw)
-        hcost = jnp.asarray([2 * (abs(tx) + abs(ty)) for tx, ty in deltas])
+        # lambda halved to match the 2:1-subsampled SAD magnitude
+        hcost = jnp.asarray([(abs(tx) + abs(ty)) for tx, ty in deltas])
         hbest = jnp.argmin(hsads * 4 + hcost[:, None, None], axis=0)
         txs = jnp.asarray([d[0] for d in deltas])[hbest]
         tys = jnp.asarray([d[1] for d in deltas])[hbest]
@@ -345,10 +347,41 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     shifts2 = jnp.arange(K + 1, dtype=jnp.int32) - rng - 1
     hA = 16 + 2 * rng + 1           # rows [-rng-1, rng+16) rel. MB start
 
-    def mc_pass(pm, oxt, oyt):
-        pmc = jnp.repeat(pm, 16, axis=1)[:, None, :]
-        oxtc = jnp.repeat(oxt, 16, axis=1)[:, None, :]
-        oytc = jnp.repeat(oyt, 16, axis=1)[:, None, :]
+    if sub_lv >= 2:
+        # both operands accumulated in ONE h-then-v scan (the band slices
+        # are shared; only the masks differ)
+        pmc1 = jnp.repeat(pm1, 16, axis=1)[:, None, :]
+        oxc1 = jnp.repeat(ox1, 16, axis=1)[:, None, :]
+        oyc1 = jnp.repeat(oy1, 16, axis=1)[:, None, :]
+        pmc2 = jnp.repeat(pm2, 16, axis=1)[:, None, :]
+        oxc2 = jnp.repeat(ox2, 16, axis=1)[:, None, :]
+        oyc2 = jnp.repeat(oy2, 16, axis=1)[:, None, :]
+
+        def h2_step(carry, s):
+            a1, a2 = carry
+            for p, b in enumerate(bands):
+                sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (mbh, hA, W))
+                a1 = a1 + jnp.where((oxc1 == s) & (pmc1 == p), sl, 0)
+                a2 = a2 + jnp.where((oxc2 == s) & (pmc2 == p), sl, 0)
+            return (a1, a2), None
+
+        z2 = jnp.zeros((mbh, hA, W), jnp.int16)
+        (Ah1, Ah2), _ = jax.lax.scan(h2_step, (z2, z2), shifts2)
+
+        def v2_step(carry, s):
+            a1, a2 = carry
+            s1 = jax.lax.dynamic_slice(Ah1, (0, rng + 1 + s, 0), (mbh, 16, W))
+            s2 = jax.lax.dynamic_slice(Ah2, (0, rng + 1 + s, 0), (mbh, 16, W))
+            return (a1 + jnp.where(oyc1 == s, s1, 0),
+                    a2 + jnp.where(oyc2 == s, s2, 0)), None
+
+        z3 = jnp.zeros((mbh, 16, W), jnp.int16)
+        (pA, pB), _ = jax.lax.scan(v2_step, (z3, z3), shifts2)
+        pred_r = (pA + pB + 1) >> 1
+    else:
+        pmc = jnp.repeat(pm1, 16, axis=1)[:, None, :]
+        oxtc = jnp.repeat(ox1, 16, axis=1)[:, None, :]
+        oytc = jnp.repeat(oy1, 16, axis=1)[:, None, :]
 
         def h2_step(acc, s):
             for p, b in enumerate(bands):
@@ -365,14 +398,6 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
 
         pred_r, _ = jax.lax.scan(v2_step, jnp.zeros((mbh, 16, W), jnp.int16),
                                  shifts2)
-        return pred_r
-
-    predA = mc_pass(pm1, ox1, oy1)
-    if sub_lv >= 2:
-        predB = mc_pass(pm2, ox2, oy2)
-        pred_r = (predA + predB + 1) >> 1
-    else:
-        pred_r = predA
     pred_y = pred_r.reshape(H, W).astype(jnp.int32)
 
     # ---- chroma MC from the final quarter-pel MV (single-stage) ----
@@ -441,15 +466,46 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     return mv_q, pred_y, pu_r.reshape(H // 2, Wc), pv_r.reshape(H // 2, Wc)
 
 
-def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool):
+# x264's decimate run table (common/macroblock.c i_ds_table4): the score a
+# lone +-1 coefficient contributes given the zero-run below it
+_DS_TABLE = jnp.asarray([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+
+
+def _decimate_score(levels):
+    """x264 decimate score per 4x4 block (vectorized): 9 if any |level|>1,
+    else sum of ds_table[zero-run below each +-1].  levels: (..., 16)
+    zigzag."""
+    nz = levels != 0
+    big = (jnp.abs(levels) > 1).any(axis=-1)
+    idx = jnp.arange(16)
+    # position of the previous nonzero below each position (or -1)
+    prev = jax.lax.cummax(jnp.where(nz, idx, -1), axis=levels.ndim - 1)
+    prev_below = jnp.concatenate(
+        [jnp.full(levels.shape[:-1] + (1,), -1),
+         prev[..., :-1]], axis=-1)
+    run = idx - prev_below - 1
+    score = jnp.where(nz, _DS_TABLE[jnp.minimum(run, 15)], 0).sum(axis=-1)
+    return jnp.where(big, 9, score)
+
+
+def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool,
+                            decimate: bool = False):
     """fdct+quant+zigzag and the decoder-exact recon residual.
 
+    decimate (inter only): zero a whole MB's luma residual when its summed
+    decimate score is < 6 (the reference's --no-dct-decimate default-on
+    behaviour, codec.c option surface).
     Returns (levels_zz (n,16,16), recon_res (n,16,16))."""
     resid = src_mbs - pred_mbs
     blocks = mb_to_blocks(resid)
     coef = tj.fdct4x4(blocks)
     q = tj.quant4x4(coef, qp, intra=intra)
     levels = zigzag16(q)                            # (n, 16, 16)
+    if decimate and not intra:
+        mb_score = _decimate_score(levels).sum(axis=-1)   # (n,)
+        keep = (mb_score >= 6)[:, None, None]
+        levels = jnp.where(keep, levels, 0)
+        q = jnp.where(keep[..., None], q, 0)
     d = tj.dequant4x4(q, qp)
     res = tj.idct4x4_core(d)
     return levels, blocks_to_mb(res)
@@ -497,7 +553,7 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac, qp_dc=None):
 
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
-                        aq_strength=0.0, qpc_offset=0):
+                        aq_strength=0.0, qpc_offset=0, decimate=True):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock).
 
@@ -525,7 +581,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
 
     pred = mbize(pred_y_pl)
     levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp_l,
-                                                intra=False)
+                                                intra=False,
+                                                decimate=decimate)
 
     # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
     nz_blk = (levels != 0).any(axis=-1)             # (n, 16)
@@ -628,7 +685,8 @@ def encode_b_frame_core(src_y, src_u, src_v,
                         ref0_y, ref0_u, ref0_v,
                         ref1_y, ref1_u, ref1_v,
                         mvcol, qp, qpc,
-                        rng=8, subpel=True, me_backend="auto"):
+                        rng=8, subpel=True, me_backend="auto",
+                        decimate=True):
     """Device B-frame encode: independent L0/L1 motion searches, per-MB
     {L0, L1, Bi} mode decision (default bi-prediction §8.4.2.3.2:
     (p0 + p1 + 1) >> 1), then a second phase flipping MBs to spatial
@@ -722,7 +780,8 @@ def encode_b_frame_core(src_y, src_u, src_v,
                        jnp.where(mc_ == 2, p1v, biv))).astype(jnp.int32)
 
     pred = mbize(pred_y)
-    levels, _ = _luma_residual_pipeline(src_mbs, pred, qp, intra=False)
+    levels, _ = _luma_residual_pipeline(src_mbs, pred, qp, intra=False,
+                                        decimate=decimate)
     nz_blk = (levels != 0).any(axis=-1)
     cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
     cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
@@ -941,6 +1000,8 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
 
 
 encode_p_frame = partial(jax.jit, static_argnames=(
-    "rng", "subpel", "me_backend", "aq_strength", "qpc_offset"))(encode_p_frame_core)
-encode_b_frame = partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))(encode_b_frame_core)
+    "rng", "subpel", "me_backend", "aq_strength", "qpc_offset",
+    "decimate"))(encode_p_frame_core)
+encode_b_frame = partial(jax.jit, static_argnames=(
+    "rng", "subpel", "me_backend", "decimate"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

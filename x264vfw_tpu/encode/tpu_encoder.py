@@ -119,18 +119,46 @@ class TpuEncoder:
         if self.ref is None or (self.frame_idx % cfg.keyint) == 0:
             out_aus.append(self.encode_frame(*frames[0], qp=qp))
             i = 1
+        next_rows = None
         while i < len(frames):
             n_left_in_gop = cfg.keyint - (self.frame_idx % cfg.keyint)
             g = min(len(frames) - i, n_left_in_gop)
             batch = frames[i:i + g]
-            out_aus.extend(self._encode_p_batch(batch, qp))
+            rows_dev = next_rows
+            next_rows = None
+            if rows_dev is None:
+                rows_dev = jnp.asarray(self.pack_batch_rows(batch))
+            # ingest pipelining: enqueue the next batch's host->device copy
+            # now so it streams while this batch computes + drains (uploads
+            # overlap compute on TPU; the real-host analogue is DMA-ahead)
+            nxt = i + g
+            if nxt < len(frames) and (self.frame_idx + g) % cfg.keyint != 0:
+                g2 = min(len(frames) - nxt,
+                         cfg.keyint - ((self.frame_idx + g) % cfg.keyint))
+                next_rows = jnp.asarray(
+                    self.pack_batch_rows(frames[nxt:nxt + g2]))
+            out_aus.extend(self._encode_p_batch(batch, qp, rows_dev=rows_dev))
             i += g
             if i < len(frames):
                 out_aus.append(self.encode_frame(*frames[i], qp=qp))
                 i += 1
         return out_aus
 
-    def _encode_p_batch(self, batch: list, qp: int | None) -> list[bytes]:
+    def pack_batch_rows(self, batch: list) -> np.ndarray:
+        """Host-side packing of (y, u, v) frames into the (G, H*W*3/2)
+        uint8 layout the batched device program ingests."""
+        H, W = self.mbh * 16, self.mbw * 16
+        return np.stack([np.concatenate([
+            np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
+            np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
+            for (y, u, v) in batch])
+
+    def _encode_p_batch(self, batch: list, qp: int | None,
+                        rows_dev=None) -> list[bytes]:
+        """rows_dev: optionally a pre-uploaded device array of
+        pack_batch_rows(batch) — callers can prefetch the next batch's
+        upload while the current batch computes (ingest pipelining)."""
         cfg = self.cfg
         H, W = self.mbh * 16, self.mbw * 16
         G = len(batch)
@@ -138,11 +166,7 @@ class TpuEncoder:
             self.qp = int(min(max(qp, 0), 51))
             self.qpc = int(tnp.chroma_qp(self.qp,
                                          self.pps.chroma_qp_index_offset))
-        rows = np.stack([np.concatenate([
-            np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
-            np.ascontiguousarray(_pad(u, H // 2, W // 2), dtype=np.uint8).ravel(),
-            np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
-            for (y, u, v) in batch])
+        rows = rows_dev if rows_dev is not None else self.pack_batch_rows(batch)
         hvs = np.zeros((G, device_finalize.MAX_HDR), np.uint32)
         hls = np.zeros((G, device_finalize.MAX_HDR), np.int32)
         fnums = []
