@@ -132,3 +132,58 @@ def test_session_qp_offsets_conform():
     assert np.array_equal(ys[-1], np.asarray(rec[0])[:h, :w])
     assert np.array_equal(us[-1], np.asarray(rec[1])[:h // 2, :w // 2])
     assert np.array_equal(vs[-1], np.asarray(rec[2])[:h // 2, :w // 2])
+
+
+def test_vui_signaling_roundtrip(tmp_path):
+    """SAR/colour/timing flags land in the SPS VUI (reference forwards
+    these to x264's SPS writer, codec.c:973-979) and the stream still
+    decodes in stock FFmpeg."""
+    from x264vfw_tpu.bitstream.nal import split_annexb
+    from x264vfw_tpu.bitstream.params import SPS
+
+    w, h, n = 64, 48, 2
+    clip = oracle.make_test_clip(w, h, n, seed=11)
+    sess = CompressSession(extra_cmdline=(
+        "--qp 30 --sar 4:3 --range pc --colormatrix bt709 "
+        "--colorprim bt709 --transfer bt709 --fps 30000/1001"))
+    sess.begin(w, h)
+    fsz, csz = w * h, w * h // 4
+    bs = b""
+    for i in range(n):
+        bs += sess.compress((clip[i, :fsz].reshape(h, w),
+                             clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                             clip[i, fsz + csz:].reshape(h // 2, w // 2)))
+    bs += sess.end()["tail"]
+    sps_rbsp = next(n.rbsp for n in split_annexb(bs) if n.nal_unit_type == 7)
+    s = SPS.from_rbsp(sps_rbsp)
+    assert s.vui_parameters_present_flag == 1
+    assert (s.sar_width, s.sar_height) == (4, 3)
+    assert s.video_full_range_flag == 1
+    assert s.colour_description_present_flag == 1
+    assert s.matrix_coefficients == 1 and s.colour_primaries == 1
+    assert s.timing_info_present_flag == 1
+    assert s.num_units_in_tick == 1001 and s.time_scale == 60000
+    dec = oracle.decode_h264_planes(bs)
+    assert dec is not None and dec[0].shape[0] == n
+
+
+def test_aud_emission(tmp_path):
+    """--aud prefixes every AU with an access-unit delimiter NAL and the
+    stream still decodes (reference forwards --aud, codec.c:972)."""
+    from x264vfw_tpu.bitstream.nal import split_annexb
+    w, h, n = 64, 48, 3
+    clip = oracle.make_test_clip(w, h, n, seed=12)
+    sess = CompressSession(extra_cmdline="--qp 30 --aud")
+    sess.begin(w, h)
+    fsz, csz = w * h, w * h // 4
+    bs = b""
+    for i in range(n):
+        bs += sess.compress((clip[i, :fsz].reshape(h, w),
+                             clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                             clip[i, fsz + csz:].reshape(h // 2, w // 2)))
+    bs += sess.end()["tail"]
+    nals = split_annexb(bs)
+    assert sum(1 for u in nals if u.nal_unit_type == 9) == n
+    assert nals[0].nal_unit_type == 9  # AUD first in the AU
+    dec = oracle.decode_h264_planes(bs)
+    assert dec is not None and dec[0].shape[0] == n

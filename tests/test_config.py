@@ -100,3 +100,11 @@ def test_persist_roundtrip(tmp_path):
 def test_persist_missing_file(tmp_path):
     q, warns = persist.load(str(tmp_path / "nope.json"))
     assert q == EncoderParams() and not warns
+
+
+def test_fullhelp_covers_every_option():
+    from x264vfw_tpu.config.options import OPTION_TABLE, fullhelp
+    text = fullhelp()
+    for name in OPTION_TABLE:
+        assert f"--{name}" in text
+    assert "Presets:" in text and "ultrafast" in text

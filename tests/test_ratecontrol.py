@@ -66,3 +66,23 @@ def test_pass2_without_stats_raises(tmp_path):
                       stats_file=str(tmp_path / "none.stats"))
     with pytest.raises(FileNotFoundError):
         CompressSession(p).begin(64, 64)
+
+
+def test_vbv_biases_qp_under_pressure():
+    from x264vfw_tpu.config.params import EncoderParams
+    from x264vfw_tpu.encode.ratecontrol import RateController
+    p = EncoderParams(rc_mode="abr", bitrate=500, vbv_maxrate=500,
+                      vbv_bufsize=250, fps_num=25, fps_den=1,
+                      width=320, height=240)
+    rc = RateController(p)
+    base = rc.qp_for_frame(False)
+    # feed frames 3x over the vbv input rate: buffer drains, QP must rise
+    per_frame_in = 500 * 1000 / 25
+    for _ in range(12):
+        rc.update("P", rc.qp_for_frame(False), int(per_frame_in * 3))
+    assert rc.qp_for_frame(False) > base
+    assert rc._vbv_fill >= 0
+    # light frames afterwards: buffer refills, bias decays
+    for _ in range(40):
+        rc.update("P", rc.qp_for_frame(False), int(per_frame_in * 0.2))
+    assert rc._vbv_adj <= 1

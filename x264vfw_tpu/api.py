@@ -32,6 +32,21 @@ from .utils.logging import Logger
 SUPPORTED_INPUT_FORMATS = ("i420", "yv12", "nv12", "nv21", "yuyv", "uyvy",
                            "rgb24", "bgr24", "bgra", "rgba")
 
+# x264-compatible colour signaling name -> H.273 code tables
+# (the reference forwards these strings to x264, codec.c:973-979)
+_COLORPRIM = {"bt709": 1, "undef": 2, "bt470m": 4, "bt470bg": 5,
+              "smpte170m": 6, "smpte240m": 7, "film": 8, "bt2020": 9,
+              "smpte428": 10, "smpte431": 11, "smpte432": 12}
+_TRANSFER = {"bt709": 1, "undef": 2, "bt470m": 4, "bt470bg": 5,
+             "smpte170m": 6, "smpte240m": 7, "linear": 8, "log100": 9,
+             "log316": 10, "iec61966-2-4": 11, "bt1361e": 12,
+             "iec61966-2-1": 13, "bt2020-10": 14, "bt2020-12": 15,
+             "smpte2084": 16, "smpte428": 17, "arib-std-b67": 18}
+_COLMATRIX = {"GBR": 0, "bt709": 1, "undef": 2, "fcc": 4, "bt470bg": 5,
+              "smpte170m": 6, "smpte240m": 7, "YCgCo": 8, "bt2020nc": 9,
+              "bt2020c": 10, "smpte2085": 11, "chroma-derived-nc": 12,
+              "chroma-derived-c": 13, "ICtCp": 14}
+
 
 def worst_case_size(width: int, height: int) -> int:
     """Upper bound on one compressed frame (reference codec.c:620)."""
@@ -89,9 +104,15 @@ class CompressSession:
             subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),
             bframes=bframes, cabac=cabac,
             aq_strength=float(p.aq_strength) if p.aq_mode else 0.0,
+            trellis=p.trellis > 0,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,
+            sar_width=p.sar_width, sar_height=p.sar_height,
+            fullrange=bool(p.fullrange),
+            colorprim=_COLORPRIM.get(p.colorprim, 2),
+            transfer=_TRANSFER.get(p.transfer, 2),
+            colmatrix=_COLMATRIX.get(p.colmatrix, 2),
             # --no-asm analogue (SURVEY §5): run the Pallas ME kernel in
             # interpret mode instead of compiled Mosaic
             me_backend="pallas_interpret" if p.no_asm else "auto",
@@ -138,6 +159,12 @@ class CompressSession:
         result = b""
         for (au, pts, key) in outs:
             ftype = "I" if key else ("B" if (au[4] & 0x60) == 0 else "P")
+            if self.params.aud:
+                # access-unit delimiter, first NAL of the AU (§7.4.2.4);
+                # primary_pic_type 0=I, 1=I/P, 2=I/P/B
+                ppt = {"I": 0, "P": 1, "B": 2}[ftype]
+                au = (START_CODE_LONG + bytes([0x09, (ppt << 5) | 0x10])
+                      + au)
             self.rc.update(ftype, self.rc.qp_for_type(ftype), len(au) * 8)
             if pts > self._largest:
                 self._second = self._largest

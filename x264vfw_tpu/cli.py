@@ -61,6 +61,10 @@ def main(argv: list[str] | None = None) -> int:
         elif a in ("-h", "--help"):
             print(__doc__)
             return 0
+        elif a == "--fullhelp":
+            from .config.options import fullhelp
+            print(fullhelp())
+            return 0
         elif not a.startswith("-") and in_path is None and (
                 a.endswith(".yuv") or a.endswith(".y4m") or i == len(argv) - 1):
             in_path = a

@@ -16,7 +16,7 @@ import shlex
 from .params import EncoderParams
 from .presets import resolve
 
-__all__ = ["parse_cmdline", "split_cmdline", "OPTION_TABLE"]
+__all__ = ["parse_cmdline", "split_cmdline", "fullhelp", "OPTION_TABLE"]
 
 
 def _int(v): return int(v, 0)
@@ -138,6 +138,110 @@ _KNOWN_UNSUPPORTED = {
     "slice-max-size", "slice-max-mbs", "slice-min-mbs",
     "constrained-intra", "filler", "frame-packing",
 }
+
+
+# one-line descriptions for fullhelp (the reference regenerates x264's
+# --fullhelp into its help dialog, config.c:1401-1781)
+_HELP: dict[str, str] = {
+    "keyint": "Maximum GOP size ('infinite' for intra-refresh-style streams)",
+    "min-keyint": "Minimum GOP size",
+    "scenecut": "How aggressively to insert extra I-frames",
+    "intra-refresh": "Use periodic intra refresh instead of IDR frames",
+    "bframes": "Number of consecutive B-frames between anchors",
+    "b-adapt": "Adaptive B-frame decision method (0=off 1=fast 2=optimal)",
+    "b-pyramid": "Keep some B-frames as references (none/strict/normal)",
+    "open-gop": "Allow open GOPs (B-frames referencing across IDR)",
+    "ref": "Number of reference frames",
+    "mixed-refs": "Decide references on a per-partition basis",
+    "me": "Integer-pel motion estimation method (dia/hex/umh/esa/tesa)",
+    "merange": "Maximum motion vector search range",
+    "subme": "Subpixel motion refinement quality (0..11)",
+    "partitions": "Partitions to consider (p8x8,p4x4,b8x8,i8x8,i4x4,none,all)",
+    "8x8dct": "Adaptive spatial transform size (High profile)",
+    "trellis": "Trellis RD quantization (0=off 1=final 2=all)",
+    "psy-rd": "Psychovisual strength for RD and trellis (rd:trellis)",
+    "fast-pskip": "Early skip detection on P-frames",
+    "dct-decimate": "Coefficient elimination on P-frames",
+    "weightp": "Weighted prediction for P-frames (0..2)",
+    "weightb": "Weighted prediction for B-frames",
+    "direct": "Direct MV prediction mode (none/spatial/temporal/auto)",
+    "chroma-me": "Include chroma in motion estimation",
+    "nr": "Noise reduction strength",
+    "cabac": "CABAC entropy coding (vs CAVLC)",
+    "deblock": "Loop filter alpha:beta offsets",
+    "qp": "Constant quantizer mode (0..51)",
+    "crf": "Constant-quality mode (nominal QP)",
+    "bitrate": "Average bitrate mode (kbit/s)",
+    "vbv-maxrate": "Maximum local bitrate (kbit/s)",
+    "vbv-bufsize": "VBV buffer size (kbit)",
+    "qpmin": "Minimum quantizer",
+    "qpmax": "Maximum quantizer",
+    "qpstep": "Maximum QP step between frames",
+    "ipratio": "QP factor between I and P frames",
+    "pbratio": "QP factor between P and B frames",
+    "chroma-qp-offset": "QP difference between chroma and luma",
+    "aq-mode": "Adaptive quantization mode (0=off 1=variance)",
+    "aq-strength": "AQ strength (reduces blocking in flat areas)",
+    "mbtree": "Macroblock-tree rate control",
+    "rc-lookahead": "Number of frames for frametype lookahead",
+    "qcomp": "QP curve compression (0.0 .. 1.0)",
+    "stats": "2-pass stats file name",
+    "pass": "Multi-pass mode (1=first pass, 2=second pass)",
+    "fast-firstpass": "Faster settings on pass 1 of multi-pass",
+    "threads": "Parallel encoding threads ('auto' = per device)",
+    "sliced-threads": "Low-latency intra-frame parallelism",
+    "lookahead-threads": "Threads for the lookahead stage",
+    "sync-lookahead": "Threaded lookahead buffer size",
+    "slices": "Number of slices per frame",
+    "deterministic": "Keep multi-device output deterministic",
+    "cpu-independent": "Bit-identical output across device topologies",
+    "fps": "Framerate (int, float, or num/den)",
+    "sar": "Sample aspect ratio width:height",
+    "level": "H.264 level (e.g. 4.1)",
+    "fullrange": "Full-range (PC) sample values",
+    "range": "Color range of input ('tv' or 'pc')",
+    "colorprim": "Color primaries (bt709/bt470bg/smpte170m/bt2020/...)",
+    "transfer": "Transfer characteristics (bt709/srgb/smpte2084/...)",
+    "colormatrix": "Color matrix (bt709/bt470bg/smpte170m/bt2020nc/...)",
+    "nal-hrd": "HRD signaling (none/vbr/cbr)",
+    "aud": "Emit access-unit delimiters",
+    "repeat-headers": "Emit SPS/PPS before every keyframe",
+    "annexb": "Annex-B start codes (vs length-prefixed NALs)",
+    "psnr": "Compute and report PSNR",
+    "ssim": "Compute and report SSIM",
+    "asm": "Compiled Pallas kernels (--no-asm = interpret mode)",
+    "log-level": "Logging verbosity (none/error/warning/info/debug)",
+}
+
+
+def fullhelp() -> str:
+    """Generate the complete option reference with live defaults — the
+    role of the reference's in-dialog --fullhelp regeneration
+    (config.c:1401-1781): every option, its default read from the real
+    parameter object, preset/tune/profile lists."""
+    from .params import PRESETS, PROFILES, TUNES
+    d = EncoderParams()
+    lines = [
+        "x264vfw_tpu — TPU-native H.264 encoder",
+        "",
+        "Presets:  " + ", ".join(PRESETS),
+        "Tunes:    " + ", ".join(TUNES),
+        "Profiles: " + ", ".join(PROFILES),
+        "",
+        "Options (x264-compatible names; --name value | --name=value | "
+        "--no-name):",
+    ]
+    for name, (fields_, _parser, negatable) in OPTION_TABLE.items():
+        f0 = fields_ if isinstance(fields_, str) else fields_[0]
+        dv = getattr(d, f0, None)
+        desc = _HELP.get(name, "")
+        neg = " [negatable]" if negatable else ""
+        lines.append(f"  --{name:<20} {desc}")
+        lines.append(f"    {'':<20} default: {dv!r}{neg}")
+    lines.append("")
+    lines.append("Unsupported x264 options (accepted, warned, ignored): "
+                 + ", ".join(sorted(_KNOWN_UNSUPPORTED)))
+    return "\n".join(lines)
 
 
 def split_cmdline(s: str) -> list[str]:

@@ -488,8 +488,42 @@ def _decimate_score(levels):
     return jnp.where(big, 9, score)
 
 
+def _trellis_adjust(coef, q, qp, intra: bool):
+    """RD coefficient-level quant refinement ('trellis-lite', the role of
+    the reference's --trellis surface, codec.c:906): lower a level by one
+    (or drop a lone ±1) when the distortion increase is smaller than the
+    rate saving at the frame lambda.
+
+    Distortion is measured in the transform-coefficient domain, where
+    dequant(L) = L * V << (qp/6) lives on the same scale as the input
+    coefficient; rate deltas are CAVLC-calibrated constants (a dropped ±1
+    saves ~4 bits of coeff_token/T1/run movement, a magnitude step ~1.5).
+    """
+    qpv = jnp.asarray(qp, jnp.int32)
+    V = jnp.take(tj.DEQUANT_TABLE, qpv % 6, axis=0) << _exp2(qpv // 6)
+    # dequant lives at 4x the fdct-output scale (MF*V ~= 2^17 vs the 2^15
+    # quantizer shift), so compare 4*|w| against L*V
+    absw4 = jnp.abs(coef) * 4
+    absq = jnp.abs(q)
+    e = absw4 - absq * V                # signed error at the chosen level
+    dD = V * (2 * e + V)                # D(L-1) - D(L) >= 0 near boundaries
+    # lambda2(qp) ~ x264's 0.9 * 2^((qp-12)/3), scaled into the dequant
+    # domain; the 512 factor was fit empirically on residual RD curves
+    # (the knee where ~5% of coefficients drop at <0.5 dB residual cost)
+    lam = (512.0 * 0.9) * jnp.exp2((qpv.astype(jnp.float32) - 12.0) / 3.0)
+    lam = lam if lam.ndim == 0 else lam[..., None, None]
+    drop1 = (absq == 1) & (dD.astype(jnp.float32) < lam * 4.0)
+    step = (absq >= 2) & (dD.astype(jnp.float32) < lam * 1.5)
+    newabs = jnp.where(drop1, 0, jnp.where(step, absq - 1, absq))
+    return jnp.sign(q) * newabs
+
+
+def _exp2(x):
+    return x if not hasattr(x, "ndim") or x.ndim == 0 else x[..., None, None]
+
+
 def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool,
-                            decimate: bool = False):
+                            decimate: bool = False, trellis: bool = False):
     """fdct+quant+zigzag and the decoder-exact recon residual.
 
     decimate (inter only): zero a whole MB's luma residual when its summed
@@ -500,6 +534,8 @@ def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool,
     blocks = mb_to_blocks(resid)
     coef = tj.fdct4x4(blocks)
     q = tj.quant4x4(coef, qp, intra=intra)
+    if trellis:
+        q = _trellis_adjust(coef, q, qp, intra)
     levels = zigzag16(q)                            # (n, 16, 16)
     if decimate and not intra:
         mb_score = _decimate_score(levels).sum(axis=-1)   # (n,)
@@ -553,7 +589,8 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac, qp_dc=None):
 
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
-                        aq_strength=0.0, qpc_offset=0, decimate=True):
+                        aq_strength=0.0, qpc_offset=0, decimate=True,
+                        trellis=False):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock).
 
@@ -582,7 +619,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     pred = mbize(pred_y_pl)
     levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp_l,
                                                 intra=False,
-                                                decimate=decimate)
+                                                decimate=decimate,
+                                                trellis=trellis)
 
     # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
     nz_blk = (levels != 0).any(axis=-1)             # (n, 16)
@@ -686,7 +724,7 @@ def encode_b_frame_core(src_y, src_u, src_v,
                         ref1_y, ref1_u, ref1_v,
                         mvcol, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
-                        decimate=True):
+                        decimate=True, trellis=False):
     """Device B-frame encode: independent L0/L1 motion searches, per-MB
     {L0, L1, Bi} mode decision (default bi-prediction §8.4.2.3.2:
     (p0 + p1 + 1) >> 1), then a second phase flipping MBs to spatial
@@ -781,7 +819,7 @@ def encode_b_frame_core(src_y, src_u, src_v,
 
     pred = mbize(pred_y)
     levels, _ = _luma_residual_pipeline(src_mbs, pred, qp, intra=False,
-                                        decimate=decimate)
+                                        decimate=decimate, trellis=trellis)
     nz_blk = (levels != 0).any(axis=-1)
     cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
     cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
@@ -1001,7 +1039,7 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
 
 encode_p_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "aq_strength", "qpc_offset",
-    "decimate"))(encode_p_frame_core)
+    "decimate", "trellis"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=(
-    "rng", "subpel", "me_backend", "decimate"))(encode_b_frame_core)
+    "rng", "subpel", "me_backend", "decimate", "trellis"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

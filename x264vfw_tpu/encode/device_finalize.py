@@ -111,10 +111,10 @@ def p16_mv_pred(mv):
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
                                    "deblock", "dbA", "dbB", "aq_strength",
-                                   "qpc_offset"))
+                                   "qpc_offset", "trellis"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
-                   dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0):
+                   dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0, trellis=False):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
     The mv field stays on device — it is the colocated-motion input of the
@@ -130,7 +130,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
                               rng, subpel, me_backend,
-                              aq_strength=aq_strength, qpc_offset=qpc_offset)
+                              aq_strength=aq_strength, qpc_offset=qpc_offset,
+                              trellis=trellis)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
     return v, l, l.sum(), *recon, out["mv"]
@@ -329,11 +330,11 @@ def pack_phase(vals, lens, cap_words):
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words",
                                    "me_backend", "deblock", "dbA", "dbB",
-                                   "aq_strength", "qpc_offset"))
+                                   "aq_strength", "qpc_offset", "trellis"))
 def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                        hdr_vals, hdr_lens, rng, subpel, bucket_words,
                        me_backend="auto", deblock=False, dbA=0, dbB=0,
-                       aq_strength=0.0, qpc_offset=0):
+                       aq_strength=0.0, qpc_offset=0, trellis=False):
     """Batched P-frame encoding: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes,
@@ -358,7 +359,7 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
         sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
                                   me_backend, aq_strength=aq_strength,
-                                  qpc_offset=qpc_offset)
+                                  qpc_offset=qpc_offset, trellis=trellis)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
         new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB)

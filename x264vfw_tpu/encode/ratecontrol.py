@@ -54,6 +54,14 @@ class RateController:
         self._stats_in: list[FrameStats] | None = None
         self._ratefactor = None
 
+        # VBV state (frame-granular model of x264's VBV, driven by the
+        # reference's --vbv-maxrate/--vbv-bufsize flags, codec.c:917-919):
+        # the virtual decoder buffer fills at maxrate and drains by each
+        # frame's bits; QP is biased to keep the fill away from underflow.
+        self.vbv_on = p.vbv_maxrate > 0 and p.vbv_bufsize > 0
+        self._vbv_fill = float(p.vbv_bufsize * 1000)  # bits, start full
+        self._vbv_adj = 0
+
         if self.mode == RC_CRF:
             self._qp = int(round(min(max(p.crf, 0.0), 51.0)))
         elif self.mode == RC_ABR:
@@ -106,6 +114,7 @@ class RateController:
             qp = self.p.qp
         if is_idr:
             qp += I_FRAME_QP_OFFSET
+        qp += self._vbv_adj
         return int(min(max(qp, self.p.qp_min), min(self.p.qp_max, 51)))
 
     def qp_for_type(self, ftype: str) -> int:
@@ -125,6 +134,21 @@ class RateController:
         self.stats.append(FrameStats(self.frame_idx, ftype, qp_used, bits))
         self.bits_total += bits
         self.frame_idx += 1
+        if self.vbv_on:
+            p = self.p
+            per_frame_in = p.vbv_maxrate * 1000.0 * p.fps_den / max(1, p.fps_num)
+            cap = float(p.vbv_bufsize * 1000)
+            self._vbv_fill = min(self._vbv_fill - bits + per_frame_in, cap)
+            frac = self._vbv_fill / cap
+            # bias QP up as the buffer drains; recover slowly when refilled
+            if frac < 0.15:
+                self._vbv_adj = min(self._vbv_adj + 2, 12)
+            elif frac < 0.35:
+                self._vbv_adj = min(self._vbv_adj + 1, 12)
+            elif frac > 0.8 and self._vbv_adj > 0:
+                self._vbv_adj -= 1
+            if self._vbv_fill < 0:
+                self._vbv_fill = 0.0
         if self.mode == RC_ABR and self.p.bitrate:
             # proportional feedback on accumulated rate error
             target_per_frame = (self.p.bitrate * 1000.0 * self.p.fps_den

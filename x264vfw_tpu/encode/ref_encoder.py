@@ -48,9 +48,19 @@ class EncoderConfig:
     bframes: int = 0         # consecutive B frames between anchors
     cabac: bool = False      # CABAC entropy coding (Main profile)
     aq_strength: float = 0.0  # variance AQ (0 = off); applies to P frames
+    trellis: bool = False    # RD-quant refinement (approximate trellis)
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1
+    # VUI signaling (reference forwards these to x264's SPS writer,
+    # codec.c:973-979 + the range/colmatrix fixup codec.c:1566-1577)
+    sar_width: int = 0
+    sar_height: int = 0
+    fullrange: bool = False
+    colorprim: int = 2       # colour_primaries code (2 = unspecified)
+    transfer: int = 2        # transfer_characteristics code
+    colmatrix: int = 2       # matrix_coefficients code
+    vui_timing: bool = True  # write timing_info (fps) into the SPS VUI
     # motion-search SAD backend: "auto" (Pallas kernel on TPU, XLA scan
     # elsewhere), "pallas", "pallas_interpret" (--no-asm analogue on TPU),
     # or "xla"

@@ -59,6 +59,7 @@ class TpuEncoder:
             self.sps.frame_cropping_flag = 1
             self.sps.frame_crop_right_offset = (self.mbw * 16 - cfg.width) // 2
             self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
+        _apply_vui(self.sps, cfg)
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        deblocking_filter_control_present_flag=1)
@@ -192,7 +193,8 @@ class TpuEncoder:
                 jnp.asarray(hvs), jnp.asarray(hls),
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-                cfg.aq_strength, self.pps.chroma_qp_index_offset)
+                cfg.aq_strength, self.pps.chroma_qp_index_offset,
+                cfg.trellis)
             nb = np.asarray(nbits)
             need_words = (int(nb.max()) + 31) // 32 + 2
             if need_words <= bucket or bucket >= cap_words:
@@ -278,7 +280,8 @@ class TpuEncoder:
                 jnp.asarray(hl.astype(np.int32)),
                 cfg.search_range, cfg.subpel, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-                cfg.aq_strength, self.pps.chroma_qp_index_offset)
+                cfg.aq_strength, self.pps.chroma_qp_index_offset,
+                cfg.trellis)
             self.last_mv = mv
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
@@ -345,7 +348,8 @@ class TpuEncoder:
                                   rng=cfg.search_range, subpel=cfg.subpel,
                                   me_backend=cfg.me_backend,
                                   aq_strength=cfg.aq_strength,
-                                  qpc_offset=self.pps.chroma_qp_index_offset)
+                                  qpc_offset=self.pps.chroma_qp_index_offset,
+                                  trellis=cfg.trellis)
             self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
@@ -644,7 +648,8 @@ class TpuEncoder:
                     jnp.asarray(hl.astype(np.int32)),
                     cfg.search_range, cfg.subpel, cfg.me_backend,
                     cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-                    cfg.aq_strength, self.pps.chroma_qp_index_offset)
+                    cfg.aq_strength, self.pps.chroma_qp_index_offset,
+                    cfg.trellis)
                 self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
@@ -956,6 +961,35 @@ def _pad(a: np.ndarray, H: int, W: int) -> np.ndarray:
     if a.shape == (H, W):
         return a
     return np.pad(a, ((0, H - a.shape[0]), (0, W - a.shape[1])), mode="edge")
+
+
+def _apply_vui(sps: SPS, cfg: EncoderConfig) -> None:
+    """Wire encoder config into SPS VUI: SAR, video signal type + colour
+    description, timing info — the signaling surface the reference forwards
+    to x264 (codec.c:973-979; fullrange/colmatrix fixup codec.c:1566-1577).
+    Timing uses the H.264 field-rate convention time_scale = 2*fps."""
+    want_signal = (cfg.fullrange or cfg.colorprim != 2 or cfg.transfer != 2
+                   or cfg.colmatrix != 2)
+    want_sar = cfg.sar_width > 0 and cfg.sar_height > 0
+    if not (want_signal or want_sar or cfg.vui_timing):
+        return
+    sps.vui_parameters_present_flag = 1
+    if want_sar:
+        sps.sar_width, sps.sar_height = cfg.sar_width, cfg.sar_height
+    if want_signal:
+        sps.video_signal_type_present_flag = 1
+        sps.video_format = 5
+        sps.video_full_range_flag = int(cfg.fullrange)
+        if cfg.colorprim != 2 or cfg.transfer != 2 or cfg.colmatrix != 2:
+            sps.colour_description_present_flag = 1
+            sps.colour_primaries = cfg.colorprim
+            sps.transfer_characteristics = cfg.transfer
+            sps.matrix_coefficients = cfg.colmatrix
+    if cfg.vui_timing and cfg.fps_num > 0:
+        sps.timing_info_present_flag = 1
+        sps.num_units_in_tick = cfg.fps_den
+        sps.time_scale = 2 * cfg.fps_num
+        sps.fixed_frame_rate_flag = 1
 
 
 def _level_for(w: int, h: int, fps_num: int, fps_den: int) -> int:
