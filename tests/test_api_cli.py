@@ -187,3 +187,32 @@ def test_aud_emission(tmp_path):
     assert nals[0].nal_unit_type == 9  # AUD first in the AU
     dec = oracle.decode_h264_planes(bs)
     assert dec is not None and dec[0].shape[0] == n
+
+
+def test_scenecut_inserts_idr():
+    """An abrupt content change mid-GOP becomes an extra IDR when
+    --scenecut is on (reference forwards --scenecut, codec.c:852), while a
+    smooth pan does not."""
+    from x264vfw_tpu.bitstream.nal import split_annexb
+    rng = np.random.default_rng(3)
+    w, h, n = 64, 48, 8
+    smooth = rng.integers(0, 255, (h * 2, w * 2), dtype=np.uint8)
+    scene2 = rng.integers(0, 255, (h, w), dtype=np.uint8)
+
+    def run(frames, scenecut):
+        sess = CompressSession(extra_cmdline=(
+            f"--qp 30 --keyint 100 --min-keyint 1 --scenecut {scenecut} "
+            "--bframes 0"))
+        sess.begin(w, h)
+        bs = b""
+        uc = np.full((h // 2, w // 2), 128, np.uint8)
+        for y in frames:
+            bs += sess.compress((y, uc, uc))
+        bs += sess.end()["tail"]
+        return sum(1 for u in split_annexb(bs) if u.nal_unit_type == 5)
+
+    pan = [smooth[i:i + h, 2 * i:2 * i + w] for i in range(n)]
+    assert run(pan, 40) == 1            # smooth motion: single leading IDR
+    cutclip = pan[:4] + [scene2] * 4    # hard cut at frame 4
+    assert run(cutclip, 40) == 2        # cut promoted to IDR
+    assert run(cutclip, 0) == 1         # --scenecut 0 disables detection

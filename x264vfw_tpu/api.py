@@ -99,6 +99,8 @@ class CompressSession:
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
+            min_keyint=max(1, min(p.min_keyint, p.keyint)),
+            scenecut=p.scenecut,
             search_range=min(p.merange, 16),
             # --subme ladder: 0 = integer-pel, 1-3 = half, 4+ = quarter
             subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),

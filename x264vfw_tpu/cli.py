@@ -40,6 +40,8 @@ def _parse_y4m_header(f) -> tuple[int, int, int, int]:
 
 
 def main(argv: list[str] | None = None) -> int:
+    from .utils.cache import enable_compilation_cache
+    enable_compilation_cache()
     argv = list(sys.argv[1:] if argv is None else argv)
     out_path = None
     in_path = None

@@ -39,6 +39,8 @@ class EncoderConfig:
     height: int = 64
     qp: int = 26
     keyint: int = 25
+    min_keyint: int = 1      # minimum IDR distance (scenecut floor)
+    scenecut: int = 0        # scene-cut strength, 0 = off (x264 --scenecut)
     deblock: bool = False
     deblock_alpha: int = 0   # slice_alpha_c0_offset_div2
     deblock_beta: int = 0    # slice_beta_offset_div2

@@ -72,6 +72,10 @@ class TpuEncoder:
         self.display_idx = 0
         self.poc_base = 0             # display idx of last IDR
         self.pending: list = []       # buffered (y, u, v, display) B candidates
+        # scene-cut lookahead (x264 --scenecut/--min-keyint semantics)
+        from .lookahead import SceneCut
+        self._scenecut = SceneCut(cfg.scenecut) if cfg.scenecut > 0 else None
+        self._last_idr_d: int | None = None
         self.last_mv = None           # device mv field of last anchor (colocated)
         self.qp = cfg.qp
         self.qpc = int(tnp.chroma_qp(cfg.qp, self.pps.chroma_qp_index_offset))
@@ -444,12 +448,18 @@ class TpuEncoder:
         cfg = self.cfg
         d = self.display_idx
         self.display_idx += 1
+        cut = self._scenecut.is_cut(y) if self._scenecut is not None else False
+        since = d - self._last_idr_d if self._last_idr_d is not None else None
+        is_idr = (since is None or since >= cfg.keyint
+                  or (cut and since >= max(cfg.min_keyint, 1)))
+        if is_idr:
+            self._last_idr_d = d
         if cfg.bframes == 0:
-            au = self.encode_frame(y, u, v, qp=qp_i if (
-                d % cfg.keyint == 0) else qp_p)
-            return [(au, d, d % cfg.keyint == 0)]
+            au = self.encode_frame(y, u, v, qp=qp_i if is_idr else qp_p,
+                                   force_idr=is_idr)
+            return [(au, d, is_idr)]
         out: list[tuple[bytes, int, bool]] = []
-        if d % cfg.keyint == 0:
+        if is_idr:
             # IDR boundary: no future anchor for pending frames -> P chain
             out += self._drain_pending_as_p(qp_p)
             self.poc_base = d
