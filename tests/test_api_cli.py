@@ -195,9 +195,12 @@ def test_scenecut_inserts_idr():
     smooth pan does not."""
     from x264vfw_tpu.bitstream.nal import split_annexb
     rng = np.random.default_rng(3)
-    w, h, n = 64, 48, 8
-    smooth = rng.integers(0, 255, (h * 2, w * 2), dtype=np.uint8)
-    scene2 = rng.integers(0, 255, (h, w), dtype=np.uint8)
+    w, h, n = 128, 96, 8
+    yy, xx = np.mgrid[0:h * 2, 0:w * 2]
+    smooth = (64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+              + rng.integers(-10, 11, (h * 2, w * 2))).clip(0, 255).astype(np.uint8)
+    scene2 = (128 + 90 * np.cos(xx[:h, :w] / 17.0) + 30 * np.sin(yy[:h, :w] / 41.0)
+              + rng.integers(-10, 11, (h, w))).clip(0, 255).astype(np.uint8)
 
     def run(frames, scenecut):
         sess = CompressSession(extra_cmdline=(
