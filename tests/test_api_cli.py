@@ -58,9 +58,10 @@ def test_session_mp4_and_extra_cmdline(tmp_path):
 def test_decompress_session():
     w, h, n = 64, 48, 3
     clip = oracle.make_test_clip(w, h, n, seed=5)
-    # bframes=0: the 1:1 compress->decompress loop below assumes no
-    # reordering delay on either side
-    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24, bframes=0))
+    # bframes=0 + no lookahead: the 1:1 compress->decompress loop below
+    # assumes no reordering/buffering delay on either side
+    sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24, bframes=0,
+                                         mbtree=False))
     sess.begin(w, h)
     fsz, csz = w * h, w * h // 4
     dsess = DecompressSession()
@@ -219,3 +220,44 @@ def test_scenecut_inserts_idr():
     cutclip = pan[:4] + [scene2] * 4    # hard cut at frame 4
     assert run(cutclip, 40) == 2        # cut promoted to IDR
     assert run(cutclip, 0) == 1         # --scenecut 0 disables detection
+
+
+def test_mbtree_lookahead_conformance():
+    """MB-tree per-MB QP offsets (--mbtree/--rc-lookahead) stay conformant:
+    oracle decode must bit-match our recon, and the lookahead delay must
+    drain fully at end()."""
+    rng = np.random.default_rng(8)
+    w, h, n = 128, 96, 12
+    yy, xx = np.mgrid[0:h * 2, 0:w * 2]
+    N = (64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+         + rng.integers(-10, 11, (h * 2, w * 2))).clip(0, 255).astype(np.uint8)
+    frames = []
+    for i in range(n):
+        y = N[:h, :w].copy()
+        y[20:36, (8 + 4 * i):(24 + 4 * i)] = \
+            255 - y[20:36, (8 + 4 * i):(24 + 4 * i)]
+        frames.append(y)
+    uc = np.full((h // 2, w // 2), 128, np.uint8)
+    s = CompressSession(EncoderParams(rc_mode="cqp", qp=30, keyint=50,
+                                      bframes=0, mbtree=True, rc_lookahead=6,
+                                      scenecut=0))
+    s.begin(w, h)
+    assert s.frames_info().delay == 6
+    bs = b""
+    for y in frames:
+        bs += s.compress((y, uc, uc))
+    bs += s.end()["tail"]
+    fr = oracle.decode_h264(bs)
+    assert fr is not None and fr.shape[0] == n
+    ys = fr[:, :w * h].reshape(-1, h, w)
+    rec = s.encoder.last_recon
+    assert np.array_equal(ys[-1], np.asarray(rec[0])[:h, :w])
+    # the tree must have produced at least one negative offset (static
+    # background referenced by the whole window)
+    from x264vfw_tpu.encode.lookahead import MBTree
+    t = MBTree(w // 16, h // 16, lookahead=6)
+    offs = []
+    for y in frames:
+        offs += [o for (_, o) in t.push((y, uc, uc), y)]
+    offs += [o for (_, o) in t.flush()]
+    assert min(int(o.min()) for o in offs) < 0

@@ -18,7 +18,7 @@ def _run(params, clip, w, h):
                             clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
                             clip[i, fsz + csz:].reshape(h // 2, w // 2)))
         total_bits += len(au) * 8
-    sess.end()
+    total_bits += len(sess.end()["tail"]) * 8  # lookahead/B delay drains here
     fps = params.fps_num / params.fps_den
     kbps = total_bits * fps / clip.shape[0] / 1000.0
     return kbps, sess

@@ -178,3 +178,67 @@ def test_adaptive_quantization_conformance(cabac):
                                       err_msg=f"cabac={cabac} frame {i}")
     # AQ must actually fire: distinct per-MB QPs in the decoded map
     assert len(np.unique(frames[-1].qps)) > 1
+
+
+def test_hier_me_conformance_and_quality():
+    """Hierarchical ME (--me hex/dia/umh path) emits conformant streams
+    whose quality stays close to exhaustive search (x264 fast-ME role,
+    codec.c:892-896)."""
+    import oracle
+    rng = np.random.default_rng(5)
+    w, h, n = 128, 96, 5
+    yy, xx = np.mgrid[0:h * 2, 0:w * 2]
+    N = (64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+         + rng.integers(-10, 11, (h * 2, w * 2))).clip(0, 255).astype(np.uint8)
+    frames = [(N[i:i + h, 3 * i:3 * i + w],
+               np.full((h // 2, w // 2), 120, np.uint8),
+               np.full((h // 2, w // 2), 130, np.uint8)) for i in range(n)]
+    res = {}
+    for tag, mb in (("full", "xla"), ("hier", "xla:hier")):
+        enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=28, keyint=50,
+                                       search_range=8, me_backend=mb))
+        bs = b"".join(enc.encode_frame(*f) for f in frames)
+        fr = oracle.decode_h264(bs)
+        assert fr is not None and fr.shape[0] == n
+        sy = np.array([f[0] for f in frames])
+        ys = fr[:, :w * h].reshape(-1, h, w)
+        res[tag] = (len(bs),
+                    np.mean([oracle.psnr(ys[i], sy[i]) for i in range(n)]))
+    assert res["hier"][0] < res["full"][0] * 1.25      # bitrate envelope
+    assert res["hier"][1] > res["full"][1] - 0.5       # PSNR envelope
+
+
+def test_weightp_fade_conformance():
+    """Explicit weighted prediction (--weightp): on a fade the encoder
+    signals pred_weight_table weights, streams decode in stock FFmpeg,
+    recon bit-matches, and our native decoder agrees (slice.py
+    pred_weight_table + §8.4.2.3.3 both sides)."""
+    import oracle
+    from x264vfw_tpu.decode.decoder import H264Decoder
+    rng = np.random.default_rng(2)
+    w, h, n = 128, 96, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    base = (64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+            + rng.integers(-8, 9, (h, w))).clip(0, 255).astype(np.float32)
+    frames = [((base * (1.0 - 0.09 * i)).clip(0, 255).astype(np.uint8),
+               np.full((h // 2, w // 2), 120, np.uint8),
+               np.full((h // 2, w // 2), 130, np.uint8)) for i in range(n)]
+    enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=28, keyint=50,
+                                   search_range=8, weightp=2))
+    bs = b"".join(enc.encode_frame(*f) for f in frames)
+    assert enc._wp is not None and enc._wp[0] < 64  # fade detected
+    fr = oracle.decode_h264(bs)
+    assert fr is not None and fr.shape[0] == n
+    ys = fr[:, :w * h].reshape(-1, h, w)
+    rec = enc.last_recon
+    assert np.array_equal(ys[-1], np.asarray(rec[0])[:h, :w])
+    out = H264Decoder().decode(bs)
+    assert np.array_equal(np.asarray(out[-1].crop(w, h).y), ys[-1])
+    # quality: weighted prediction must beat identity on the fade
+    p_wp = np.mean([oracle.psnr(ys[i], frames[i][0]) for i in range(n)])
+    enc0 = TpuEncoder(EncoderConfig(width=w, height=h, qp=28, keyint=50,
+                                    search_range=8, weightp=0))
+    bs0 = b"".join(enc0.encode_frame(*f) for f in frames)
+    y0 = oracle.decode_h264(bs0)[:, :w * h].reshape(-1, h, w)
+    p0 = np.mean([oracle.psnr(y0[i], frames[i][0]) for i in range(n)])
+    assert p_wp > p0

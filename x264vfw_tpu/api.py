@@ -107,6 +107,7 @@ class CompressSession:
             bframes=bframes, cabac=cabac,
             aq_strength=float(p.aq_strength) if p.aq_mode else 0.0,
             trellis=p.trellis > 0,
+            weightp=p.weightp,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,
@@ -116,11 +117,23 @@ class CompressSession:
             transfer=_TRANSFER.get(p.transfer, 2),
             colmatrix=_COLMATRIX.get(p.colmatrix, 2),
             # --no-asm analogue (SURVEY §5): run the Pallas ME kernel in
-            # interpret mode instead of compiled Mosaic
-            me_backend="pallas_interpret" if p.no_asm else "auto",
+            # interpret mode instead of compiled Mosaic.  --me selects the
+            # search strategy: dia/hex/umh -> hierarchical (coarse half-res
+            # + refine), esa/tesa -> exhaustive full search
+            me_backend=(("pallas_interpret" if p.no_asm else "auto")
+                        + (":hier" if p.me in ("dia", "hex", "umh") else "")),
         ))
         self._encode_idx = 0
         self._delay = 1 if bframes else 0
+        # MB-tree lookahead (x264 --mbtree/--rc-lookahead): buffers
+        # rc_lookahead display-order frames and feeds the encoder per-MB
+        # QP offsets from backward cost propagation (SURVEY §5)
+        self.mbtree = None
+        if p.mbtree and p.rc_lookahead > 0:
+            from .encode.lookahead import MBTree
+            self.mbtree = MBTree((width + 15) // 16, (height + 15) // 16,
+                                 lookahead=min(p.rc_lookahead, 60),
+                                 qcomp=p.qcomp)
         if output is not None:
             self.muxer = select_muxer(
                 output if isinstance(output, str) else "", container)
@@ -149,8 +162,15 @@ class CompressSession:
         qp_b = self.rc.qp_for_type("B")
         try:
             y, u, v = _to_i420(frame, fmt)
-            outs = self.encoder.push_frame(y, u, v, qp_i=qp_i, qp_p=qp_p,
-                                           qp_b=qp_b)
+            if self.mbtree is not None:
+                outs = []
+                for ((fy, fu, fv), off) in self.mbtree.push((y, u, v), y):
+                    outs += self.encoder.push_frame(fy, fu, fv, qp_i=qp_i,
+                                                    qp_p=qp_p, qp_b=qp_b,
+                                                    qp_off=off)
+            else:
+                outs = self.encoder.push_frame(y, u, v, qp_i=qp_i, qp_p=qp_p,
+                                               qp_b=qp_b)
         except Exception:
             self.error = True
             raise
@@ -188,7 +208,13 @@ class CompressSession:
         log-callback stats role of the reference)."""
         tail = b""
         if self.encoder is not None and not self.error:
-            tail = self._emit(self.encoder.flush(qp_p=self.rc.qp_for_type("P")))
+            if self.mbtree is not None:
+                for ((fy, fu, fv), off) in self.mbtree.flush():
+                    tail += self._emit(self.encoder.push_frame(
+                        fy, fu, fv, qp_i=self.rc.qp_for_type("I"),
+                        qp_p=self.rc.qp_for_type("P"),
+                        qp_b=self.rc.qp_for_type("B"), qp_off=off))
+            tail += self._emit(self.encoder.flush(qp_p=self.rc.qp_for_type("P")))
         if self.muxer is not None:
             self.muxer.close_file(self._largest, self._second)
             self.muxer = None
@@ -207,7 +233,9 @@ class CompressSession:
         return stats
 
     def frames_info(self) -> FramesInfo:
-        return FramesInfo(delay=min(self.params.bframes, 16))
+        look = (min(self.params.rc_lookahead, 60)
+                if self.params.mbtree and self.params.rc_lookahead > 0 else 0)
+        return FramesInfo(delay=min(self.params.bframes, 16) + look)
 
 
 class DecompressSession:

@@ -44,6 +44,12 @@ class SliceHeader:
     disable_deblocking_filter_idc: int = 0
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
+    # pred_weight_table (§7.3.3.2), present in P slices when the PPS sets
+    # weighted_pred_flag.  luma_weights_l0[i] is (w, o) or None (defaults);
+    # chroma weights are signalled absent (flag 0) in this implementation.
+    luma_log2_weight_denom: int = 6
+    chroma_log2_weight_denom: int = 0
+    luma_weights_l0: list = field(default_factory=list)
 
     @property
     def type(self) -> int:
@@ -94,6 +100,8 @@ class SliceHeader:
                 w.ue(val)
             if self.ref_pic_list_mod_l1:
                 w.ue(3)
+        if pps.weighted_pred_flag and self.is_p():
+            self._write_pred_weight_table(w, sps)
         if nal_ref_idc != 0:
             if idr:
                 w.u(1, self.no_output_of_prior_pics_flag)
@@ -114,6 +122,34 @@ class SliceHeader:
             if self.disable_deblocking_filter_idc != 1:
                 w.se(self.slice_alpha_c0_offset_div2)
                 w.se(self.slice_beta_offset_div2)
+
+    def _write_pred_weight_table(self, w: BitWriter, sps: SPS) -> None:
+        w.ue(self.luma_log2_weight_denom)
+        if sps.chroma_format_idc != 0:
+            w.ue(self.chroma_log2_weight_denom)
+        for i in range(self.num_ref_idx_l0_active_minus1 + 1):
+            ent = (self.luma_weights_l0[i]
+                   if i < len(self.luma_weights_l0) else None)
+            w.u(1, 0 if ent is None else 1)
+            if ent is not None:
+                w.se(ent[0])
+                w.se(ent[1])
+            if sps.chroma_format_idc != 0:
+                w.u(1, 0)  # chroma_weight_l0_flag: defaults
+
+    def _parse_pred_weight_table(self, r: BitReader, sps: SPS) -> None:
+        self.luma_log2_weight_denom = r.ue()
+        if sps.chroma_format_idc != 0:
+            self.chroma_log2_weight_denom = r.ue()
+        self.luma_weights_l0 = []
+        for _ in range(self.num_ref_idx_l0_active_minus1 + 1):
+            if r.u(1):
+                self.luma_weights_l0.append((r.se(), r.se()))
+            else:
+                self.luma_weights_l0.append(None)
+            if sps.chroma_format_idc != 0:
+                if r.u(1):
+                    raise NotImplementedError("explicit chroma weights")
 
     # -- parse --
     @classmethod
@@ -157,7 +193,7 @@ class SliceHeader:
                         break
                     h.ref_pic_list_mod_l1.append((idc, r.ue()))
         if pps.weighted_pred_flag and h.is_p():
-            raise NotImplementedError("explicit weighted prediction")
+            h._parse_pred_weight_table(r, sps)
         if pps.weighted_bipred_idc == 1 and h.is_b():
             raise NotImplementedError("explicit weighted biprediction")
         if nal_ref_idc != 0:

@@ -776,6 +776,15 @@ class _SliceDecoder:
         ref = (self.ref_list0 if lst == 0 else self.ref_list1)[ref_idx]
         x0, y0 = mx * 16 + px, my * 16 + py
         gy, gu, gv = self._mc_pred(ref, x0, y0, pw, ph, mv)
+        if (lst == 0 and self.pps.weighted_pred_flag and self.h.is_p()
+                and ref_idx < len(self.h.luma_weights_l0)
+                and self.h.luma_weights_l0[ref_idx] is not None):
+            # explicit weighted prediction, luma (§8.4.2.3.3)
+            wgt, off = self.h.luma_weights_l0[ref_idx]
+            d = self.h.luma_log2_weight_denom
+            gy = gy.astype(np.int64)
+            gy = (((gy * wgt + ((1 << d) >> 1)) >> d) if d > 0 else gy * wgt)
+            gy = np.clip(gy + off, 0, 255)
         cx, cy, cw, ch = x0 // 2, y0 // 2, pw // 2, ph // 2
         self.y[y0:y0 + ph, x0:x0 + pw] = gy
         self.u[cy:cy + ch, cx:cx + cw] = gu

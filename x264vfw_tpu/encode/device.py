@@ -161,6 +161,16 @@ def _resolve_me_backend(me_backend: str) -> str:
     return me_backend
 
 
+def _split_me_method(me_backend: str) -> tuple[str, bool]:
+    """me_backend may carry an ':hier' suffix selecting hierarchical
+    search (the role of x264's dia/hex/umh fast ME vs esa full search,
+    reference option table codec.c:892-896): coarse full search at half
+    resolution + a +-2 full-pel refine at full resolution."""
+    if me_backend.endswith(":hier"):
+        return me_backend[:-5], True
+    return me_backend, False
+
+
 # quarter-pel sample = (P1 + P2 + 1) >> 1 of two {int,b,h,j} samples
 # (§8.4.2.2.1 Table 8-12).  For fractional position (fx, fy) in quarter
 # units (mod 4), the two (plane, dx, dy) operands, offsets in full pels:
@@ -222,11 +232,118 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     offs = jnp.stack(jnp.meshgrid(jnp.arange(K), jnp.arange(K),
                                   indexing="ij"), -1).reshape(-1, 2)  # dy,dx in [0,K)
 
-    backend = _resolve_me_backend(me_backend)
-    if backend in ("pallas", "pallas_interpret"):
+    backend, hier = _split_me_method(me_backend)
+    backend = _resolve_me_backend(backend)
+    hier = hier and rng >= 6        # small ranges: full search is cheaper
+
+    Mg = rng + 1                    # margin beyond the MB on each axis
+    bh = 16 + 2 * Mg                # band height
+    Wb = W + 2 * Mg
+
+    def to_bands(pl_):
+        return jnp.stack([
+            jax.lax.dynamic_slice(pl_, (PAD - Mg + 16 * i, PAD - Mg), (bh, Wb))
+            for i in range(mbh)])   # (mbh, bh, Wb)
+
+    if hier:
+        # ---- hierarchical search: coarse full search on 2x2-pooled
+        # planes (SADs over 8x8 pooled blocks = the same MBs), then a +-2
+        # full-pel refine on motion-aligned full-res bands.  Work:
+        # Kc^2/4 + 2K + 25 full-frame passes vs K^2 for full search. ----
+        rng_c = (rng + 1) // 2
+        Kc = 2 * rng_c + 1
+        sh = (src16.reshape(H // 2, 2, W // 2, 2).sum(axis=(1, 3))
+              .astype(jnp.int16))               # 2x2 sums fit int16 (<=1020)
+        rh = (ref_y.astype(jnp.int16).reshape(H // 2, 2, W // 2, 2)
+              .sum(axis=(1, 3)).astype(jnp.int16))
+        rh_pad = jnp.pad(rh, rng_c, mode="edge")
+        offs_c = jnp.stack(jnp.meshgrid(jnp.arange(Kc), jnp.arange(Kc),
+                                        indexing="ij"), -1).reshape(-1, 2)
+
+        def csad(off):
+            cand = jax.lax.dynamic_slice(rh_pad, (off[0], off[1]),
+                                         (H // 2, W // 2))
+            d = jnp.abs(sh - cand).astype(jnp.int32)
+            return d.reshape(mbh, 8, mbw, 8).sum(axis=(1, 3))
+
+        csads = jax.lax.map(csad, offs_c)       # (Kc^2, mbh, mbw)
+        # coarse SAD ~ full-res SAD magnitude (64 pooled diffs of 2x2
+        # sums); mv cost in full-pel units = 2x the coarse offset
+        ccost = 2 * (jnp.abs(offs_c[:, 0] - rng_c)
+                     + jnp.abs(offs_c[:, 1] - rng_c))
+        bestc = jnp.argmin(csads * 4 + ccost[:, None, None], axis=0)
+        RF = 3                                  # refine radius (full pels):
+        # pooling + the even-pel grid can put the coarse mv up to 3 pels off
+        lim = rng - RF                          # keep the refine in range
+        dyb0 = jnp.clip(2 * (bestc // Kc - rng_c), -lim, lim).astype(jnp.int32)
+        dxb0 = jnp.clip(2 * (bestc % Kc - rng_c), -lim, lim).astype(jnp.int32)
+
+        # aligned full-res integer band at the coarse mv, with an RF-px halo
+        ib = to_bands(ref_pad)
+        oxr = jnp.pad(jnp.repeat(dxb0, 16, axis=1), ((0, 0), (RF, RF)),
+                      mode="edge")[:, None, :]  # (mbh, 1, W+2RF)
+        oyr = jnp.pad(jnp.repeat(dyb0, 16, axis=1), ((0, 0), (RF, RF)),
+                      mode="edge")[:, None, :]
+        shifts_r = jnp.arange(2 * lim + 1, dtype=jnp.int32) - lim
+
+        def hr_step(acc, s):
+            sl = jax.lax.dynamic_slice(ib, (0, 0, Mg + s - RF),
+                                       (mbh, bh, W + 2 * RF))
+            return acc + jnp.where(oxr == s, sl, 0), None
+
+        Ahr, _ = jax.lax.scan(
+            hr_step, jnp.zeros((mbh, bh, W + 2 * RF), jnp.int16), shifts_r)
+
+        def vr_step(acc, s):
+            sl = jax.lax.dynamic_slice(Ahr, (0, Mg + s - RF, 0),
+                                       (mbh, 16 + 2 * RF, W + 2 * RF))
+            return acc + jnp.where(oyr == s, sl, 0), None
+
+        Ar, _ = jax.lax.scan(
+            vr_step, jnp.zeros((mbh, 16 + 2 * RF, W + 2 * RF), jnp.int16),
+            shifts_r)
+
+        # static-shift refine SADs (near-border values come from the
+        # neighbour's alignment — decision heuristic only, MC is exact)
+        src_mb = src16.reshape(mbh, 16, W)
+        rlist = [(dx, dy) for dy in range(-RF, RF + 1)
+                 for dx in range(-RF, RF + 1)]
+        rsads = jnp.stack([
+            jnp.abs(src_mb - Ar[:, RF + dy:RF + 16 + dy, RF + dx:RF + dx + W])
+            .astype(jnp.int32).reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+            for dx, dy in rlist])               # ((2RF+1)^2, mbh, mbw)
+        rdxs = jnp.asarray([d[0] for d in rlist])
+        rdys = jnp.asarray([d[1] for d in rlist])
+        rcost = (jnp.abs(dxb0[None] + rdxs[:, None, None])
+                 + jnp.abs(dyb0[None] + rdys[:, None, None]))
+        rtot = rsads * 4 + rcost
+        bestr = jnp.argmin(rtot, axis=0)
+        rval = jnp.min(rtot, axis=0)
+        # zero-centered +-2 candidates (static shifts, no alignment): the
+        # coarse stage quantizes motion to even pels, which loses slow
+        # pans — a plain small search around 0 recovers them
+        zlist = [(dx, dy) for dy in range(-2, 3) for dx in range(-2, 3)]
+        zsads = jnp.stack([
+            jnp.abs(src16 - jax.lax.dynamic_slice(
+                ref_pad, (PAD + dy, PAD + dx), (H, W))).astype(jnp.int32)
+            .reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))
+            for dx, dy in zlist])
+        zdxs = jnp.asarray([d[0] for d in zlist])
+        zdys = jnp.asarray([d[1] for d in zlist])
+        ztot = zsads * 4 + (jnp.abs(zdxs) + jnp.abs(zdys))[:, None, None]
+        bestz = jnp.argmin(ztot, axis=0)
+        zval = jnp.min(ztot, axis=0)
+        use_z = zval <= rval
+        dxb = jnp.where(use_z, zdxs[bestz], dxb0 + rdxs[bestr])
+        dyb = jnp.where(use_z, zdys[bestz], dyb0 + rdys[bestr])
+    elif backend in ("pallas", "pallas_interpret"):
         from ..ops.pallas.sad import sad_search
         sads = sad_search(src16, ref_pad[8:-8, 8:-8], rng,
                           interpret=(backend == "pallas_interpret"))
+        cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
+        best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)
+        dyb = best // K - rng
+        dxb = best % K - rng
     else:
         def sad_at(off):
             cand = jax.lax.dynamic_slice(
@@ -235,10 +352,10 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
             return d.reshape(mbh, 16, mbw, 16).sum(axis=(1, 3))  # (mbh,mbw)
 
         sads = jax.lax.map(sad_at, offs)                  # (K*K, mbh, mbw)
-    cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
-    best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)  # (mbh,mbw)
-    dyb = best // K - rng
-    dxb = best % K - rng
+        cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
+        best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)
+        dyb = best // K - rng
+        dxb = best % K - rng
     mv_int = jnp.stack([dxb, dyb], axis=-1).astype(jnp.int32)  # (mbh,mbw,[x,y])
 
     # ---- horizontal-then-vertical masked alignment: O(K) full-band passes
@@ -252,15 +369,6 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         planes = (ref_pad, hb, hh, hj)
     else:
         planes = (ref_pad,)
-
-    Mg = rng + 1                    # margin beyond the MB on each axis
-    bh = 16 + 2 * Mg                # band height
-    Wb = W + 2 * Mg
-
-    def to_bands(pl_):
-        return jnp.stack([
-            jax.lax.dynamic_slice(pl_, (PAD - Mg + 16 * i, PAD - Mg), (bh, Wb))
-            for i in range(mbh)])   # (mbh, bh, Wb)
 
     bands = tuple(to_bands(p) for p in planes)
     oxc = jnp.repeat(dxb, 16, axis=1)[:, None, :]     # (mbh, 1, W)
@@ -590,23 +698,32 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac, qp_dc=None):
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
                         aq_strength=0.0, qpc_offset=0, decimate=True,
-                        trellis=False):
+                        trellis=False, qp_off=None, wp=None):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock).
 
     aq_strength > 0 enables per-MB variance AQ: quant/dequant run with a
-    per-MB QP map; qp_delta outputs carry the mb_qp_delta chain (§7.4.5)."""
+    per-MB QP map; qp_delta outputs carry the mb_qp_delta chain (§7.4.5).
+    qp_off (n,) int32, optional: additive per-MB QP offsets (MB-tree);
+    composes with AQ and enables the same mb_qp_delta path.
+    wp, optional (w, o) traced scalars: explicit weighted prediction for
+    luma (§8.4.2.3.3, denom 6) — applied to the interpolated prediction,
+    matching the decoder's order (x264 --weightp surface, codec.c:889)."""
     H, W = src_y.shape
     mbh, mbw = H // 16, W // 16
     n = mbh * mbw
     src_mbs = mbize(src_y)
     aq = float(aq_strength) > 0.0
-    if aq:
-        qp_mb = aq_qp_map(src_y, qp, float(aq_strength))
+    if aq or qp_off is not None:
+        qp_mb = (aq_qp_map(src_y, qp, float(aq_strength)) if aq
+                 else jnp.full((n,), qp, jnp.int32))
+        if qp_off is not None:
+            qp_mb = jnp.clip(qp_mb + qp_off.reshape(n), 1, 51)
         qpc_mb = tj.chroma_qp(qp_mb, qpc_offset)
         qp_l = qp_mb[:, None]
         qp_c = qpc_mb[:, None]
         qp_cdc = qpc_mb
+        aq = True                       # downstream: per-MB QP bookkeeping
     else:
         qp_mb = None
         qp_l, qp_c, qp_cdc = qp, qpc, qpc
@@ -615,6 +732,11 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
         me_backend=me_backend)
     mv_q = mv_q4.reshape(n, 2)
+
+    if wp is not None:
+        wp_w, wp_o = wp
+        pred_y_pl = jnp.clip(
+            ((pred_y_pl * wp_w + 32) >> 6) + wp_o, 0, 255)
 
     pred = mbize(pred_y_pl)
     levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp_l,

@@ -114,7 +114,8 @@ def p16_mv_pred(mv):
                                    "qpc_offset", "trellis"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
-                   dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0, trellis=False):
+                   dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0, trellis=False,
+                   qp_off=None, wp=None):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
     The mv field stays on device — it is the colocated-motion input of the
@@ -131,7 +132,7 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
                               rng, subpel, me_backend,
                               aq_strength=aq_strength, qpc_offset=qpc_offset,
-                              trellis=trellis)
+                              trellis=trellis, qp_off=qp_off, wp=wp)
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
     return v, l, l.sum(), *recon, out["mv"]

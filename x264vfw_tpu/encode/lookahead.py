@@ -23,9 +23,11 @@ test; still/slow content fails the ratio test.
 
 from __future__ import annotations
 
+from collections import deque
+
 import numpy as np
 
-__all__ = ["SceneCut"]
+__all__ = ["SceneCut", "MBTree"]
 
 
 def _pool8(y: np.ndarray) -> np.ndarray:
@@ -78,3 +80,118 @@ class SceneCut:
             self._ema = inter if self._ema is None else (
                 0.5 * self._ema + 0.5 * inter)
         return cut
+
+
+# ---------------------------------------------------------------------------
+# MB-tree: macroblock-tree rate control (the reference forwards x264's
+# --mbtree/--rc-lookahead, codec.c:927-928/872).  x264 runs a lookahead
+# encoder, then walks the frame window BACKWARDS, propagating each MB's
+# predicted future cost to the reference MBs it draws from, and lowers QP
+# where the propagated (future) importance is high.  SURVEY.md §5 maps this
+# to "batched cost-propagation over a sliding frame window".
+#
+# This implementation estimates costs on 8x-pooled input planes (one MB =
+# 2x2 pooled px): inter cost = best pooled SAD over a +-4 pool-px candidate
+# grid (+-32 full-res px), intra cost = pooled gradient energy.  Both are
+# cached per frame on entry, so the backward propagation per emitted frame
+# is O(window) cheap numpy.
+# ---------------------------------------------------------------------------
+
+class MBTree:
+    """Sliding-window MB-tree: push display-order frames, pop (frame,
+    qp_offset-map) once the lookahead is full."""
+
+    RANGE = 4          # pool-px search radius for the lookahead ME
+
+    def __init__(self, mbw: int, mbh: int, lookahead: int = 20,
+                 qcomp: float = 0.6) -> None:
+        self.mbw, self.mbh = mbw, mbh
+        self.look = max(1, lookahead)
+        self.strength = 2.0 * max(0.0, 1.0 - qcomp)
+        # queue entries: (frame_payload, pooled, intra (mbh,mbw),
+        #                 inter vs prev (mbh,mbw), mv (mbh,mbw,2) pool-px)
+        self.q: deque = deque()
+        self._prev_pool: np.ndarray | None = None
+
+    # -- per-frame cost model (pooled) --
+    def _mb_cells(self, a: np.ndarray) -> np.ndarray:
+        """(h8, w8) pooled plane -> (mbh, mbw) per-MB sums over 2x2 cells."""
+        mh, mw = self.mbh, self.mbw
+        out = np.zeros((mh, mw), np.float32)
+        c = a[:2 * mh, :2 * mw]
+        h2, w2 = c.shape[0] // 2 * 2, c.shape[1] // 2 * 2
+        s = c[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum(axis=(1, 3))
+        out[:s.shape[0], :s.shape[1]] = s
+        if s.shape[0] < mh:
+            out[s.shape[0]:] = out[s.shape[0] - 1]
+        if s.shape[1] < mw:
+            out[:, s.shape[1]:] = out[:, s.shape[1] - 1:s.shape[1]]
+        return out
+
+    def _costs(self, cur: np.ndarray, prev: np.ndarray | None):
+        gx = np.abs(np.diff(cur, axis=1, append=cur[:, -1:]))
+        gy = np.abs(np.diff(cur, axis=0, append=cur[-1:]))
+        intra = self._mb_cells(gx + gy) + 4.0
+        if prev is None:
+            return intra, intra.copy(), np.zeros((self.mbh, self.mbw, 2),
+                                                 np.int32)
+        R = self.RANGE
+        h8, w8 = cur.shape
+        pp = np.pad(prev, R, mode="edge")
+        best = np.full((self.mbh, self.mbw), np.inf, np.float32)
+        bmv = np.zeros((self.mbh, self.mbw, 2), np.int32)
+        for dy in range(-R, R + 1):
+            for dx in range(-R, R + 1):
+                cand = pp[R + dy:R + dy + h8, R + dx:R + dx + w8]
+                sad = self._mb_cells(np.abs(cur - cand))
+                better = sad < best
+                best = np.where(better, sad, best)
+                bmv[better] = (dy, dx)
+        return intra, best, bmv
+
+    # -- queue interface --
+    def push(self, payload, y: np.ndarray) -> list:
+        """Add a display-order frame; returns list of (payload, qp_offset)
+        ready to encode (empty while the window fills)."""
+        cur = _pool8(y)
+        intra, inter, mv = self._costs(cur, self._prev_pool)
+        self._prev_pool = cur
+        self.q.append((payload, intra, inter, mv))
+        if len(self.q) <= self.look:
+            return []
+        return [self._pop()]
+
+    def flush(self) -> list:
+        out = []
+        while self.q:
+            out.append(self._pop())
+        self._prev_pool = None
+        return out
+
+    def _pop(self):
+        """Propagate future costs backwards through the window, then emit
+        the oldest frame with its per-MB QP offset map (<= 0)."""
+        n = len(self.q)
+        prop = np.zeros((self.mbh, self.mbw), np.float32)
+        # walk from the newest frame towards the oldest: each frame's
+        # (intra + propagate_in) * (1 - inter/intra) flows to the MBs of
+        # its reference (the previous frame), split by the lookahead mv
+        for i in range(n - 1, 0, -1):
+            _, intra, inter, mv = self.q[i]
+            frac = np.clip(1.0 - inter / np.maximum(intra, 1e-3), 0.0, 1.0)
+            amount = (intra + prop if i < n - 1 else intra) * frac
+            nxt = np.zeros_like(prop)
+            # mv is in pool px; an MB spans 2 pool px -> the donor lands
+            # on the MB grid shifted by mv/2 (nearest split to 2 cells)
+            my, mx = mv[..., 0], mv[..., 1]
+            ty = np.clip(np.arange(self.mbh)[:, None] + np.round(my / 2.0)
+                         .astype(np.int64), 0, self.mbh - 1)
+            tx = np.clip(np.arange(self.mbw)[None, :] + np.round(mx / 2.0)
+                         .astype(np.int64), 0, self.mbw - 1)
+            np.add.at(nxt, (ty, tx), amount)
+            prop = nxt
+        payload, intra0, _, _ = self.q.popleft()
+        ratio = 1.0 + prop / np.maximum(intra0, 1e-3)
+        off = -self.strength * np.log2(ratio)
+        qp_off = np.clip(np.round(off), -6, 0).astype(np.int32)
+        return payload, qp_off

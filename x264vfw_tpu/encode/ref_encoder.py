@@ -51,6 +51,7 @@ class EncoderConfig:
     cabac: bool = False      # CABAC entropy coding (Main profile)
     aq_strength: float = 0.0  # variance AQ (0 = off); applies to P frames
     trellis: bool = False    # RD-quant refinement (approximate trellis)
+    weightp: int = 0         # explicit weighted prediction for P (0 = off)
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1

@@ -62,7 +62,10 @@ class TpuEncoder:
         _apply_vui(self.sps, cfg)
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
+                       weighted_pred_flag=1 if cfg.weightp > 0 else 0,
                        deblocking_filter_control_present_flag=1)
+        self._wp: tuple | None = None   # current P frame's (w, o) or None
+        self._wp_prev = None            # pooled previous input luma
         self.frame_idx = 0
         self.frame_num = 0
         self.idr_id = 0
@@ -318,7 +321,8 @@ class TpuEncoder:
                 + version_sei(opts))
 
     # ------------------------------------------------------------------
-    def _encode_frame_cabac(self, y, u, v, qp, force_idr=None) -> bytes:
+    def _encode_frame_cabac(self, y, u, v, qp, force_idr=None,
+                            qp_off=None) -> bytes:
         """CABAC finalization (host) over the device syntax tensors: the
         tensor->bitstream ABI with the arithmetic coder as the host stage
         (SURVEY §7).  Constant-QP, P16/skip + I16 — mirrors the CAVLC
@@ -345,15 +349,24 @@ class TpuEncoder:
         if is_idr:
             self.frame_num = 0
             nal_type = NAL_SLICE_IDR
+            if cfg.weightp > 0:
+                self._weight_analysis(y)       # refresh pooled-prev state
             outj = encode_i_frame(sy, su, sv, self.qp, self.qpc)
         else:
             nal_type = NAL_SLICE
+            self._wp = (self._weight_analysis(y) if cfg.weightp > 0
+                        else None)
             outj = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
                                   rng=cfg.search_range, subpel=cfg.subpel,
                                   me_backend=cfg.me_backend,
                                   aq_strength=cfg.aq_strength,
                                   qpc_offset=self.pps.chroma_qp_index_offset,
-                                  trellis=cfg.trellis)
+                                  trellis=cfg.trellis,
+                                  qp_off=None if qp_off is None
+                                  else jnp.asarray(qp_off, jnp.int32),
+                                  wp=None if self._wp is None else
+                                  (jnp.asarray(self._wp[0], jnp.int32),
+                                   jnp.asarray(self._wp[1], jnp.int32)))
             self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
@@ -441,7 +454,8 @@ class TpuEncoder:
     # The reference exposes this capability as x264's --bframes (forwarded
     # at codec.c:843-847); delay bookkeeping mirrors compress_frames_info.
     def push_frame(self, y, u, v, qp_i: int | None = None,
-                   qp_p: int | None = None, qp_b: int | None = None
+                   qp_p: int | None = None, qp_b: int | None = None,
+                   qp_off: np.ndarray | None = None
                    ) -> list[tuple[bytes, int, bool]]:
         """Submit one display-order frame.  Returns zero or more encoded AUs
         as (annexb_bytes, display_index, is_keyframe) in DECODE order."""
@@ -456,7 +470,8 @@ class TpuEncoder:
             self._last_idr_d = d
         if cfg.bframes == 0:
             au = self.encode_frame(y, u, v, qp=qp_i if is_idr else qp_p,
-                                   force_idr=is_idr)
+                                   force_idr=is_idr,
+                                   qp_off=None if is_idr else qp_off)
             return [(au, d, is_idr)]
         out: list[tuple[bytes, int, bool]] = []
         if is_idr:
@@ -473,7 +488,8 @@ class TpuEncoder:
         # anchor position: encode P first, then the buffered B frames
         old_ref = self.ref
         self.poc = 2 * (d - self.poc_base)
-        au = self.encode_frame(y, u, v, qp=qp_p, force_idr=False)
+        au = self.encode_frame(y, u, v, qp=qp_p, force_idr=False,
+                               qp_off=qp_off)
         out.append((au, d, False))
         mvcol = self.last_mv
         for (by, bu, bv, bd) in self.pending:
@@ -597,10 +613,12 @@ class TpuEncoder:
 
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None,
-                     force_idr: bool | None = None) -> bytes:
+                     force_idr: bool | None = None,
+                     qp_off: np.ndarray | None = None) -> bytes:
         cfg = self.cfg
         if cfg.cabac:
-            return self._encode_frame_cabac(y, u, v, qp, force_idr=force_idr)
+            return self._encode_frame_cabac(y, u, v, qp, force_idr=force_idr,
+                                            qp_off=qp_off)
         H, W = self.mbh * 16, self.mbw * 16
         is_idr = (self.frame_idx % cfg.keyint) == 0 or self.ref is None
         if force_idr is not None:
@@ -613,6 +631,7 @@ class TpuEncoder:
 
         if self.host_entropy:
             assert not cfg.deblock, "host_entropy debug path has no deblock"
+            assert cfg.weightp == 0, "host_entropy debug path has no weightp"
             # reference/debug path: separate device encode + numpy finalize
             sy = jnp.asarray(_pad(y, H, W), jnp.int32)
             su = jnp.asarray(_pad(u, H // 2, W // 2), jnp.int32)
@@ -639,6 +658,8 @@ class TpuEncoder:
             if is_idr:
                 self.frame_num = 0
                 nal_type = NAL_SLICE_IDR
+                if cfg.weightp > 0:
+                    self._weight_analysis(y)   # refresh pooled-prev state
                 hw = self._slice_header_codes(SLICE_I, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
                 if self._i_full is None:
@@ -650,8 +671,13 @@ class TpuEncoder:
                     jnp.asarray(hl.astype(np.int32)))
             else:
                 nal_type = NAL_SLICE
+                self._wp = (self._weight_analysis(y) if cfg.weightp > 0
+                            else None)
                 hw = self._slice_header_codes(SLICE_P, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
+                wp_dev = (None if self._wp is None else
+                          (jnp.asarray(self._wp[0], jnp.int32),
+                           jnp.asarray(self._wp[1], jnp.int32)))
                 sv_, sl_, nbits, ry, ru, rv, mv = device_finalize.encode_p_slots(
                     src_d, *self.ref, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
@@ -659,7 +685,10 @@ class TpuEncoder:
                     cfg.search_range, cfg.subpel, cfg.me_backend,
                     cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                     cfg.aq_strength, self.pps.chroma_qp_index_offset,
-                    cfg.trellis)
+                    cfg.trellis,
+                    None if qp_off is None
+                    else jnp.asarray(qp_off, jnp.int32),
+                    wp_dev)
                 self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
@@ -681,6 +710,32 @@ class TpuEncoder:
         return bs
 
     # ------------------------------------------------------------------
+    def _weight_analysis(self, y: np.ndarray):
+        """Per-frame explicit-WP decision (x264 --weightp 2 'smart' role):
+        least-squares cur ~ a*prev + b on 8x-pooled input luma; weights are
+        used only when they clearly beat identity (fades)."""
+        p = np.asarray(y, np.float32)
+        hh, ww = p.shape[0] - p.shape[0] % 8, p.shape[1] - p.shape[1] % 8
+        cur = p[:hh, :ww].reshape(hh // 8, 8, ww // 8, 8).mean(axis=(1, 3))
+        prev, self._wp_prev = self._wp_prev, cur
+        if prev is None or prev.shape != cur.shape:
+            return None
+        vp = float(prev.var())
+        if vp < 1.0:
+            return None
+        a = float(((cur * prev).mean() - cur.mean() * prev.mean()) / vp)
+        b = float(cur.mean() - a * prev.mean())
+        w_ = int(min(max(round(a * 64), -128), 127))
+        o_ = int(min(max(round(b), -128), 127))
+        if abs(w_ - 64) <= 1 and abs(o_) <= 1:
+            return None
+        sse_id = float(((cur - prev) ** 2).mean())
+        wpred = np.clip(((prev * w_ + 32) // 64) + o_, 0, 255)
+        sse_w = float(((cur - wpred) ** 2).mean())
+        if sse_w > 0.75 * sse_id:
+            return None
+        return (w_, o_)
+
     def _slice_header_codes(self, slice_type: int, nal_type: int,
                             nal_ref_idc: int = 3) -> BitWriter:
         w = BitWriter()
@@ -694,6 +749,9 @@ class TpuEncoder:
                         disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
                         slice_alpha_c0_offset_div2=self.cfg.deblock_alpha,
                         slice_beta_offset_div2=self.cfg.deblock_beta)
+        if self.pps.weighted_pred_flag and slice_type == SLICE_P:
+            h.luma_log2_weight_denom = 6
+            h.luma_weights_l0 = [self._wp]   # None -> defaults (identity)
         h.write(w, self.sps, self.pps, nal_type, nal_ref_idc)
         return w
 
