@@ -242,3 +242,36 @@ def test_weightp_fade_conformance():
     y0 = oracle.decode_h264(bs0)[:, :w * h].reshape(-1, h, w)
     p0 = np.mean([oracle.psnr(y0[i], frames[i][0]) for i in range(n)])
     assert p_wp > p0
+
+
+def test_multiref_strobe_conformance():
+    """Multi-reference P (--ref): on strobing content ref=2 must find the
+    2-frames-back match (large bitrate cut), streams stay bit-exact vs
+    stock FFmpeg and our native decoder, incl. ref-aware deblock bs."""
+    import oracle
+    from x264vfw_tpu.decode.decoder import H264Decoder
+    rng = np.random.default_rng(4)
+    w, h, n = 128, 96, 6
+    yy, xx = np.mgrid[0:h, 0:w]
+    A = (64 + 64 * np.sin(xx / 31.0) + 48 * np.cos(yy / 23.0)
+         + rng.integers(-8, 9, (h, w))).clip(0, 255).astype(np.uint8)
+    B = (128 + 80 * np.cos(xx / 17.0) + 30 * np.sin(yy / 41.0)
+         + rng.integers(-8, 9, (h, w))).clip(0, 255).astype(np.uint8)
+    frames = [(np.roll(A if i % 2 == 0 else B, i // 2, axis=1),
+               np.full((h // 2, w // 2), 120, np.uint8),
+               np.full((h // 2, w // 2), 130, np.uint8)) for i in range(n)]
+    sizes = {}
+    for nref in (1, 2):
+        enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=28, keyint=50,
+                                       search_range=8, num_ref_frames=nref,
+                                       deblock=True))
+        bs = b"".join(enc.encode_frame(*f) for f in frames)
+        fr = oracle.decode_h264(bs)
+        assert fr is not None and fr.shape[0] == n
+        ys = fr[:, :w * h].reshape(-1, h, w)
+        rec = enc.last_recon
+        assert np.array_equal(ys[-1], np.asarray(rec[0])[:h, :w])
+        out = H264Decoder().decode(bs)
+        assert np.array_equal(np.asarray(out[-1].crop(w, h).y), ys[-1])
+        sizes[nref] = len(bs)
+    assert sizes[2] < sizes[1] * 0.6     # older ref pays off on strobe

@@ -101,6 +101,7 @@ class CompressSession:
             keyint=min(p.keyint, 1 << 16),
             min_keyint=max(1, min(p.min_keyint, p.keyint)),
             scenecut=p.scenecut,
+            num_ref_frames=max(1, min(p.ref, 4)),
             search_range=min(p.merange, 16),
             # --subme ladder: 0 = integer-pel, 1-3 = half, 4+ = quarter
             subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),

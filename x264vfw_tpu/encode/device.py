@@ -25,6 +25,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ops import transform as tj
 from ..ops.transform_np import ZIGZAG_4x4
@@ -574,6 +575,49 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
     return mv_q, pred_y, pu_r.reshape(H // 2, Wc), pv_r.reshape(H // 2, Wc)
 
 
+def _multi_ref_search_and_mc(src_y, src_u, src_v, refs, rng: int,
+                             subpel=True, me_backend: str = "auto"):
+    """Multi-reference P16x16 search (the reference forwards --ref,
+    codec.c:883): run the single-ref search/MC against every DPB entry
+    (pure batching — TPU-friendly, no gathers), then pick per MB by final
+    prediction SAD + mv/ref signalling cost.
+
+    refs: tuple of (y, u, v) device planes, ref_idx order (newest first).
+    Returns (mv_q (mbh,mbw,2), ref_idx (mbh,mbw), pred_y, pred_u, pred_v).
+    """
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    R = len(refs)
+    cands = [_motion_search_and_mc(src_y, src_u, src_v, ry, ru, rv, rng,
+                                   subpel=subpel, me_backend=me_backend)
+             for (ry, ru, rv) in refs]
+    if R == 1:
+        mv_q, py, pu, pv = cands[0]
+        return mv_q, jnp.zeros((mbh, mbw), jnp.int32), py, pu, pv
+    costs = []
+    for r, (mv_q, py, pu, pv) in enumerate(cands):
+        sad = (jnp.abs(src_y - py).reshape(mbh, 16, mbw, 16)
+               .sum(axis=(1, 3)))
+        # te(v) ref bits (1 bit at R==2, ue otherwise) + quarter-pel mv
+        # magnitude as the signalling-cost proxy
+        refbits = 1 if R == 2 else (2 * int(np.floor(np.log2(r + 1))) + 1
+                                    if r > 0 else 1)
+        mvcost = jnp.abs(mv_q).sum(axis=-1) >> 2
+        costs.append(sad * 4 + mvcost + refbits * 8)
+    sel = jnp.argmin(jnp.stack(costs), axis=0).astype(jnp.int32)  # (mbh,mbw)
+    sel_pix = jnp.repeat(jnp.repeat(sel, 16, 0), 16, 1)
+    sel_cpix = jnp.repeat(jnp.repeat(sel, 8, 0), 8, 1)
+    mv_q = cands[0][0]
+    py = cands[0][1]
+    pu, pv = cands[0][2], cands[0][3]
+    for r in range(1, R):
+        mv_q = jnp.where((sel == r)[..., None], cands[r][0], mv_q)
+        py = jnp.where(sel_pix == r, cands[r][1], py)
+        pu = jnp.where(sel_cpix == r, cands[r][2], pu)
+        pv = jnp.where(sel_cpix == r, cands[r][3], pv)
+    return mv_q, sel, py, pu, pv
+
+
 # x264's decimate run table (common/macroblock.c i_ds_table4): the score a
 # lone +-1 coefficient contributes given the zero-run below it
 _DS_TABLE = jnp.asarray([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
@@ -728,9 +772,18 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         qp_mb = None
         qp_l, qp_c, qp_cdc = qp, qpc, qpc
 
-    mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
-        src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
-        me_backend=me_backend)
+    if ref_y.ndim == 3:
+        # multi-reference DPB: (R, H, W) stacked planes, ref_idx order
+        refs = tuple((ref_y[r], ref_u[r], ref_v[r])
+                     for r in range(ref_y.shape[0]))
+        mv_q4, ref_sel, pred_y_pl, pred_u_pl, pred_v_pl = \
+            _multi_ref_search_and_mc(src_y, src_u, src_v, refs, rng,
+                                     subpel=subpel, me_backend=me_backend)
+    else:
+        mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
+            src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
+            me_backend=me_backend)
+        ref_sel = None
     mv_q = mv_q4.reshape(n, 2)
 
     if wp is not None:
@@ -786,6 +839,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         "recon_u": unmbize(rec_u, H // 2, W // 2, 8),
         "recon_v": unmbize(rec_v, H // 2, W // 2, 8),
     }
+    if ref_sel is not None:
+        out["ref_idx"] = ref_sel.reshape(n)
     if aq:
         coded = (cbp_luma != 0) | (cbp_chroma != 0)
         qp_real, qp_delta = realized_qp_chain(qp_mb, coded, qp)
@@ -1148,7 +1203,11 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         mv = out["mv"].reshape(mbh, mbw, 2)
         mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
         intra_map = jnp.zeros((mbh, mbw), bool)
-    ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
+    if not intra and "ref_idx" in out:
+        rr = out["ref_idx"].reshape(mbh, mbw)
+        ref4 = jnp.repeat(jnp.repeat(rr, 4, 0), 4, 1)
+    else:
+        ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
     qp_map = (out["qp_real"].reshape(mbh, mbw) if "qp_real" in out
               else jnp.full((mbh, mbw), qp, jnp.int32))
     maps = build_maps(intra_map, tc4, mv4, ref4, qp_map, offA, offB,

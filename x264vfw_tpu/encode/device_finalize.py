@@ -65,13 +65,17 @@ def _median3(a, b, c):
         - jnp.minimum(a, jnp.minimum(b, c))
 
 
-def p16_mv_pred(mv):
-    """(mbh,mbw,2) -> (pmv, pmv_skip_is_zero). Device port of the host
-    reference (§8.4.1.3 for an all-P16x16 frame)."""
+def p16_mv_pred(mv, ref=None):
+    """(mbh,mbw,2)[, (mbh,mbw) ref_idx] -> (pmv, pmv_skip_is_zero).
+    Device port of the host reference (§8.4.1.3 for an all-P16x16 frame).
+    With `ref`, applies the same-refIdx one-neighbour rule
+    (§8.4.1.3.1) and the refIdx-0 condition of the P_Skip derivation."""
     mbh, mbw, _ = mv.shape
+    if ref is None:
+        ref = jnp.zeros((mbh, mbw), jnp.int32)
 
-    def sh(arr, dy, dx):
-        out = jnp.zeros_like(arr)
+    def sh(arr, dy, dx, fill=0):
+        out = jnp.full_like(arr, fill)
         ys = slice(max(dy, 0), mbh + min(dy, 0))
         xs = slice(max(dx, 0), mbw + min(dx, 0))
         yd = slice(max(-dy, 0), mbh + min(-dy, 0))
@@ -82,6 +86,10 @@ def p16_mv_pred(mv):
     mvB = sh(mv, -1, 0)
     mvC = sh(mv, -1, 1)
     mvD = sh(mv, -1, -1)
+    rA = sh(ref, 0, -1)
+    rB = sh(ref, -1, 0)
+    rC = sh(ref, -1, 1)
+    rD = sh(ref, -1, -1)
     yy = jnp.arange(mbh)[:, None] * jnp.ones((1, mbw), jnp.int32)
     xx = jnp.ones((mbh, 1), jnp.int32) * jnp.arange(mbw)[None, :]
     availA = xx > 0
@@ -89,21 +97,28 @@ def p16_mv_pred(mv):
     availC_raw = (yy > 0) & (xx < mbw - 1)
     availD = (yy > 0) & (xx > 0)
     mvC_eff = jnp.where(availC_raw[..., None], mvC, mvD)
+    rC_eff = jnp.where(availC_raw, rC, rD)
     availC = availC_raw | availD
 
     only_a = availA & ~availB & ~availC
-    nmatch = availA.astype(jnp.int32) + availB + availC
+    # refIdx-match rule: exactly one neighbour with the SAME refIdx
+    # contributes its mv directly (unavailable neighbours count as
+    # refIdx -1, never matching)
+    msk_a = availA & (rA == ref)
+    msk_b = availB & (rB == ref)
+    msk_c = availC & (rC_eff == ref)
+    nmatch = msk_a.astype(jnp.int32) + msk_b + msk_c
     zeros = jnp.zeros_like(mv)
     mA = jnp.where(availA[..., None], mvA, zeros)
     mB = jnp.where(availB[..., None], mvB, zeros)
     mC = jnp.where(availC[..., None], mvC_eff, zeros)
     med = _median3(mA, mB, mC)
-    one = jnp.where(availA[..., None], mvA,
-                    jnp.where(availB[..., None], mvB, mvC_eff))
+    one = jnp.where(msk_a[..., None], mvA,
+                    jnp.where(msk_b[..., None], mvB, mvC_eff))
     pmv = jnp.where(only_a[..., None], mvA,
                     jnp.where((nmatch == 1)[..., None], one, med))
-    zeroA = availA & (mvA == 0).all(-1)
-    zeroB = availB & (mvB == 0).all(-1)
+    zeroA = availA & (rA == 0) & (mvA == 0).all(-1)
+    zeroB = availB & (rB == 0) & (mvB == 0).all(-1)
     skip_cond = (~availA) | (~availB) | zeroA | zeroB
     pmv_skip = jnp.where(skip_cond[..., None], 0, pmv)
     return pmv, (pmv_skip == 0).all(-1)
@@ -123,7 +138,7 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     Phase 2 (pack_phase) runs with a right-sized word capacity chosen from
     nbits on the host — worst-case-sized packing would dominate runtime."""
     from .device import encode_p_frame_core
-    H, W = ref_y.shape
+    H, W = ref_y.shape[-2:]
     ys = H * W
     cs = ys // 4
     sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
@@ -133,7 +148,9 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                               rng, subpel, me_backend,
                               aq_strength=aq_strength, qpc_offset=qpc_offset,
                               trellis=trellis, qp_off=qp_off, wp=wp)
-    v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+    nref = ref_y.shape[0] if ref_y.ndim == 3 else 1
+    v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
+                            nref=nref)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
     return v, l, l.sum(), *recon, out["mv"]
 
@@ -406,10 +423,12 @@ def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
     return pack_slots(v, l, cap_words)
 
 
-def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw):
+def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
     """P-slice syntax tensors -> (packed bytes, total_bits)."""
     n = mbh * mbw
     mv = out["mv"].reshape(mbh, mbw, 2)
+    ref_idx = (out["ref_idx"].reshape(mbh, mbw) if "ref_idx" in out
+               else None)
     levels = out["levels"]
     cbp_luma = out["cbp_luma"]
     cbp_chroma = out["cbp_chroma"]
@@ -423,9 +442,11 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw):
     dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
     cbp = cbp_luma | (cbp_chroma << 4)
 
-    pmv, skip_zero = p16_mv_pred(mv)
+    pmv, skip_zero = p16_mv_pred(mv, ref_idx)
     mv_flat = mv.reshape(n, 2)
     skip = ((cbp == 0) & (mv_flat == 0).all(axis=1) & skip_zero.reshape(n))
+    if ref_idx is not None:
+        skip = skip & (ref_idx.reshape(n) == 0)  # P_Skip is refIdx 0
     mvd = mv_flat - pmv.reshape(n, 2)
 
     i = jnp.arange(n, dtype=jnp.int32)
@@ -461,29 +482,37 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    hv = jnp.zeros((n, 6), jnp.uint32)
-    hl = jnp.zeros((n, 6), jnp.int32)
+    hv = jnp.zeros((n, 7), jnp.uint32)
+    hl = jnp.zeros((n, 7), jnp.int32)
     rv, rl = cj.ue_codes_j(runs)
     hv = hv.at[:, 0].set(rv)
     hl = hl.at[:, 0].set(rl)
     hv = hv.at[:, 1].set(1)
     hl = hl.at[:, 1].set(1)  # ue(P_L0_16x16 = 0)
+    if nref > 1 and ref_idx is not None:
+        rif = ref_idx.reshape(n)
+        if nref == 2:           # te(v), range 1: single bit = !value
+            refv, refl = 1 - rif.astype(jnp.uint32), jnp.ones(n, jnp.int32)
+        else:                   # te(v), range > 1: ue(v)
+            refv, refl = cj.ue_codes_j(rif)
+        hv = hv.at[:, 2].set(refv)
+        hl = hl.at[:, 2].set(refl)
     xv, xl = cj.se_codes_j(mvd[:, 0])
     yv, yl = cj.se_codes_j(mvd[:, 1])
-    hv = hv.at[:, 2].set(xv)
-    hl = hl.at[:, 2].set(xl)
-    hv = hv.at[:, 3].set(yv)
-    hl = hl.at[:, 3].set(yl)
+    hv = hv.at[:, 3].set(xv)
+    hl = hl.at[:, 3].set(xl)
+    hv = hv.at[:, 4].set(yv)
+    hl = hl.at[:, 4].set(yl)
     bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
-    hv = hv.at[:, 4].set(bv)
-    hl = hl.at[:, 4].set(bl)
+    hv = hv.at[:, 5].set(bv)
+    hl = hl.at[:, 5].set(bl)
     if "qp_delta" in out:        # per-MB AQ: real se(mb_qp_delta) codes
         qv, ql = cj.se_codes_j(out["qp_delta"])
-        hv = hv.at[:, 5].set(qv)
-        hl = hl.at[:, 5].set(jnp.where(cbp != 0, ql, 0))
+        hv = hv.at[:, 6].set(qv)
+        hl = hl.at[:, 6].set(jnp.where(cbp != 0, ql, 0))
     else:
-        hv = hv.at[:, 5].set(1)
-        hl = hl.at[:, 5].set(jnp.where(cbp != 0, 1, 0))
+        hv = hv.at[:, 6].set(1)
+        hl = hl.at[:, 6].set(jnp.where(cbp != 0, 1, 0))
 
     mb_vals = jnp.concatenate([
         hv, vlu.reshape(n, -1), vcdu, vcdv,

@@ -51,7 +51,8 @@ class TpuEncoder:
             log2_max_frame_num_minus4=4,
             pic_order_cnt_type=0 if cfg.bframes else 2,
             log2_max_pic_order_cnt_lsb_minus4=4,
-            max_num_ref_frames=2 if cfg.bframes else 1,
+            max_num_ref_frames=(2 if cfg.bframes
+                                else max(1, min(cfg.num_ref_frames, 4))),
             pic_width_in_mbs_minus1=self.mbw - 1,
             pic_height_in_map_units_minus1=self.mbh - 1,
         )
@@ -60,10 +61,17 @@ class TpuEncoder:
             self.sps.frame_crop_right_offset = (self.mbw * 16 - cfg.width) // 2
             self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
         _apply_vui(self.sps, cfg)
+        # multi-reference P (x264 --ref): DPB depth; B-frames keep 1 ref
+        # per list (their ref handling is a separate path) and the CABAC
+        # host stage does not emit ref_idx bins yet
+        self.nref = (1 if (cfg.bframes or cfg.cabac)
+                     else max(1, min(cfg.num_ref_frames, 4)))
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        weighted_pred_flag=1 if cfg.weightp > 0 else 0,
+                       num_ref_idx_l0_default_active_minus1=self.nref - 1,
                        deblocking_filter_control_present_flag=1)
+        self.dpb: list = []             # device (y,u,v), newest first
         self._wp: tuple | None = None   # current P frame's (w, o) or None
         self._wp_prev = None            # pooled previous input luma
         self.frame_idx = 0
@@ -673,13 +681,22 @@ class TpuEncoder:
                 nal_type = NAL_SLICE
                 self._wp = (self._weight_analysis(y) if cfg.weightp > 0
                             else None)
+                if self.nref > 1 and len(self.dpb) > 1:
+                    k = min(len(self.dpb), self.nref)
+                    self._cur_nref = k
+                    refs = (jnp.stack([self.dpb[i][0] for i in range(k)]),
+                            jnp.stack([self.dpb[i][1] for i in range(k)]),
+                            jnp.stack([self.dpb[i][2] for i in range(k)]))
+                else:
+                    self._cur_nref = 1
+                    refs = self.ref
                 hw = self._slice_header_codes(SLICE_P, nal_type)
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
                 wp_dev = (None if self._wp is None else
                           (jnp.asarray(self._wp[0], jnp.int32),
                            jnp.asarray(self._wp[1], jnp.int32)))
                 sv_, sl_, nbits, ry, ru, rv, mv = device_finalize.encode_p_slots(
-                    src_d, *self.ref, self.qp, self.qpc,
+                    src_d, *refs, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
                     jnp.asarray(hl.astype(np.int32)),
                     cfg.search_range, cfg.subpel, cfg.me_backend,
@@ -699,6 +716,12 @@ class TpuEncoder:
             data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
             payload = self._pull_payload(data, nbits2)
             self.ref = (ry, ru, rv)
+            if self.nref > 1:
+                if is_idr:
+                    self.dpb = [(ry, ru, rv)]
+                else:
+                    self.dpb.insert(0, (ry, ru, rv))
+                    del self.dpb[self.nref:]
         bs = b""
         if is_idr:
             bs += self.headers()
@@ -749,9 +772,18 @@ class TpuEncoder:
                         disable_deblocking_filter_idc=0 if self.cfg.deblock else 1,
                         slice_alpha_c0_offset_div2=self.cfg.deblock_alpha,
                         slice_beta_offset_div2=self.cfg.deblock_beta)
+        if self.nref > 1 and slice_type == SLICE_P:
+            # override the active count to the refs actually in the DPB
+            # (fewer than --ref right after an IDR)
+            h.num_ref_idx_active_override_flag = 1
+            h.num_ref_idx_l0_active_minus1 = getattr(self, "_cur_nref", 1) - 1
+        if slice_type == SLICE_B and self.nref > 1:
+            h.num_ref_idx_active_override_flag = 1
+            h.num_ref_idx_l0_active_minus1 = 0
+            h.num_ref_idx_l1_active_minus1 = 0
         if self.pps.weighted_pred_flag and slice_type == SLICE_P:
             h.luma_log2_weight_denom = 6
-            h.luma_weights_l0 = [self._wp]   # None -> defaults (identity)
+            h.luma_weights_l0 = [self._wp] * getattr(self, "_cur_nref", 1)
         h.write(w, self.sps, self.pps, nal_type, nal_ref_idc)
         return w
 
