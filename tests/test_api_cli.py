@@ -261,3 +261,26 @@ def test_mbtree_lookahead_conformance():
         offs += [o for (_, o) in t.push((y, uc, uc), y)]
     offs += [o for (_, o) in t.flush()]
     assert min(int(o.min()) for o in offs) < 0
+
+
+def test_chroma_qp_offset_conformance():
+    """--chroma-qp-offset signals the PPS offset and every path (device
+    quant, deblock chroma QP incl. the CABAC session default) stays
+    bit-exact vs stock FFmpeg (regression: deblock chroma used offset 0)."""
+    w, h, n = 64, 48, 3
+    clip = oracle.make_test_clip(w, h, n, seed=13)
+    fsz, csz = w * h, w * h // 4
+    s = CompressSession(extra_cmdline=(
+        "--qp 30 --chroma-qp-offset 4 --bframes 0 --no-mbtree --scenecut 0"))
+    s.begin(w, h)
+    bs = b""
+    for i in range(n):
+        bs += s.compress((clip[i, :fsz].reshape(h, w),
+                          clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                          clip[i, fsz + csz:].reshape(h // 2, w // 2)))
+    bs += s.end()["tail"]
+    dec = oracle.decode_h264_planes(bs)
+    rec = s.encoder.last_recon
+    assert np.array_equal(dec[0][-1], np.asarray(rec[0])[:h, :w])
+    assert np.array_equal(dec[1][-1], np.asarray(rec[1])[:h // 2, :w // 2])
+    assert np.array_equal(dec[2][-1], np.asarray(rec[2])[:h // 2, :w // 2])

@@ -102,6 +102,7 @@ class CompressSession:
             min_keyint=max(1, min(p.min_keyint, p.keyint)),
             scenecut=p.scenecut,
             num_ref_frames=max(1, min(p.ref, 4)),
+            chroma_qp_offset=p.chroma_qp_offset,
             search_range=min(p.merange, 16),
             # --subme ladder: 0 = integer-pel, 1-3 = half, 4+ = quarter
             subpel=0 if p.subme == 0 else (1 if p.subme <= 3 else 2),

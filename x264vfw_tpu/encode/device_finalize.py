@@ -151,7 +151,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     nref = ref_y.shape[0] if ref_y.ndim == 3 else 1
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
                             nref=nref)
-    recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB)
+    recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB,
+                           qpc_offset=qpc_offset)
     return v, l, l.sum(), *recon, out["mv"]
 
 
@@ -380,7 +381,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                                   qpc_offset=qpc_offset, trellis=trellis)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
-        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB)
+        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
+                                 qpc_offset=qpc_offset)
         return new_ref, (data, nbits)
 
     ref_fin, (datas, nbits) = jax.lax.scan(
@@ -389,7 +391,7 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
 
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
-                      dbA: int = 0, dbB: int = 0):
+                      dbA: int = 0, dbB: int = 0, qpc_offset: int = 0):
     """Returns a jitted fused I-frame phase-1 program for a geometry."""
     from .device import encode_i_frame_core
 
@@ -403,18 +405,20 @@ def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
         out = encode_i_frame_core(sy, su, sv, qp, qpc)
         v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
         recon = _maybe_deblock(out, qp, H // 16, W // 16, True, deblock,
-                               dbA, dbB)
+                               dbA, dbB, qpc_offset=qpc_offset)
         return v, l, l.sum(), *recon
 
     return fn
 
 
-def _maybe_deblock(out, qp, mbh, mbw, intra, deblock, dbA, dbB):
+def _maybe_deblock(out, qp, mbh, mbw, intra, deblock, dbA, dbB,
+                   qpc_offset=0):
     if not deblock:
         return out["recon_y"], out["recon_u"], out["recon_v"]
     from .device import apply_loop_filter
     return apply_loop_filter(out, qp, mbh, mbw, intra,
-                             offA=2 * dbA, offB=2 * dbB)
+                             offA=2 * dbA, offB=2 * dbB,
+                             qpc_offset=qpc_offset)
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))

@@ -20,8 +20,13 @@ from dataclasses import dataclass
 from ..config.params import (EncoderParams, RC_2PASS1, RC_2PASS2, RC_ABR,
                              RC_CQP, RC_CRF)
 
-I_FRAME_QP_OFFSET = -3  # ipratio-equivalent bias for intra frames
-B_FRAME_QP_OFFSET = 2   # pbratio-equivalent bias for non-ref B frames
+I_FRAME_QP_OFFSET = -3  # default ipratio(1.40) bias for intra frames
+B_FRAME_QP_OFFSET = 2   # default pbratio(1.30) bias for non-ref B frames
+
+
+def _ratio_to_qp_offset(ratio: float) -> int:
+    """x264 qscale ratio -> QP delta (6 QP per qscale doubling)."""
+    return int(round(6.0 * math.log2(max(ratio, 1e-3))))
 
 
 @dataclass
@@ -47,6 +52,10 @@ class RateController:
     def __init__(self, p: EncoderParams) -> None:
         self.p = p
         self.mode = p.rc_mode
+        # --ipratio/--pbratio drive the frame-type QP offsets
+        # (reference forwards these, codec.c:915-916)
+        self.i_offset = -_ratio_to_qp_offset(getattr(p, "ipratio", 1.4))
+        self.b_offset = _ratio_to_qp_offset(getattr(p, "pbratio", 1.3))
         self.frame_idx = 0
         self.bits_total = 0
         self.stats: list[FrameStats] = []
@@ -113,7 +122,7 @@ class RateController:
         else:
             qp = self.p.qp
         if is_idr:
-            qp += I_FRAME_QP_OFFSET
+            qp += self.i_offset
         qp += self._vbv_adj
         return int(min(max(qp, self.p.qp_min), min(self.p.qp_max, 51)))
 
@@ -123,9 +132,9 @@ class RateController:
         flags, codec.c:915-916)."""
         qp = self.qp_for_frame(False)
         if ftype == "I":
-            qp += I_FRAME_QP_OFFSET
+            qp += self.i_offset
         elif ftype == "B":
-            qp += B_FRAME_QP_OFFSET
+            qp += self.b_offset
         return int(min(max(qp, self.p.qp_min), min(self.p.qp_max, 51)))
 
     def update(self, ftype, qp_used: int, bits: int) -> None:

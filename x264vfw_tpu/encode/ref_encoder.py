@@ -52,6 +52,7 @@ class EncoderConfig:
     aq_strength: float = 0.0  # variance AQ (0 = off); applies to P frames
     trellis: bool = False    # RD-quant refinement (approximate trellis)
     weightp: int = 0         # explicit weighted prediction for P (0 = off)
+    chroma_qp_offset: int = 0  # PPS chroma_qp_index_offset (x264 flag)
     i4x4: bool = False
     fps_num: int = 25
     fps_den: int = 1

@@ -70,6 +70,8 @@ class TpuEncoder:
                        pic_init_qp_minus26=cfg.qp - 26,
                        weighted_pred_flag=1 if cfg.weightp > 0 else 0,
                        num_ref_idx_l0_default_active_minus1=self.nref - 1,
+                       chroma_qp_index_offset=min(max(cfg.chroma_qp_offset,
+                                                      -12), 12),
                        deblocking_filter_control_present_flag=1)
         self.dpb: list = []             # device (y,u,v), newest first
         self._wp: tuple | None = None   # current P frame's (w, o) or None
@@ -280,7 +282,8 @@ class TpuEncoder:
             hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
             if self._i_full is None:
                 self._i_full = device_finalize.encode_i_slots_fn(
-                    H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                    H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
+                    qpc_offset=self.pps.chroma_qp_index_offset)
             sv_, sl_, nbits, ry, ru, rv = self._i_full(
                 src_d, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
@@ -447,7 +450,8 @@ class TpuEncoder:
             self.ref = apply_loop_filter(
                 {k: outj[k] for k in outj} if is_idr else outj, self.qp,
                 mbh, mbw, is_idr, offA=2 * cfg.deblock_alpha,
-                offB=2 * cfg.deblock_beta)
+                offB=2 * cfg.deblock_beta,
+                qpc_offset=self.pps.chroma_qp_index_offset)
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
             1 << (self.sps.log2_max_frame_num_minus4 + 4))
@@ -672,7 +676,9 @@ class TpuEncoder:
                 hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
                 if self._i_full is None:
                     self._i_full = device_finalize.encode_i_slots_fn(
-                        H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta)
+                        H, W, cfg.deblock, cfg.deblock_alpha,
+                        cfg.deblock_beta,
+                        qpc_offset=self.pps.chroma_qp_index_offset)
                 sv_, sl_, nbits, ry, ru, rv = self._i_full(
                     src_d, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
