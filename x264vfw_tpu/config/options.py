@@ -129,6 +129,20 @@ OPTION_TABLE: dict[str, tuple] = {
                                           "info": 2, "debug": 3}.get(v, int(v) if v.lstrip("-").isdigit() else 2), False),
 }
 
+# options that parse into params but are not yet wired into the TPU
+# pipeline: using one produces a warning (the reference's unsupported-option
+# warning behavior, codec.c:1242-1259).  Keep this list in sync with
+# api.CompressSession.begin — remove a name the moment its field takes
+# effect end to end.
+ACCEPTED_IGNORED = {
+    "b-adapt", "b-pyramid", "open-gop", "intra-refresh",
+    "mixed-refs", "partitions", "8x8dct", "psy-rd",
+    "weightb", "direct", "chroma-me", "nr", "fast-pskip",
+    "sliced-threads", "lookahead-threads", "sync-lookahead",
+    "slices", "deterministic", "cpu-independent",
+    "nal-hrd", "qpstep",
+}
+
 # options the reference forwards but we exclude by design (interlace etc.)
 _KNOWN_UNSUPPORTED = {
     "tff", "bff", "fake-interlaced", "pic-struct", "bluray-compat",
@@ -143,72 +157,72 @@ _KNOWN_UNSUPPORTED = {
 # one-line descriptions for fullhelp (the reference regenerates x264's
 # --fullhelp into its help dialog, config.c:1401-1781)
 _HELP: dict[str, str] = {
-    "keyint": "Maximum GOP size ('infinite' for intra-refresh-style streams)",
-    "min-keyint": "Minimum GOP size",
-    "scenecut": "How aggressively to insert extra I-frames",
-    "intra-refresh": "Use periodic intra refresh instead of IDR frames",
-    "bframes": "Number of consecutive B-frames between anchors",
-    "b-adapt": "Adaptive B-frame decision method (0=off 1=fast 2=optimal)",
-    "b-pyramid": "Keep some B-frames as references (none/strict/normal)",
-    "open-gop": "Allow open GOPs (B-frames referencing across IDR)",
-    "ref": "Number of reference frames",
-    "mixed-refs": "Decide references on a per-partition basis",
-    "me": "Integer-pel motion estimation method (dia/hex/umh/esa/tesa)",
-    "merange": "Maximum motion vector search range",
-    "subme": "Subpixel motion refinement quality (0..11)",
-    "partitions": "Partitions to consider (p8x8,p4x4,b8x8,i8x8,i4x4,none,all)",
-    "8x8dct": "Adaptive spatial transform size (High profile)",
-    "trellis": "Trellis RD quantization (0=off 1=final 2=all)",
-    "psy-rd": "Psychovisual strength for RD and trellis (rd:trellis)",
-    "fast-pskip": "Early skip detection on P-frames",
-    "dct-decimate": "Coefficient elimination on P-frames",
-    "weightp": "Weighted prediction for P-frames (0..2)",
-    "weightb": "Weighted prediction for B-frames",
-    "direct": "Direct MV prediction mode (none/spatial/temporal/auto)",
-    "chroma-me": "Include chroma in motion estimation",
-    "nr": "Noise reduction strength",
-    "cabac": "CABAC entropy coding (vs CAVLC)",
-    "deblock": "Loop filter alpha:beta offsets",
-    "qp": "Constant quantizer mode (0..51)",
-    "crf": "Constant-quality mode (nominal QP)",
-    "bitrate": "Average bitrate mode (kbit/s)",
-    "vbv-maxrate": "Maximum local bitrate (kbit/s)",
-    "vbv-bufsize": "VBV buffer size (kbit)",
-    "qpmin": "Minimum quantizer",
-    "qpmax": "Maximum quantizer",
-    "qpstep": "Maximum QP step between frames",
-    "ipratio": "QP factor between I and P frames",
-    "pbratio": "QP factor between P and B frames",
-    "chroma-qp-offset": "QP difference between chroma and luma",
-    "aq-mode": "Adaptive quantization mode (0=off 1=variance)",
-    "aq-strength": "AQ strength (reduces blocking in flat areas)",
-    "mbtree": "Macroblock-tree rate control",
-    "rc-lookahead": "Number of frames for frametype lookahead",
-    "qcomp": "QP curve compression (0.0 .. 1.0)",
-    "stats": "2-pass stats file name",
-    "pass": "Multi-pass mode (1=first pass, 2=second pass)",
-    "fast-firstpass": "Faster settings on pass 1 of multi-pass",
-    "threads": "Parallel encoding threads ('auto' = per device)",
-    "sliced-threads": "Low-latency intra-frame parallelism",
-    "lookahead-threads": "Threads for the lookahead stage",
-    "sync-lookahead": "Threaded lookahead buffer size",
-    "slices": "Number of slices per frame",
-    "deterministic": "Keep multi-device output deterministic",
-    "cpu-independent": "Bit-identical output across device topologies",
-    "fps": "Framerate (int, float, or num/den)",
-    "sar": "Sample aspect ratio width:height",
-    "level": "H.264 level (e.g. 4.1)",
-    "fullrange": "Full-range (PC) sample values",
-    "range": "Color range of input ('tv' or 'pc')",
-    "colorprim": "Color primaries (bt709/bt470bg/smpte170m/bt2020/...)",
-    "transfer": "Transfer characteristics (bt709/srgb/smpte2084/...)",
-    "colormatrix": "Color matrix (bt709/bt470bg/smpte170m/bt2020nc/...)",
-    "nal-hrd": "HRD signaling (none/vbr/cbr)",
-    "aud": "Emit access-unit delimiters",
-    "repeat-headers": "Emit SPS/PPS before every keyframe",
-    "annexb": "Annex-B start codes (vs length-prefixed NALs)",
-    "psnr": "Compute and report PSNR",
-    "ssim": "Compute and report SSIM",
+    "keyint": "Upper bound on frames between IDR pictures ('infinite' allowed)",
+    "min-keyint": "Lower bound on frames between IDR pictures",
+    "scenecut": "Sensitivity threshold for promoting scene changes to I-frames",
+    "intra-refresh": "Spread intra rows over the GOP instead of coding IDRs",
+    "bframes": "How many B-frames may sit between two anchor frames",
+    "b-adapt": "B-placement decision: 0 fixed, 1 fast heuristic, 2 exhaustive",
+    "b-pyramid": "Let B-frames serve as references (none/strict/normal)",
+    "open-gop": "Permit the GOP to start with B-frames that cross the IDR",
+    "ref": "Size of the reference-picture list for inter search",
+    "mixed-refs": "Pick the reference picture per partition, not per MB",
+    "me": "Integer-pel search strategy (dia/hex/umh/esa/tesa)",
+    "merange": "Search window radius for motion estimation, in pels",
+    "subme": "Effort level of fractional-pel refinement, 0..11",
+    "partitions": "Inter/intra block shapes the analyser may choose",
+    "8x8dct": "Allow the 8x8 integer transform (High profile feature)",
+    "trellis": "RD-optimal coefficient rounding: 0 off, 1 final MB, 2 everywhere",
+    "psy-rd": "Weighting of visual energy in RD decisions (rd:trellis pair)",
+    "fast-pskip": "Cheap early-out that codes still MBs as skip",
+    "dct-decimate": "Drop near-empty luma residual blocks in P macroblocks",
+    "weightp": "Explicit luma weighting of P references, 0..2",
+    "weightb": "Implicit weighting for B bi-prediction",
+    "direct": "Derivation rule for B direct motion (none/spatial/temporal/auto)",
+    "chroma-me": "Fold chroma SAD into the motion search metric",
+    "nr": "Pre-quantization noise filtering amount",
+    "cabac": "Arithmetic entropy coding on/off (off = CAVLC)",
+    "deblock": "In-loop filter strength offsets alpha:beta",
+    "qp": "Fixed quantizer for every frame (0..51)",
+    "crf": "Quality-targeted mode: constant rate factor",
+    "bitrate": "Target average rate in kbit/s (ABR)",
+    "vbv-maxrate": "Peak rate the hypothetical decoder buffer drains at",
+    "vbv-bufsize": "Capacity of the hypothetical decoder buffer (kbit)",
+    "qpmin": "Floor on the per-frame quantizer",
+    "qpmax": "Ceiling on the per-frame quantizer",
+    "qpstep": "Largest allowed QP change frame to frame",
+    "ipratio": "Quantizer scale of P relative to I frames",
+    "pbratio": "Quantizer scale of B relative to P frames",
+    "chroma-qp-offset": "Shift applied to the chroma quantizer",
+    "aq-mode": "Per-MB quantizer adaptation: 0 off, 1 variance-based",
+    "aq-strength": "Gain of the per-MB quantizer adaptation",
+    "mbtree": "Propagate future-reference cost into per-MB QP decisions",
+    "rc-lookahead": "Frames buffered ahead for rate-control analysis",
+    "qcomp": "Blend between constant-QP and constant-rate behaviour (0..1)",
+    "stats": "Path of the two-pass statistics checkpoint file",
+    "pass": "Which pass of a multi-pass encode this run performs",
+    "fast-firstpass": "Downgrade analysis settings during pass 1",
+    "threads": "Worker parallelism ('auto' = one per mesh device)",
+    "sliced-threads": "Split each frame into concurrently-coded slices",
+    "lookahead-threads": "Parallelism of the lookahead analysis stage",
+    "sync-lookahead": "Depth of the asynchronous lookahead queue",
+    "slices": "Fixed slice count per picture",
+    "deterministic": "Trade speed for reproducible multi-device output",
+    "cpu-independent": "Force identical bitstreams on any device topology",
+    "fps": "Input frame rate (integer, decimal, or num/den)",
+    "sar": "Pixel aspect ratio as width:height",
+    "level": "H.264 level to signal/conform to (e.g. 4.1)",
+    "fullrange": "Mark samples as full-range (PC levels)",
+    "range": "Input sample range selection ('tv' or 'pc')",
+    "colorprim": "Colour primaries to signal in the VUI",
+    "transfer": "Transfer function to signal in the VUI",
+    "colormatrix": "YCbCr matrix coefficients to signal in the VUI",
+    "nal-hrd": "Buffering-model signalling (none/vbr/cbr)",
+    "aud": "Prefix every access unit with a delimiter NAL",
+    "repeat-headers": "Re-emit SPS/PPS ahead of each keyframe",
+    "annexb": "Start-code framing instead of length-prefixed NALs",
+    "psnr": "Measure and log reconstruction PSNR",
+    "ssim": "Measure and log reconstruction SSIM",
     "asm": "Compiled Pallas kernels (--no-asm = interpret mode)",
     "log-level": "Logging verbosity (none/error/warning/info/debug)",
 }
@@ -313,6 +327,10 @@ def parse_cmdline(cmdline: str | list[str],
             else:
                 warnings.append(f"unknown option --{name}; ignored")
             continue
+        if name in ACCEPTED_IGNORED:
+            warnings.append(
+                f"option --{name} is accepted but not yet honored by the "
+                f"TPU pipeline; it has no effect")
         fields_, parser, negatable = entry
         if neg:
             if not negatable:

@@ -4,7 +4,8 @@ Mirrors the configuration surface the reference exposes through its GUI +
 registry + extra command line (/root/reference/x264vfw.h:121-167 CONFIG,
 codec.c:831-999 option table).  Every field is an x264-compatible knob;
 fields not yet honored by the TPU pipeline are carried, validated and
-resolved (so configs round-trip) and marked in HONORED below.
+resolved (so configs round-trip); the option engine warns when one of
+those is used (config/options.py ACCEPTED_IGNORED).
 
 Precedence chain (matching the reference, SURVEY.md §5 config system):
     defaults -> preset -> tune -> user fields/flags -> profile clamp ->
@@ -35,14 +36,10 @@ PRESETS = ("ultrafast", "superfast", "veryfast", "faster", "fast",
 TUNES = ("film", "animation", "grain", "stillimage", "psnr", "ssim",
          "fastdecode", "zerolatency")
 
-# fields currently honored end-to-end by the TPU pipeline
-HONORED = {
-    "width", "height", "fps_num", "fps_den", "qp", "rc_mode", "crf",
-    "keyint", "min_keyint", "ref", "merange", "deblock", "deblock_alpha",
-    "deblock_beta", "cabac", "bframes", "subme", "me", "sar_width",
-    "sar_height", "fullrange", "colorprim", "transfer", "colmatrix",
-    "stats_file", "threads", "slices",
-}
+# (The set of honored options lives with the option engine:
+# config/options.py ACCEPTED_IGNORED lists the flags that parse but are not
+# yet wired into the pipeline; parse_cmdline warns when one is used, the
+# way the reference warns on unsupported options, codec.c:1242-1259.)
 
 
 @dataclass
