@@ -7,7 +7,7 @@ import jax
 import oracle
 from x264vfw_tpu.config.params import EncoderParams
 from x264vfw_tpu.parallel.transcode import transcode
-from x264vfw_tpu.parallel.gop import encode_gops_sharded
+from x264vfw_tpu.parallel.gop import encode_clip_gop_parallel
 from x264vfw_tpu.ops.scale import scale_i420
 
 
@@ -50,13 +50,32 @@ def test_transcode_pipeline():
 
 
 def test_gop_sharding_on_mesh():
+    """Sharded GOP encode emits real bitstreams: byte-identical to the
+    single-chip encoder at keyint == gop_len, and decodable by the stock
+    FFmpeg oracle at sane PSNR."""
     assert jax.device_count() == 8
-    H = W = 32
+    from x264vfw_tpu.encode.ref_encoder import EncoderConfig
+    from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
+    H = W = 48
     G = 3
-    n_gops = 8
-    rng = np.random.default_rng(1)
-    gops = rng.integers(0, 256, (n_gops, G, H * W * 3 // 2)).astype(np.uint8)
-    out, bits = encode_gops_sharded(gops, 26, 26, H, W, rng=2)
-    assert out["i"]["dc"].shape[0] == n_gops
-    assert out["p"]["levels"].shape[:2] == (n_gops, G - 1)
-    assert int(bits) >= 0
+    n_gops = 4        # fewer GOPs than devices is fine (partial mesh use)
+    n = n_gops * G
+    clip = oracle.make_test_clip(W, H, n, seed=3)
+    fsz, csz = W * H, W * H // 4
+    frames = [(clip[i, :fsz].reshape(H, W),
+               clip[i, fsz:fsz + csz].reshape(H // 2, W // 2),
+               clip[i, fsz + csz:].reshape(H // 2, W // 2))
+              for i in range(n)]
+    cfg = EncoderConfig(width=W, height=H, qp=26, keyint=G, search_range=4,
+                        deblock=True)
+    stream = encode_clip_gop_parallel(frames, cfg)
+
+    enc = TpuEncoder(cfg)
+    single = b"".join(enc.encode_frame(*f) for f in frames)
+    assert stream == single, "sharded stream != single-chip stream"
+
+    dec = oracle.decode_h264_planes(stream)
+    assert dec is not None and dec[0].shape[0] == n
+    ps = oracle.psnr(dec[0][0].astype(float),
+                     frames[0][0].astype(float))
+    assert ps > 28, f"IDR PSNR {ps}"

@@ -2,16 +2,21 @@
 
 Closed GOPs (IDR-led) are independent, so a batch of GOP segments shards
 over the device mesh with pure data parallelism — the analogue of x264's
-frame threading (SURVEY.md §2d).  Each device runs the full per-frame
-pipeline as a lax.scan over its GOP (carrying reference planes), and a
-psum'd bit-budget statistic crosses the mesh so a global rate controller
-can react (the distributed-RC collective).
+frame threading (SURVEY.md §2d, reference option surface codec.c:933-943).
+Each device runs the COMPLETE per-frame pipeline on its own GOP: motion
+search, transform/quant, reconstruction, CAVLC entropy coding and bit
+packing — the output is finished slice-payload bytes per frame, exactly
+the bytes the single-chip encoder emits.  The only cross-device traffic is
+a psum'd real bit-count statistic (the global rate-control allreduce, ICI).
 
-Tested on the virtual CPU mesh (tests/test_multichip.py) and exercised by
-__graft_entry__.dryrun_multichip.
+Validated on the virtual CPU mesh (tests/test_transcode_multichip.py:
+sharded AUs are byte-identical to the single-chip encoder and decode in
+stock FFmpeg) and exercised by __graft_entry__.dryrun_multichip.
 """
 
 from __future__ import annotations
+
+from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -19,18 +24,27 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from ..encode.device import encode_i_frame_core, encode_p_frame_core
+from ..encode.device_finalize import (MAX_HDR, _finalize_i_core,
+                                      _finalize_p_core, _maybe_deblock)
+from ..encode.device_pack import pack_slots
 
 
-def encode_gop_device(frames_yuv: jnp.ndarray, qp, qpc, H: int, W: int,
-                      rng: int = 4):
-    """Encode one GOP on device: frame 0 as I, rest as P (scan).
+def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
+                             hdr_vals, hdr_lens, rng: int,
+                             bucket_words: int, subpel=True,
+                             me_backend: str = "auto", deblock: bool = False,
+                             dbA: int = 0, dbB: int = 0, qpc_offset: int = 0):
+    """One GOP -> packed slice payload bytes, fully on device.
 
-    frames_yuv: (G, H*W*3//2) uint8 packed I420.
-    Returns dict of per-frame syntax tensors (stacked over G) + final recon.
+    frames_yuv: (G, H*W*3//2) uint8; frame 0 is the IDR, rest are P.
+    hdr_vals/hdr_lens: (G, MAX_HDR) slice-header codeword slots (host-built,
+    frame-varying: frame_num/idr_pic_id).
+
+    Returns (data (G, bucket_words*4) uint8, nbits (G,) int32).
     """
-    G = frames_yuv.shape[0]
     ys = H * W
     cs = ys // 4
+    mbh, mbw = H // 16, W // 16
 
     def unpack(row):
         sy = row[:ys].reshape(H, W).astype(jnp.int32)
@@ -40,48 +54,149 @@ def encode_gop_device(frames_yuv: jnp.ndarray, qp, qpc, H: int, W: int,
 
     sy0, su0, sv0 = unpack(frames_yuv[0])
     i_out = encode_i_frame_core(sy0, su0, sv0, qp, qpc)
-    ref0 = (i_out["recon_y"], i_out["recon_u"], i_out["recon_v"])
+    vi, li = _finalize_i_core(i_out, hdr_vals[0], hdr_lens[0], mbh, mbw)
+    data0, nbits0 = pack_slots(vi, li, bucket_words)
+    ref0 = _maybe_deblock(i_out, qp, mbh, mbw, True, deblock, dbA, dbB,
+                          qpc_offset=qpc_offset)
 
-    def step(ref, row):
+    def step(ref, xs):
+        row, hv, hl = xs
         sy, su, sv = unpack(row)
-        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng)
-        new_ref = (out["recon_y"], out["recon_u"], out["recon_v"])
-        syntax = {k: v for k, v in out.items()
-                  if k not in ("recon_y", "recon_u", "recon_v")}
-        bits_proxy = jnp.abs(out["levels"]).sum()
-        return new_ref, (syntax, bits_proxy)
+        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
+                                  me_backend, qpc_offset=qpc_offset)
+        v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
+        data, nbits = pack_slots(v, l, bucket_words)
+        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
+                                 qpc_offset=qpc_offset)
+        return new_ref, (data, nbits)
 
-    ref_fin, (p_syntax, bits) = jax.lax.scan(step, ref0, frames_yuv[1:])
-    return {
-        "i": {k: v for k, v in i_out.items()
-              if k not in ("recon_y", "recon_u", "recon_v")},
-        "p": p_syntax,
-        "bits_proxy": bits.sum(),
-        "final_recon_y": ref_fin[0],
-    }
+    _, (datas, nbits) = jax.lax.scan(
+        step, ref0, (frames_yuv[1:], hdr_vals[1:], hdr_lens[1:]))
+    data = jnp.concatenate([data0[None], datas])
+    nb = jnp.concatenate([nbits0[None], nbits])
+    return data, nb
 
 
-def encode_gops_sharded(gops: np.ndarray, qp: int, qpc: int, H: int, W: int,
-                        mesh: Mesh | None = None, rng: int = 4):
-    """Shard a (n_gops, G, H*W*3//2) uint8 batch over the mesh 'dp' axis.
+@partial(jax.jit,
+         static_argnames=("H", "W", "rng", "bucket_words", "subpel",
+                          "me_backend", "deblock", "dbA", "dbB",
+                          "qpc_offset"))
+def _sharded_gop_program(gops, qp, qpc, hdr_vals, hdr_lens, H, W, rng,
+                         bucket_words, subpel, me_backend, deblock, dbA,
+                         dbB, qpc_offset):
+    fn = jax.vmap(lambda g, hv, hl: encode_gop_packed_device(
+        g, qp, qpc, H, W, hv, hl, rng, bucket_words, subpel, me_backend,
+        deblock, dbA, dbB, qpc_offset))
+    data, nbits = fn(gops, hdr_vals, hdr_lens)
+    # global rate statistic: one scalar allreduce across the mesh — the
+    # distributed rate controller's input (real entropy bits, not a proxy)
+    total_bits = jnp.sum(nbits)
+    return data, nbits, total_bits
 
-    Returns (per-GOP syntax pytree, global bits_proxy psum) — syntax stays
-    device-sharded; only the scalar rate statistic is replicated (ICI
-    allreduce).
+
+def encode_gops_sharded_packed(gops: np.ndarray, qp: int, qpc: int,
+                               H: int, W: int,
+                               hdr_vals: np.ndarray, hdr_lens: np.ndarray,
+                               mesh: Mesh | None = None, rng: int = 4,
+                               bucket_words: int | None = None,
+                               subpel=True, me_backend: str = "auto",
+                               deblock: bool = False, dbA: int = 0,
+                               dbB: int = 0, qpc_offset: int = 0):
+    """Shard (n_gops, G, H*W*3//2) uint8 GOPs over the mesh 'dp' axis and
+    encode each to packed slice payloads on its own device.
+
+    Returns (data (n_gops, G, bucket*4) np.uint8, nbits (n_gops, G),
+    total_bits int).  Callers slice data[g, k, : (nbits[g,k]+7)//8] and
+    wrap with wrap_nal to obtain the AU payloads.
     """
     if mesh is None:
         devs = np.array(jax.devices())
         mesh = Mesh(devs, axis_names=("dp",))
+    if bucket_words is None:
+        bucket_words = (H * W * 3 // 2 + 4096) // 4
     sharding = NamedSharding(mesh, P("dp"))
-    gops = jax.device_put(jnp.asarray(gops), sharding)
+    gops_d = jax.device_put(jnp.asarray(gops), sharding)
+    hv_d = jax.device_put(jnp.asarray(hdr_vals, np.uint32), sharding)
+    hl_d = jax.device_put(jnp.asarray(hdr_lens, np.int32), sharding)
+    with mesh:
+        data, nbits, total = _sharded_gop_program(
+            gops_d, qp, qpc, hv_d, hl_d, H, W, rng, bucket_words, subpel,
+            me_backend, deblock, dbA, dbB, qpc_offset)
+    return np.asarray(data), np.asarray(nbits), int(total)
 
-    def per_gop(g):
-        out = encode_gop_device(g, qp, qpc, H, W, rng)
-        return out
 
-    fn = jax.jit(jax.vmap(per_gop),
-                 in_shardings=(sharding,),
-                 out_shardings=None)
-    out = fn(gops)
-    total_bits = jnp.sum(out["bits_proxy"])  # global allreduce statistic
-    return out, total_bits
+def encode_clip_gop_parallel(frames: list, cfg, mesh: Mesh | None = None,
+                             gop_len: int | None = None) -> bytes:
+    """Encode a clip as data-parallel closed GOPs over the device mesh,
+    returning a complete Annex-B stream BYTE-IDENTICAL to the single-chip
+    encoder at keyint == gop_len (CAVLC path).
+
+    frames: list of (y, u, v) uint8 planes; cfg: EncoderConfig.  The clip
+    is split into ceil(n/gop_len) GOPs; each device encodes whole GOPs
+    (device d takes GOPs d, d+n_dev, ... — x264 frame-threading's round
+    robin, codec.c:933-943).  gop_len defaults to cfg.keyint.
+    """
+    from ..bitstream.mb_syntax import SLICE_I, SLICE_P
+    from ..bitstream.nal import NAL_SLICE, NAL_SLICE_IDR, wrap_nal
+    from ..encode.tpu_encoder import TpuEncoder, _pad
+
+    if mesh is None:
+        devs = np.array(jax.devices())
+        mesh = Mesh(devs, axis_names=("dp",))
+    G = gop_len or cfg.keyint
+    n = len(frames)
+    n_gops = (n + G - 1) // G
+    # the 'dp' shard axis must divide the GOP batch: round up with dummy
+    # GOPs (their AUs are dropped below)
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_gops_padded = ((n_gops + n_dev - 1) // n_dev) * n_dev
+    henc = TpuEncoder(cfg)        # header/SPS/PPS machinery only
+    H, W = henc.mbh * 16, henc.mbw * 16
+
+    # pack pixel rows; short tail GOP repeats its last frame (the repeats
+    # are encoded but their AUs are dropped below)
+    rows = np.zeros((n_gops_padded, G, H * W * 3 // 2), np.uint8)
+    for g in range(n_gops):
+        for k in range(G):
+            y, u, v = frames[min(g * G + k, n - 1)]
+            rows[g, k] = np.concatenate([
+                np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
+                np.ascontiguousarray(_pad(u, H // 2, W // 2),
+                                     dtype=np.uint8).ravel(),
+                np.ascontiguousarray(_pad(v, H // 2, W // 2),
+                                     dtype=np.uint8).ravel()])
+
+    # per-frame slice headers, mirroring the single-chip session state:
+    # frame_num resets at each IDR, idr_pic_id increments per GOP
+    hdr_vals = np.zeros((n_gops_padded, G, MAX_HDR), np.uint32)
+    hdr_lens = np.zeros((n_gops_padded, G, MAX_HDR), np.int32)
+    for g in range(n_gops):
+        henc.idr_id = g % 65536
+        for k in range(G):
+            henc.frame_num = k % (1 << (henc.sps.log2_max_frame_num_minus4
+                                        + 4))
+            hw = henc._slice_header_codes(
+                SLICE_I if k == 0 else SLICE_P,
+                NAL_SLICE_IDR if k == 0 else NAL_SLICE)
+            hv, hl = hw.to_slots(pad_to=MAX_HDR)
+            hdr_vals[g, k] = hv.astype(np.uint32)
+            hdr_lens[g, k] = hl.astype(np.int32)
+
+    data, nbits, _total = encode_gops_sharded_packed(
+        rows, henc.qp, henc.qpc, H, W, hdr_vals, hdr_lens, mesh=mesh,
+        rng=cfg.search_range, subpel=cfg.subpel, me_backend=cfg.me_backend,
+        deblock=cfg.deblock, dbA=cfg.deblock_alpha, dbB=cfg.deblock_beta,
+        qpc_offset=henc.pps.chroma_qp_index_offset)
+
+    stream = b""
+    for g in range(n_gops):
+        for k in range(G):
+            if g * G + k >= n:
+                break
+            payload = data[g, k, :(int(nbits[g, k]) + 7) // 8]
+            if k == 0:
+                stream += henc.headers()
+                stream += wrap_nal(3, NAL_SLICE_IDR, payload)
+            else:
+                stream += wrap_nal(3, NAL_SLICE, payload)
+    return stream
