@@ -58,8 +58,7 @@ def test_cavlc_jax_matches_vec():
             nC = np.full(batch.shape[0], nc, np.int64)
             wv, wl = cavlc_vec.encode_blocks(batch, nC, maxc)
             gv, gl = cavlc_jax.encode_blocks(jnp.asarray(batch), jnp.asarray(nC), maxc)
-            np.testing.assert_array_equal(np.asarray(gl), wl.astype(np.int32))
-            np.testing.assert_array_equal(np.asarray(gv), wv)
+            _assert_same_bits(np.asarray(gv), np.asarray(gl), wv, wl)
 
 
 def test_cavlc_jax_extreme_levels():
@@ -75,5 +74,15 @@ def test_cavlc_jax_extreme_levels():
     nC = np.array([0, 1, 4, 8, 2, 3, 0, 20], np.int64)
     wv, wl = cavlc_vec.encode_blocks(cases, nC, 16)
     gv, gl = cavlc_jax.encode_blocks(jnp.asarray(cases), jnp.asarray(nC), 16)
-    np.testing.assert_array_equal(np.asarray(gl), wl.astype(np.int32))
-    np.testing.assert_array_equal(np.asarray(gv), wv)
+    _assert_same_bits(np.asarray(gv), np.asarray(gl), wv, wl)
+
+def _assert_same_bits(gv, gl, wv, wl):
+    """Slot layouts may differ (position- vs rank-indexed); the invariant is
+    the packed per-block bitstream."""
+    assert gv.shape[0] == wv.shape[0]
+    for r in range(gv.shape[0]):
+        gb, gn = pack_codes(gv[r].astype(np.uint64), gl[r].astype(np.int64))
+        wb, wn = pack_codes(wv[r].astype(np.uint64), wl[r].astype(np.int64))
+        assert gn == wn, (r, gn, wn)
+        nb = (gn + 7) // 8
+        np.testing.assert_array_equal(gb[:nb], wb[:nb])

@@ -29,7 +29,7 @@ def _get_lib():
         if (not os.path.exists(_SO)
                 or os.path.getmtime(_SO) < os.path.getmtime(_SRC)):
             subprocess.run(
-                ["gcc", "-O2", "-shared", "-fPIC", _SRC, "-o", _SO],
+                ["gcc", "-O3", "-shared", "-fPIC", _SRC, "-o", _SO],
                 check=True, capture_output=True)
         lib = ctypes.CDLL(_SO)
         lib.cabac_encode_p_slice.restype = ctypes.c_long

@@ -18,12 +18,13 @@ implicit leading zeros — device_pack convention).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 from . import cavlc_tables as T
 
-SLOTS = 33
+SLOTS = 34
 
 # numpy constants: embedded into the XLA program at trace time
 CT_VAL = T.COEFF_TOKEN_VAL.astype(np.uint32)      # (5,17,4)
@@ -45,12 +46,6 @@ def _ctx_from_nc(nC):
     return ctx
 
 
-def _sel(arr_sorted, idx, L):
-    """Gather-free arr_sorted[n, idx[n]] via one-hot select-sum."""
-    oh = idx[:, None] == jnp.arange(L)[None, :]
-    return (arr_sorted * oh).sum(-1)
-
-
 def _lut2(val_tab: np.ndarray, len_tab: np.ndarray, i, j):
     """Gather-free 2D table lookup via one-hot on the flattened table."""
     R, C = val_tab.shape
@@ -63,29 +58,37 @@ def _lut2(val_tab: np.ndarray, len_tab: np.ndarray, i, j):
 
 
 def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
-    """(N, L) zigzag levels + (N,) nC -> (vals uint32, lens int32) (N, SLOTS)."""
+    """(N, L) zigzag levels + (N,) nC -> (vals uint32, lens int32) (N, SLOTS).
+
+    Position-indexed slot layout: the level code of the coefficient at
+    zigzag position j lives in slot 2 + (L-1-j) and its run_before in slot
+    19 + (L-1-j) — descending-position order IS the CAVLC coding order, and
+    zero-length slots vanish in the packer, so the packed bitstream is
+    identical to a rank-compacted layout while skipping the O(N*L^2)
+    rank-gather machinery entirely (every step below is O(N*L) elementwise
+    plus an O(L) sequential suffix-length chain of O(N) steps).
+    """
     levels = levels.astype(jnp.int32)
     N, L = levels.shape
     assert L == max_coeffs
     nC = nC.astype(jnp.int32)
+    idx = jnp.arange(L, dtype=jnp.int32)
 
     nz = levels != 0
-    tc = nz.sum(-1).astype(jnp.int32)
-    # stable partition via rank (no sort): nonzero j goes to slot rank[j]
-    rank = jnp.cumsum(nz, axis=-1) - 1                       # (N, L)
-    ks = jnp.arange(L)
-    oh = (rank[:, :, None] == ks[None, None, :]) & nz[:, :, None]  # (N,L,L)
-    ohi = oh.astype(jnp.int32)
-    v_sorted = (levels[:, :, None] * ohi).sum(1)             # (N, L)
-    p_sorted = (ks[None, :, None] * ohi).sum(1)              # (N, L)
+    nzi = nz.astype(jnp.int32)
+    cum = jnp.cumsum(nzi, axis=-1)                # nonzeros at pos <= j
+    tc = cum[:, -1]
+    snz = tc[:, None] - cum                       # nonzeros at pos > j
 
-    # trailing ones
-    t1 = jnp.zeros(N, jnp.int32)
-    cond = jnp.ones(N, jnp.bool_)
-    for k in range(1, 4):
-        vk = _sel(v_sorted, jnp.clip(tc - k, 0, L - 1), L)
-        cond = cond & (tc >= k) & (jnp.abs(vk) == 1)
-        t1 = t1 + cond
+    # ---- trailing ones: the run of +-1 nonzeros at the end, capped at 3 ----
+    m = nz & (jnp.abs(levels) == 1)
+    ok = ((~nz) | m).astype(jnp.int32)
+    # AND over strictly-higher positions
+    rev_and = jnp.flip(jnp.cumprod(jnp.flip(ok, -1), -1), -1)
+    rev_and_excl = jnp.concatenate(
+        [rev_and[:, 1:], jnp.ones((N, 1), jnp.int32)], -1).astype(bool)
+    is_t1 = nz & m & rev_and_excl & (snz < 3)
+    t1 = is_t1.sum(-1).astype(jnp.int32)
 
     vals = jnp.zeros((N, SLOTS), jnp.uint32)
     lens = jnp.zeros((N, SLOTS), jnp.int32)
@@ -100,23 +103,24 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
     vals = vals.at[:, 0].set(ctv.astype(jnp.uint32))
     lens = lens.at[:, 0].set(ctl)
 
-    # ---- trailing one signs ----
-    sign_val = jnp.zeros(N, jnp.uint32)
-    for i in range(3):
-        vk = _sel(v_sorted, jnp.clip(tc - 1 - i, 0, L - 1), L)
-        neg = ((vk < 0) & (i < t1)).astype(jnp.uint32)
-        sign_val = jnp.where(i < t1, (sign_val << 1) | neg, sign_val)
+    # ---- trailing one signs (slot 1): i-th-from-end sign at bit t1-1-i ----
+    neg = ((levels < 0) & is_t1).astype(jnp.uint32)
+    shift = jnp.clip(t1[:, None] - 1 - snz, 0, 31).astype(jnp.uint32)
+    sign_val = (neg << shift).sum(-1, dtype=jnp.uint32)
     vals = vals.at[:, 1].set(sign_val)
     lens = lens.at[:, 1].set(t1)
 
-    # ---- levels ----
+    # ---- levels: descending-position chain (suffix length is sequential) --
+    active = nz & (snz >= t1[:, None])            # coded as a level code
+    lc_all = jnp.where(levels > 0, 2 * levels - 2, -2 * levels - 1)
+    lc_all = lc_all - 2 * ((snz == t1[:, None]) & (t1[:, None] < 3)
+                           & active)
     sl = jnp.where((tc > 10) & (t1 < 3), 1, 0).astype(jnp.int32)
-    for k in range(L):
-        active = (k >= t1) & (k < tc)
-        lv = _sel(v_sorted, jnp.clip(tc - 1 - k, 0, L - 1), L)
-        lv = jnp.where(active, lv, 1)
-        lc = jnp.where(lv > 0, 2 * lv - 2, -2 * lv - 1)
-        lc = lc - 2 * ((k == t1) & (t1 < 3))
+    lv_cols = [None] * L
+    ll_cols = [None] * L
+    for j in range(L - 1, -1, -1):
+        a = active[:, j]
+        lc = lc_all[:, j]
         sl1 = jnp.maximum(sl, 1)
         p = jnp.zeros(N, jnp.int32)
         suffix = jnp.zeros(N, jnp.int32)
@@ -142,15 +146,18 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
         ssz = jnp.where(esc, 12 + kk, ssz)
         code_val = (jnp.uint32(1) << ssz.astype(jnp.uint32)) | suffix.astype(jnp.uint32)
         code_len = p + 1 + ssz
-        vals = vals.at[:, 2 + k].set(jnp.where(active, code_val, 0))
-        lens = lens.at[:, 2 + k].set(jnp.where(active, code_len, 0))
+        lv_cols[j] = jnp.where(a, code_val, 0)
+        ll_cols[j] = jnp.where(a, code_len, 0)
         new_sl = jnp.maximum(sl, 1)
-        new_sl = new_sl + ((jnp.abs(lv) > (3 << jnp.maximum(new_sl - 1, 0)))
+        new_sl = new_sl + ((jnp.abs(levels[:, j]) > (3 << jnp.maximum(new_sl - 1, 0)))
                            & (new_sl < 6))
-        sl = jnp.where(active, new_sl, sl)
+        sl = jnp.where(a, new_sl, sl)
+    # slot 2 + (L-1-j): descending position -> ascending slot
+    vals = vals.at[:, 2:2 + L].set(jnp.stack(lv_cols[::-1], axis=1))
+    lens = lens.at[:, 2:2 + L].set(jnp.stack(ll_cols[::-1], axis=1))
 
-    # ---- total_zeros ----
-    last_pos = _sel(p_sorted, jnp.clip(tc - 1, 0, L - 1), L)
+    # ---- total_zeros (slot 18) ----
+    last_pos = jnp.max(jnp.where(nz, idx[None, :], -1), axis=-1)
     tz = jnp.where(tc > 0, last_pos + 1 - tc, 0)
     need = (tc > 0) & (tc < max_coeffs)
     if max_coeffs == 4:
@@ -160,18 +167,23 @@ def encode_blocks(levels: jnp.ndarray, nC: jnp.ndarray, max_coeffs: int):
     vals = vals.at[:, 18].set(jnp.where(need, tzv, 0))
     lens = lens.at[:, 18].set(jnp.where(need, tzl, 0))
 
-    # ---- run_before ----
-    zl = jnp.where(need | (tc == max_coeffs), tz, 0)
-    for k in range(min(L - 1, 14)):
-        active = (k < tc - 1) & (zl > 0)
-        hi = _sel(p_sorted, jnp.clip(tc - 1 - k, 0, L - 1), L)
-        lo = _sel(p_sorted, jnp.clip(tc - 2 - k, 0, L - 1), L)
-        run = jnp.clip(hi - lo - 1, 0, 14)
-        zli = jnp.clip(zl, 1, 7)
-        rv, rl = _lut2(RB_VAL, RB_LEN, zli, run)
-        vals = vals.at[:, 19 + k].set(jnp.where(active, rv, 0))
-        lens = lens.at[:, 19 + k].set(jnp.where(active, rl, 0))
-        zl = jnp.where(active, zl - run, zl)
+    # ---- run_before: coefficient at j (not the lowest nonzero), slot
+    # 19 + (L-1-j); zerosLeft at j = zeros at positions < j ----
+    prev_incl = jax.lax.cummax(jnp.where(nz, idx[None, :], -1), axis=1)
+    prev_below = jnp.concatenate(
+        [jnp.full((N, 1), -1, jnp.int32), prev_incl[:, :-1]], -1)
+    run = jnp.clip(idx[None, :] - prev_below - 1, 0, 14)
+    zl = idx[None, :] - cum + 1
+    run_active = nz & (prev_below >= 0) & (zl > 0)
+    zli = jnp.clip(zl, 1, 7)
+    rv, rl = _lut2(RB_VAL, RB_LEN, zli.reshape(-1), run.reshape(-1))
+    rv = rv.reshape(N, L)
+    rl = rl.reshape(N, L)
+    nrun = L - 1  # position 0 never carries a run
+    vals = vals.at[:, 19:19 + nrun].set(
+        jnp.where(run_active, rv, 0)[:, :0:-1])
+    lens = lens.at[:, 19:19 + nrun].set(
+        jnp.where(run_active, rl, 0)[:, :0:-1])
     return vals, lens
 
 

@@ -1197,9 +1197,11 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         quad = ((out["cbp_luma"][:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
         lv = jnp.where(quad[:, :, None], out["levels"], 0)
         tc_blk = (lv != 0).sum(-1)                       # (n, 16) block order
-        gy = (jnp.arange(n) // mbw * 4)[:, None] + BLK_Y[None, :]
-        gx = (jnp.arange(n) % mbw * 4)[:, None] + BLK_X[None, :]
-        tc4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32).at[gy, gx].set(tc_blk)
+        inv16 = jnp.zeros(16, jnp.int32).at[BLK_Y * 4 + BLK_X].set(
+            jnp.arange(16, dtype=jnp.int32))
+        raster = jnp.take(tc_blk, inv16, axis=1)
+        tc4 = (raster.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+               .reshape(4 * mbh, 4 * mbw))
         mv = out["mv"].reshape(mbh, mbw, 2)
         mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
         intra_map = jnp.zeros((mbh, mbw), bool)

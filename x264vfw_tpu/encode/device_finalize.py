@@ -43,21 +43,31 @@ def _nc_from_map(tcm):
                      jnp.where(availA, tA, jnp.where(availB, tB, 0)))
 
 
+# block coding order <-> raster-within-MB: fixed 16-permutations (scatters
+# with computed indices are pathological on TPU; these are pure layout ops)
+_RAS = _np.asarray(BLK_Y * 4 + BLK_X)          # block order -> raster pos
+_INV16 = _np.zeros(16, _np.int32)
+_INV16[_RAS] = _np.arange(16)                  # raster pos -> block order
+
+
 def _nc_luma(tc_blk, mbh, mbw):
     """tc_blk (n,16) block coding order -> nC (n,16)."""
     n = mbh * mbw
-    gy = (jnp.arange(n) // mbw * 4)[:, None] + BLK_Y[None, :]
-    gx = (jnp.arange(n) % mbw * 4)[:, None] + BLK_X[None, :]
-    tcm = jnp.zeros((mbh * 4, mbw * 4), jnp.int32).at[gy, gx].set(tc_blk)
-    return _nc_from_map(tcm)[gy, gx]
+    raster = jnp.take(tc_blk, jnp.asarray(_INV16), axis=1)
+    tcm = (raster.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
+           .reshape(4 * mbh, 4 * mbw))
+    nc = _nc_from_map(tcm)
+    back = (nc.reshape(mbh, 4, mbw, 4).transpose(0, 2, 1, 3).reshape(n, 16))
+    return jnp.take(back, jnp.asarray(_RAS), axis=1)
 
 
 def _nc_chroma(tc_c, mbh, mbw):
+    # chroma sub-block order is raster already
     n = mbh * mbw
-    gy = (jnp.arange(n) // mbw * 2)[:, None] + SBY[None, :]
-    gx = (jnp.arange(n) % mbw * 2)[:, None] + SBX[None, :]
-    tcm = jnp.zeros((mbh * 2, mbw * 2), jnp.int32).at[gy, gx].set(tc_c)
-    return _nc_from_map(tcm)[gy, gx]
+    tcm = (tc_c.reshape(mbh, mbw, 2, 2).transpose(0, 2, 1, 3)
+           .reshape(2 * mbh, 2 * mbw))
+    nc = _nc_from_map(tcm)
+    return nc.reshape(mbh, 2, mbw, 2).transpose(0, 2, 1, 3).reshape(n, 4)
 
 
 def _median3(a, b, c):
