@@ -28,13 +28,10 @@ jax.config.update("jax_platforms", "cpu")
 import hashlib
 import platform
 
-_host = hashlib.sha1((platform.processor() + platform.machine()
-                      + platform.node()).encode()).hexdigest()[:10]
-jax.config.update("jax_compilation_cache_dir",
-                  os.path.join(os.path.dirname(os.path.dirname(
-                      os.path.abspath(__file__))), ".jax_cache",
-                      f"cpu-{_host}"))
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+# The persistent cache stays OFF for XLA:CPU: AOT artifacts embed
+# machine/XLA-option feature sets that differ across fleet hosts and
+# compile services even when /proc/cpuinfo matches, and a mismatched
+# load SIGILLs mid-run (observed killing whole suite runs).
+jax.config.update("jax_enable_compilation_cache", False)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()

@@ -96,6 +96,12 @@ class CompressSession:
         qp = self.rc.qp_for_frame(True)
         bframes = min(p.bframes, 16)
         cabac = p.cabac
+        want_parts = ("none" not in p.partitions
+                      and ("p8x8" in p.partitions or "p4x4" in p.partitions))
+        if want_parts and (cabac or p.ref > 1):
+            self.log.warning(
+                "P partitions are active only with CAVLC and --ref 1 for "
+                "now; falling back to P16x16 (use --no-cabac --ref 1)")
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
@@ -109,6 +115,11 @@ class CompressSession:
             bframes=bframes, cabac=cabac,
             aq_strength=float(p.aq_strength) if p.aq_mode else 0.0,
             trellis=p.trellis > 0,
+            # --partitions: P partitions active unless the list is 'none'
+            # (x264 list syntax; any p8x8/p4x4 entry enables the P split
+            # search; i4x4/i8x8 entries are intra-side and separate)
+            partitions="none" not in p.partitions
+            and ("p8x8" in p.partitions or "p4x4" in p.partitions),
             weightp=p.weightp,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,

@@ -136,7 +136,7 @@ OPTION_TABLE: dict[str, tuple] = {
 # effect end to end.
 ACCEPTED_IGNORED = {
     "b-adapt", "b-pyramid", "open-gop", "intra-refresh",
-    "mixed-refs", "partitions", "8x8dct", "psy-rd",
+    "mixed-refs", "8x8dct", "psy-rd",
     "weightb", "direct", "chroma-me", "nr", "fast-pskip",
     "sliced-threads", "lookahead-threads", "sync-lookahead",
     "slices", "deterministic", "cpu-independent",

@@ -31,9 +31,13 @@ from ..ops import transform as tj
 from ..ops.transform_np import ZIGZAG_4x4
 
 # luma 4x4 block coding order <-> raster within MB
-BLK_X = jnp.asarray([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
-BLK_Y = jnp.asarray([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
-ZZ = jnp.asarray(ZIGZAG_4x4)
+# NUMPY on purpose, not jnp: module-level concrete device arrays captured
+# by a jit trace poison jax 0.9's constant handling — a later retrace sees
+# the first trace's cached tracer (UnexpectedTracerError), and re-dispatch
+# can drop hoisted constant buffers.  numpy constants embed as HLO literals.
+BLK_X = np.asarray([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
+BLK_Y = np.asarray([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+ZZ = np.asarray(ZIGZAG_4x4)
 
 
 def mbize(plane: jnp.ndarray, bs: int = 16) -> jnp.ndarray:
@@ -620,7 +624,7 @@ def _multi_ref_search_and_mc(src_y, src_u, src_v, refs, rng: int,
 
 # x264's decimate run table (common/macroblock.c i_ds_table4): the score a
 # lone +-1 coefficient contributes given the zero-run below it
-_DS_TABLE = jnp.asarray([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
+_DS_TABLE = np.asarray([3, 2, 2, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0])
 
 
 def _decimate_score(levels):
@@ -636,7 +640,8 @@ def _decimate_score(levels):
         [jnp.full(levels.shape[:-1] + (1,), -1),
          prev[..., :-1]], axis=-1)
     run = idx - prev_below - 1
-    score = jnp.where(nz, _DS_TABLE[jnp.minimum(run, 15)], 0).sum(axis=-1)
+    score = jnp.where(nz, jnp.asarray(_DS_TABLE)[jnp.minimum(run, 15)],
+                      0).sum(axis=-1)
     return jnp.where(big, 9, score)
 
 
@@ -742,7 +747,8 @@ def _chroma_recon(pred_c8, dc_lv, ac_lv, qpc, use_dc, use_ac, qp_dc=None):
 def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
                         aq_strength=0.0, qpc_offset=0, decimate=True,
-                        trellis=False, qp_off=None, wp=None):
+                        trellis=False, qp_off=None, wp=None,
+                        partitions=False):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock).
 
@@ -772,6 +778,7 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         qp_mb = None
         qp_l, qp_c, qp_cdc = qp, qpc, qpc
 
+    part = mv8 = None
     if ref_y.ndim == 3:
         # multi-reference DPB: (R, H, W) stacked planes, ref_idx order
         refs = tuple((ref_y[r], ref_u[r], ref_v[r])
@@ -779,6 +786,18 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
         mv_q4, ref_sel, pred_y_pl, pred_u_pl, pred_v_pl = \
             _multi_ref_search_and_mc(src_y, src_u, src_v, refs, rng,
                                      subpel=subpel, me_backend=me_backend)
+    elif partitions:
+        from .inter_partition import partition_search_and_mc
+        part, mv8, pred_y_pl, pred_u_pl, pred_v_pl = \
+            partition_search_and_mc(src_y, src_u, src_v,
+                                    ref_y, ref_u, ref_v, rng, qp,
+                                    subpel=subpel, me_backend=me_backend)
+        # per-MB field for colocated-motion consumers (B direct): the
+        # per-component max-|mv| over the quadrants — MB-level colZero
+        # eligibility stays a conservative lower bound of the decoder's
+        # per-block colZeroFlag derivation
+        mv_q4 = jnp.abs(mv8).reshape(mbh, 2, mbw, 2, 2).max(axis=(1, 3))
+        ref_sel = None
     else:
         mv_q4, pred_y_pl, pred_u_pl, pred_v_pl = _motion_search_and_mc(
             src_y, src_u, src_v, ref_y, ref_u, ref_v, rng, subpel=subpel,
@@ -841,6 +860,9 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     }
     if ref_sel is not None:
         out["ref_idx"] = ref_sel.reshape(n)
+    if part is not None:
+        out["part"] = part.reshape(n)
+        out["mv8"] = mv8
     if aq:
         coded = (cbp_luma != 0) | (cbp_chroma != 0)
         qp_real, qp_delta = realized_qp_chain(qp_mb, coded, qp)
@@ -1032,87 +1054,14 @@ def encode_b_frame_core(src_y, src_u, src_v,
 # --------------------------------------------------------------------------
 
 def encode_i_frame_core(src_y, src_u, src_v, qp, qpc):
-    """Device I-frame encode: top MB row via left-to-right scan (DC mode),
-    remaining rows via vertical prediction (row-parallel scan).
+    """Device I-frame encode: anti-diagonal wavefront with full per-MB
+    Intra_16x16 (V/H/DC/Plane) and chroma (DC/H/V/Plane) mode decision
+    under exact reconstruction feedback (see intra_wavefront module).
 
-    Returns syntax tensors + recon planes.  Modes emitted:
-      top row:  I16 DC (mode 2), chroma DC (mode 0)
-      others:   I16 V (mode 0), chroma V (mode 2)
+    Returns syntax tensors + recon planes + per-MB 'i16_mode'/'cmode'.
     """
-    H, W = src_y.shape
-    mbh, mbw = H // 16, W // 16
-
-    # ---------- top row: scan MB by MB (left->right) ----------
-    row_y = src_y[:16]                   # (16, W)
-    row_u = src_u[:8]
-    row_v = src_v[:8]
-
-    def mb_step(carry, x):
-        lcol_y, lcol_u, lcol_v, first = carry
-        sy = jax.lax.dynamic_slice(row_y, (0, x * 16), (16, 16))
-        su = jax.lax.dynamic_slice(row_u, (0, x * 8), (8, 8))
-        sv = jax.lax.dynamic_slice(row_v, (0, x * 8), (8, 8))
-        dc = jnp.where(first, 128, (lcol_y.sum() + 8) >> 4)
-        pred = jnp.full((16, 16), dc, jnp.int32)
-        levels, res = _luma_residual_pipeline_i16(sy[None], pred[None], qp)
-        # chroma DC pred: left-only (§8.3.4.1): top quads use left[0:4],
-        # bottom quads use left[4:8]; unavailable -> 128
-        dcu_t = jnp.where(first, 128, (lcol_u[:4].sum() + 2) >> 2)
-        dcu_b = jnp.where(first, 128, (lcol_u[4:].sum() + 2) >> 2)
-        dcv_t = jnp.where(first, 128, (lcol_v[:4].sum() + 2) >> 2)
-        dcv_b = jnp.where(first, 128, (lcol_v[4:].sum() + 2) >> 2)
-        pu = jnp.concatenate([jnp.full((4, 8), dcu_t, jnp.int32),
-                              jnp.full((4, 8), dcu_b, jnp.int32)])
-        pv = jnp.concatenate([jnp.full((4, 8), dcv_t, jnp.int32),
-                              jnp.full((4, 8), dcv_b, jnp.int32)])
-        out = _finish_intra_mb(sy[None], pred[None], levels, res,
-                               su[None], pu[None], sv[None], pv[None], qp, qpc)
-        carry = (out["recon_y"][0, :, -1], out["recon_u"][0, :, -1],
-                 out["recon_v"][0, :, -1], jnp.zeros((), jnp.bool_))
-        return carry, jax.tree.map(lambda a: a[0], out)
-
-    init = (jnp.zeros(16, jnp.int32), jnp.zeros(8, jnp.int32),
-            jnp.zeros(8, jnp.int32), jnp.ones((), jnp.bool_))
-    _, row0 = jax.lax.scan(mb_step, init, jnp.arange(mbw))
-
-    # ---------- remaining rows: V prediction, vectorized per row ----------
-    def row_step(carry, i):
-        bot_y, bot_u, bot_v = carry     # (W,), (W/2,), (W/2,)
-        sy = jax.lax.dynamic_slice(src_y, ((i + 1) * 16, 0), (16, W))
-        su = jax.lax.dynamic_slice(src_u, ((i + 1) * 8, 0), (8, W // 2))
-        sv = jax.lax.dynamic_slice(src_v, ((i + 1) * 8, 0), (8, W // 2))
-        sy_mbs = mbize(sy)              # (mbw,16,16)
-        su_mbs = mbize(su, 8)
-        sv_mbs = mbize(sv, 8)
-        pred_y = jnp.broadcast_to(bot_y.reshape(mbw, 16)[:, None, :], (mbw, 16, 16))
-        pred_u = jnp.broadcast_to(bot_u.reshape(mbw, 8)[:, None, :], (mbw, 8, 8))
-        pred_v = jnp.broadcast_to(bot_v.reshape(mbw, 8)[:, None, :], (mbw, 8, 8))
-        levels, res = _luma_residual_pipeline_i16(sy_mbs, pred_y, qp)
-        out = _finish_intra_mb(sy_mbs, pred_y, levels, res,
-                               su_mbs, pred_u, sv_mbs, pred_v, qp, qpc)
-        carry = (out["recon_y"][:, -1, :].reshape(W),
-                 out["recon_u"][:, -1, :].reshape(W // 2),
-                 out["recon_v"][:, -1, :].reshape(W // 2))
-        return carry, out
-
-    bot0 = (row0["recon_y"][:, -1, :].reshape(W),
-            row0["recon_u"][:, -1, :].reshape(W // 2),
-            row0["recon_v"][:, -1, :].reshape(W // 2))
-    if mbh > 1:
-        _, rows = jax.lax.scan(row_step, bot0, jnp.arange(mbh - 1))
-        # row0 fields: (mbw, ...); rows fields: (mbh-1, mbw, ...)
-        out = jax.tree.map(
-            lambda a, b: jnp.concatenate([a[None], b]).reshape(
-                mbh * mbw, *a.shape[1:]),
-            row0, rows)
-    else:
-        out = row0
-
-    recon_y = unmbize(out.pop("recon_y"), H, W)
-    recon_u = unmbize(out.pop("recon_u"), H // 2, W // 2, 8)
-    recon_v = unmbize(out.pop("recon_v"), H // 2, W // 2, 8)
-    out["recon_y"], out["recon_u"], out["recon_v"] = recon_y, recon_u, recon_v
-    return out
+    from .intra_wavefront import encode_i_frame_core_wf
+    return encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc)
 
 
 def _luma_residual_pipeline_i16(src_mbs, pred_mbs, qp):
@@ -1186,8 +1135,7 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
     total_coeff (cbp-masked levels), per-MB mv broadcast to 4x4 blocks,
     all-intra / all-inter frame maps, constant QP.  offA/offB are the full
     (2 * div2) slice offsets.  Returns filtered (y, u, v)."""
-    from ..ops.deblock import build_maps
-    from ..ops.pallas.deblock import deblock_apply
+    from ..ops.deblock import build_maps, deblock_apply_wavefront
     n = mbh * mbw
     if intra:
         tc4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
@@ -1202,8 +1150,11 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         raster = jnp.take(tc_blk, inv16, axis=1)
         tc4 = (raster.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3)
                .reshape(4 * mbh, 4 * mbw))
-        mv = out["mv"].reshape(mbh, mbw, 2)
-        mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
+        if "mv8" in out:
+            mv4 = jnp.repeat(jnp.repeat(out["mv8"], 2, 0), 2, 1)
+        else:
+            mv = out["mv"].reshape(mbh, mbw, 2)
+            mv4 = jnp.repeat(jnp.repeat(mv, 4, 0), 4, 1)
         intra_map = jnp.zeros((mbh, mbw), bool)
     if not intra and "ref_idx" in out:
         rr = out["ref_idx"].reshape(mbh, mbw)
@@ -1214,10 +1165,13 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
               else jnp.full((mbh, mbw), qp, jnp.int32))
     maps = build_maps(intra_map, tc4, mv4, ref4, qp_map, offA, offB,
                       qpc_offset)
-    if interpret is None:
-        interpret = jax.default_backend() != "tpu"
-    return deblock_apply(out["recon_y"], out["recon_u"], out["recon_v"],
-                         *maps, interpret=interpret)
+    # slope-2 wavefront application (XLA): ~2*mbh + mbw vectorized scan
+    # steps; replaced the sequential rolling-window Pallas kernel, which
+    # cost 55 ms/frame at 1080p (8160 serial MB steps).  `interpret` is
+    # retained for API compatibility (the wavefront has no kernel mode).
+    del interpret
+    return deblock_apply_wavefront(out["recon_y"], out["recon_u"],
+                                   out["recon_v"], *maps)
 
 
 encode_p_frame = partial(jax.jit, static_argnames=(

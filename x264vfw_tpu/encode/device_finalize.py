@@ -136,11 +136,11 @@ def p16_mv_pred(mv, ref=None):
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
                                    "deblock", "dbA", "dbB", "aq_strength",
-                                   "qpc_offset", "trellis"))
+                                   "qpc_offset", "trellis", "partitions"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
                    dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0, trellis=False,
-                   qp_off=None, wp=None):
+                   qp_off=None, wp=None, partitions=False):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
     The mv field stays on device — it is the colocated-motion input of the
@@ -157,7 +157,8 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
     out = encode_p_frame_core(sy, su, sv, ref_y, ref_u, ref_v, qp, qpc,
                               rng, subpel, me_backend,
                               aq_strength=aq_strength, qpc_offset=qpc_offset,
-                              trellis=trellis, qp_off=qp_off, wp=wp)
+                              trellis=trellis, qp_off=qp_off, wp=wp,
+                              partitions=partitions)
     nref = ref_y.shape[0] if ref_y.ndim == 3 else 1
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
                             nref=nref)
@@ -344,12 +345,8 @@ def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw):
     tail_vals = jnp.concatenate([
         tv2[None], jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)])
     tail_lens = jnp.concatenate([tl2[None], (1 + pad)[None]])
-
-    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
-                                mb_vals.reshape(-1), tail_vals])
-    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
-                                mb_lens.reshape(-1), tail_lens])
-    return all_vals, all_lens
+    return _stack_rows(hdr_vals, hdr_lens, mb_vals, mb_lens,
+                       tail_vals, tail_lens)
 
 
 @partial(jax.jit, static_argnames=("cap_words",))
@@ -357,23 +354,26 @@ def pack_phase(vals, lens, cap_words):
     return pack_slots(vals, lens, cap_words)
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel", "bucket_words",
+@partial(jax.jit, static_argnames=("rng", "subpel",
                                    "me_backend", "deblock", "dbA", "dbB",
-                                   "aq_strength", "qpc_offset", "trellis"))
-def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
-                       hdr_vals, hdr_lens, rng, subpel, bucket_words,
-                       me_backend="auto", deblock=False, dbA=0, dbB=0,
-                       aq_strength=0.0, qpc_offset=0, trellis=False):
-    """Batched P-frame encoding: G frames in ONE device program.
+                                   "aq_strength", "qpc_offset", "trellis",
+                                   "partitions"))
+def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
+                      hdr_vals, hdr_lens, rng, subpel,
+                      me_backend="auto", deblock=False, dbA=0, dbB=0,
+                      aq_strength=0.0, qpc_offset=0, trellis=False,
+                      partitions=False):
+    """Batched P-frame encoding phase 1: G frames in ONE device program.
 
-    A lax.scan carries the reconstruction between frames; each step encodes,
-    finalizes and PACKS its frame into a fixed bucket — the host pays one
-    dispatch + one pull per G frames instead of per frame (per-frame host
-    latency amortized /G; overflowing frames are re-encoded individually by
-    the caller, which is rare with a sane bucket).
+    A lax.scan carries the reconstruction between frames; each step encodes
+    and finalizes its frame to slot arrays.  Packing runs OUTSIDE the scan
+    (pack_gop below): the packer's word-boundary searchsorted degrades by
+    ~10x when embedded in a loop body (XLA:TPU serializes the gathers), so
+    the scan stacks the slot arrays and the caller packs per frame at top
+    level.
 
     frames_yuv: (G, H*W*3//2) uint8; hdr_vals/lens: (G, MAX_HDR).
-    Returns (bytes (G, bucket*4), nbits (G,), recon triple of last frame).
+    Returns (slot_vals (G, R, L), slot_lens (G, R, L), recon triple).
     """
     from .device import encode_p_frame_core
     H, W = ref_y.shape
@@ -388,21 +388,55 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
         sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
                                   me_backend, aq_strength=aq_strength,
-                                  qpc_offset=qpc_offset, trellis=trellis)
+                                  qpc_offset=qpc_offset, trellis=trellis,
+                                  partitions=partitions)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
-        data, nbits = pack_slots(v, l, bucket_words)
         new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
                                  qpc_offset=qpc_offset)
-        return new_ref, (data, nbits)
+        return new_ref, (v, l)
 
-    ref_fin, (datas, nbits) = jax.lax.scan(
+    ref_fin, (vs, ls) = jax.lax.scan(
         step, (ref_y, ref_u, ref_v), (frames_yuv, hdr_vals, hdr_lens))
-    return datas, nbits, ref_fin[0], ref_fin[1], ref_fin[2]
+    return vs, ls, ref_fin[0], ref_fin[1], ref_fin[2]
+
+
+def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
+                       hdr_vals, hdr_lens, rng, subpel, bucket_words,
+                       me_backend="auto", deblock=False, dbA=0, dbB=0,
+                       aq_strength=0.0, qpc_offset=0, trellis=False,
+                       partitions=False):
+    """Batched P-frame encode + pack: phase-1 scan then per-frame top-level
+    pack dispatches (see encode_pgop_slots for why packing is hoisted).
+
+    Returns (bytes (G, bucket*4), nbits (G,), recon triple of last frame).
+    """
+    vs, ls, ry, ru, rv = encode_pgop_slots(
+        frames_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
+        rng, subpel, me_backend, deblock, dbA, dbB,
+        aq_strength, qpc_offset, trellis, partitions)
+    G = vs.shape[0]
+    datas = []
+    nbits = []
+    for k in range(G):
+        d, nb = pack_phase(vs[k], ls[k], bucket_words)
+        datas.append(d)
+        nbits.append(nb)
+    return (jnp.stack(datas), jnp.stack(nbits), ry, ru, rv)
 
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
                       dbA: int = 0, dbB: int = 0, qpc_offset: int = 0):
-    """Returns a jitted fused I-frame phase-1 program for a geometry."""
+    """Returns a jitted fused I-frame phase-1 program for a geometry.
+
+    Deliberately a PER-SESSION jitted closure, NOT a shared module-level
+    jit with static geometry args: on jax 0.9 XLA:CPU, the second
+    static-args entry of one pjit whose trace captures concrete device
+    constants dispatches with only the runtime args ("Execution supplied 5
+    buffers but compiled program expected 66").  Separate closures compile
+    separate executables and dodge that path.  The persistent compilation
+    cache must also stay off on CPU (utils/cache.py) — reloaded CPU AOT
+    artifacts lose the same captured-constant bindings.
+    """
     from .device import encode_i_frame_core
 
     @jax.jit
@@ -456,12 +490,29 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
     dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
     cbp = cbp_luma | (cbp_chroma << 4)
 
-    pmv, skip_zero = p16_mv_pred(mv, ref_idx)
-    mv_flat = mv.reshape(n, 2)
-    skip = ((cbp == 0) & (mv_flat == 0).all(axis=1) & skip_zero.reshape(n))
-    if ref_idx is not None:
-        skip = skip & (ref_idx.reshape(n) == 0)  # P_Skip is refIdx 0
-    mvd = mv_flat - pmv.reshape(n, 2)
+    part = out.get("part")
+    if part is not None:
+        from .inter_partition import partition_mvds
+        mv8 = out["mv8"]
+        mvd8, nslot, skip_zero8 = partition_mvds(mv8, part.reshape(mbh, mbw))
+        mv00 = mv8[0::2, 0::2].reshape(n, 2)
+        skip = ((cbp == 0) & (part == 0) & (mv00 == 0).all(axis=1)
+                & skip_zero8.reshape(n))
+        # mvd pairs in quadrant raster order == partition decode order for
+        # every layout; inactive slots are zero-length and vanish
+        mvd4 = (mvd8.reshape(mbh, 2, mbw, 2, 2).transpose(0, 2, 1, 3, 4)
+                .reshape(n, 4, 2))
+        nsl4 = (nslot.reshape(mbh, 2, mbw, 2).transpose(0, 2, 1, 3)
+                .reshape(n, 4))
+        mvd = mvd4[:, 0]                       # 16x16 slot shares hv[3:5]
+    else:
+        pmv, skip_zero = p16_mv_pred(mv, ref_idx)
+        mv_flat = mv.reshape(n, 2)
+        skip = ((cbp == 0) & (mv_flat == 0).all(axis=1)
+                & skip_zero.reshape(n))
+        if ref_idx is not None:
+            skip = skip & (ref_idx.reshape(n) == 0)  # P_Skip is refIdx 0
+        mvd = mv_flat - pmv.reshape(n, 2)
 
     i = jnp.arange(n, dtype=jnp.int32)
     ns = ~skip
@@ -496,37 +547,59 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    hv = jnp.zeros((n, 7), jnp.uint32)
-    hl = jnp.zeros((n, 7), jnp.int32)
+    NS = 7 if part is None else 16
+    hv = jnp.zeros((n, NS), jnp.uint32)
+    hl = jnp.zeros((n, NS), jnp.int32)
     rv, rl = cj.ue_codes_j(runs)
     hv = hv.at[:, 0].set(rv)
     hl = hl.at[:, 0].set(rl)
-    hv = hv.at[:, 1].set(1)
-    hl = hl.at[:, 1].set(1)  # ue(P_L0_16x16 = 0)
-    if nref > 1 and ref_idx is not None:
-        rif = ref_idx.reshape(n)
-        if nref == 2:           # te(v), range 1: single bit = !value
-            refv, refl = 1 - rif.astype(jnp.uint32), jnp.ones(n, jnp.int32)
-        else:                   # te(v), range > 1: ue(v)
-            refv, refl = cj.ue_codes_j(rif)
-        hv = hv.at[:, 2].set(refv)
-        hl = hl.at[:, 2].set(refl)
-    xv, xl = cj.se_codes_j(mvd[:, 0])
-    yv, yl = cj.se_codes_j(mvd[:, 1])
-    hv = hv.at[:, 3].set(xv)
-    hl = hl.at[:, 3].set(xl)
-    hv = hv.at[:, 4].set(yv)
-    hl = hl.at[:, 4].set(yl)
+    if part is None:
+        hv = hv.at[:, 1].set(1)
+        hl = hl.at[:, 1].set(1)  # ue(P_L0_16x16 = 0)
+        if nref > 1 and ref_idx is not None:
+            rif = ref_idx.reshape(n)
+            if nref == 2:       # te(v), range 1: single bit = !value
+                refv = 1 - rif.astype(jnp.uint32)
+                refl = jnp.ones(n, jnp.int32)
+            else:               # te(v), range > 1: ue(v)
+                refv, refl = cj.ue_codes_j(rif)
+            hv = hv.at[:, 2].set(refv)
+            hl = hl.at[:, 2].set(refl)
+        xv, xl = cj.se_codes_j(mvd[:, 0])
+        yv, yl = cj.se_codes_j(mvd[:, 1])
+        hv = hv.at[:, 3].set(xv)
+        hl = hl.at[:, 3].set(xl)
+        hv = hv.at[:, 4].set(yv)
+        hl = hl.at[:, 4].set(yl)
+        CBP_SLOT, QPD_SLOT = 5, 6
+    else:
+        # [run, mb_type, sub0..3, (mvdx, mvdy) x 4 quad slots, cbp, qpd]
+        tv_, tl_ = cj.ue_codes_j(part)
+        hv = hv.at[:, 1].set(tv_)
+        hl = hl.at[:, 1].set(tl_)
+        is8 = (part == 3)
+        for s in range(4):      # sub_mb_type = P_L0_8x8 -> ue(0) = '1'
+            hv = hv.at[:, 2 + s].set(1)
+            hl = hl.at[:, 2 + s].set(jnp.where(is8, 1, 0))
+        for s in range(4):
+            xv, xl = cj.se_codes_j(mvd4[:, s, 0])
+            yv, yl = cj.se_codes_j(mvd4[:, s, 1])
+            act = nsl4[:, s]
+            hv = hv.at[:, 6 + 2 * s].set(xv)
+            hl = hl.at[:, 6 + 2 * s].set(jnp.where(act, xl, 0))
+            hv = hv.at[:, 7 + 2 * s].set(yv)
+            hl = hl.at[:, 7 + 2 * s].set(jnp.where(act, yl, 0))
+        CBP_SLOT, QPD_SLOT = 14, 15
     bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
-    hv = hv.at[:, 5].set(bv)
-    hl = hl.at[:, 5].set(bl)
+    hv = hv.at[:, CBP_SLOT].set(bv)
+    hl = hl.at[:, CBP_SLOT].set(bl)
     if "qp_delta" in out:        # per-MB AQ: real se(mb_qp_delta) codes
         qv, ql = cj.se_codes_j(out["qp_delta"])
-        hv = hv.at[:, 6].set(qv)
-        hl = hl.at[:, 6].set(jnp.where(cbp != 0, ql, 0))
+        hv = hv.at[:, QPD_SLOT].set(qv)
+        hl = hl.at[:, QPD_SLOT].set(jnp.where(cbp != 0, ql, 0))
     else:
-        hv = hv.at[:, 6].set(1)
-        hl = hl.at[:, 6].set(jnp.where(cbp != 0, 1, 0))
+        hv = hv.at[:, QPD_SLOT].set(1)
+        hl = hl.at[:, QPD_SLOT].set(jnp.where(cbp != 0, 1, 0))
 
     mb_vals = jnp.concatenate([
         hv, vlu.reshape(n, -1), vcdu, vcdv,
@@ -544,12 +617,26 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
     tail_vals = jnp.concatenate([
         tv[None], jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)])
     tail_lens = jnp.concatenate([tl[None], (1 + pad)[None]])
+    return _stack_rows(hdr_vals, hdr_lens, mb_vals, mb_lens,
+                       tail_vals, tail_lens)
 
-    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
-                                mb_vals.reshape(-1), tail_vals])
-    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
-                                mb_lens.reshape(-1), tail_lens])
-    return all_vals, all_lens
+
+def _stack_rows(hdr_vals, hdr_lens, mb_vals, mb_lens, tail_vals, tail_lens):
+    """Assemble the slice's slot stream as a 2D (rows, L) array: one row of
+    header codes, n rows of per-MB codes, one row of tail codes — row-major
+    order IS the bitstream order, and the 2D shape lets the packer use the
+    cheap two-level cumsum."""
+    L = mb_vals.shape[1]
+    hv = jnp.zeros((1, L), jnp.uint32).at[0, :hdr_vals.shape[0]].set(
+        hdr_vals.astype(jnp.uint32))
+    hl = jnp.zeros((1, L), jnp.int32).at[0, :hdr_lens.shape[0]].set(
+        hdr_lens.astype(jnp.int32))
+    tv = jnp.zeros((1, L), jnp.uint32).at[0, :tail_vals.shape[0]].set(
+        tail_vals.astype(jnp.uint32))
+    tl = jnp.zeros((1, L), jnp.int32).at[0, :tail_lens.shape[0]].set(
+        tail_lens.astype(jnp.int32))
+    return (jnp.concatenate([hv, mb_vals, tv]),
+            jnp.concatenate([hl, mb_lens, tl]))
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cap_words"))
@@ -569,9 +656,8 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     dc_v = out["dc_v"].reshape(n, 4)
     ac_u, ac_v = out["ac_u"], out["ac_v"]
 
-    my = jnp.arange(n) // mbw
-    i16_mode = jnp.where(my == 0, 2, 0)
-    chroma_mode = jnp.where(my == 0, 0, 2)
+    i16_mode = out["i16_mode"]
+    chroma_mode = out["cmode"]
     mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma_nz
 
     ac = jnp.where(cbp_luma_nz[:, None, None], ac, 0)
@@ -624,9 +710,5 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     pad = (-(body_bits + 1)) % 8
     tail_vals = jnp.ones((1,), jnp.uint32) << pad.astype(jnp.uint32)
     tail_lens = (1 + pad)[None]
-
-    all_vals = jnp.concatenate([hdr_vals.astype(jnp.uint32),
-                                mb_vals.reshape(-1), tail_vals])
-    all_lens = jnp.concatenate([hdr_lens.astype(jnp.int32),
-                                mb_lens.reshape(-1), tail_lens])
-    return all_vals, all_lens
+    return _stack_rows(hdr_vals, hdr_lens, mb_vals, mb_lens,
+                       tail_vals, tail_lens)

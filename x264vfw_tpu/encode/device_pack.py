@@ -1,17 +1,22 @@
 """Bitstream packing on device (JAX) — slots -> packed bytes, no host loop.
 
-Packs a flat sequence of (value, bitlength) codeword slots into an MSB-first
+Packs a sequence of (value, bitlength) codeword slots into an MSB-first
 byte stream entirely on the TPU:
 
-  1. exclusive cumsum of lengths -> absolute end-bit of each slot (sorted!)
+  1. cumsum of lengths -> absolute end-bit of each slot (2D inputs use a
+     cheap two-level cumsum: lane-dim row scans + a tiny row-offset scan)
   2. each slot contributes to exactly two consecutive 32-bit words
      (values carry <=31 significant bits; longer codes are leading zeros)
-  3. per-word totals via a *wrapping* uint32 cumsum + last-of-word boundary
-     scatter (unique indices) + cummax fill-forward — bit-disjointness makes
-     SUM == OR, and wrapping differences recover exact word values.
+  3. per-word totals via a *wrapping* uint32 cumsum + a searchsorted of the
+     word boundaries — bit-disjointness makes SUM == OR, and wrapping
+     differences recover exact word values.
 
-No lax.sort, no conflicting scatters: everything is cumsum/where/gather,
-which XLA lowers well on TPU.  Output: (bytes uint8 (cap,), total_bits).
+Scatter is NOT an option here: XLA:TPU lowers scatter with runtime indices
+to a serial loop (~6 ms fixed + ~9 ns/update — measured), which is slower
+than everything else in the encoder combined.  searchsorted costs
+cap_words x log(N) gathers (~10 ms at a 16k-word bucket) — still the pack
+bottleneck; the planned fix is a Pallas kernel (in-VMEM combine tree +
+sequential dynamic stores).  Output: (bytes uint8 (cap,), total_bits).
 """
 
 from __future__ import annotations
@@ -19,17 +24,35 @@ from __future__ import annotations
 import jax.numpy as jnp
 
 
+def _cumsum_2level(a2d: jnp.ndarray):
+    """Row-major global cumsum of a 2D array via lane-dim row cumsums plus an
+    exclusive scan of row totals.  One O(R*L) lane scan + one O(R) scan
+    instead of a single O(R*L) flat scan — at the slot counts of a 1080p
+    frame (~7M) the flat scan costs several ms."""
+    rows = jnp.cumsum(a2d, axis=-1, dtype=a2d.dtype)
+    tot = rows[:, -1]
+    off = jnp.concatenate([jnp.zeros((1,), a2d.dtype),
+                           jnp.cumsum(tot, dtype=a2d.dtype)[:-1]])
+    return (rows + off[:, None]).reshape(-1)
+
+
 def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
-    """vals: (N,) uint32 (<=31 significant bits), lens: (N,) int32 (0..46).
+    """vals: (N,) or (R, L) uint32 (<=31 significant bits); lens matching
+    int32 (0..46).  2D inputs pack rows in row-major stream order.
 
     Returns (packed bytes uint8 (cap_words*4,), total_bits int32).
     Slots beyond cap_words*32 bits are silently dropped (caller sizes cap).
     """
     vals = jnp.where(lens > 0, vals.astype(jnp.uint32), 0)
     lens = lens.astype(jnp.int32)
-    n = vals.shape[0]
 
-    ends = jnp.cumsum(lens)                        # inclusive end-bit
+    shape2d = vals.shape if vals.ndim == 2 else None
+    if shape2d is not None:
+        ends = _cumsum_2level(lens)
+        vals = vals.reshape(-1)
+    else:
+        ends = jnp.cumsum(lens)                    # inclusive end-bit
+    n = vals.shape[0]
     total_bits = ends[-1] if n else jnp.int32(0)
     e = ends
     # word carrying the final bit of each slot
@@ -37,17 +60,19 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     r = jnp.where(e > 0, (w_hi + 1) * 32 - e, 0)   # bits after code end in w_hi
     # contribution to w_hi: (v << r) mod 2^32
     va = (vals << r.astype(jnp.uint32))
-    # contribution to w_hi - 1: v >> (32 - r) with r==0 -> 0
+    # contribution to w_hi - 1: v >> (32 - r); slots contained in one word
+    # shift out entirely (r < len only when the slot spans the boundary)
     vb = (vals >> (31 - r).astype(jnp.uint32)) >> 1
-    ib = jnp.maximum(w_hi - 1, 0)
 
-    # Sorted-index segment sums into cap_words words (uint32 wrap): word w's
-    # value = csum[last slot with idx <= w]; bit-disjointness makes
-    # wrapping-sum == OR.  One searchsorted serves BOTH the w_hi sum and the
-    # (w_hi - 1) spill sum: the spill's boundary at word w is the w_hi
-    # boundary at w + 1, so evaluate pos over [0, cap] once and slice.
-    csum_a = jnp.cumsum(va, dtype=jnp.uint32)
-    csum_b = jnp.cumsum(vb, dtype=jnp.uint32)
+    # word w's value = csum[last slot with w_hi <= w]; one searchsorted over
+    # [0, cap] serves both the w_hi sum and the (w_hi - 1) spill sum (the
+    # spill's boundary at word w is the w_hi boundary at w + 1)
+    if shape2d is not None:
+        csum_a = _cumsum_2level(va.reshape(shape2d))
+        csum_b = _cumsum_2level(vb.reshape(shape2d))
+    else:
+        csum_a = jnp.cumsum(va, dtype=jnp.uint32)
+        csum_b = jnp.cumsum(vb, dtype=jnp.uint32)
     pos = jnp.searchsorted(w_hi, jnp.arange(cap_words + 1, dtype=w_hi.dtype),
                            side="right")
 
@@ -64,4 +89,3 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     b3 = (words & 0xFF).astype(jnp.uint8)
     out = jnp.stack([b0, b1, b2, b3], axis=-1).reshape(-1)
     return out, total_bits.astype(jnp.int32)
-

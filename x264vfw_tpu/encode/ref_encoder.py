@@ -54,6 +54,10 @@ class EncoderConfig:
     weightp: int = 0         # explicit weighted prediction for P (0 = off)
     chroma_qp_offset: int = 0  # PPS chroma_qp_index_offset (x264 flag)
     i4x4: bool = False
+    # P-frame inter partitions 16x8/8x16/8x8 (x264 --partitions surface,
+    # codec.c:887).  Effective on the device encoder when nref == 1 and
+    # entropy is CAVLC (CABAC partition binarization lands separately).
+    partitions: bool = False
     fps_num: int = 25
     fps_den: int = 1
     # VUI signaling (reference forwards these to x264's SPS writer,

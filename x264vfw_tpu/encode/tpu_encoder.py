@@ -66,6 +66,11 @@ class TpuEncoder:
         # host stage does not emit ref_idx bins yet
         self.nref = (1 if (cfg.bframes or cfg.cabac)
                      else max(1, min(cfg.num_ref_frames, 4)))
+        # inter partitions: device path covers single-ref CAVLC; the
+        # CABAC host coder and the multi-ref search keep P16x16 until
+        # their partition syntax lands (flag honesty: api layer warns)
+        self.partitions = bool(cfg.partitions) and self.nref == 1 \
+            and not cfg.cabac
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        weighted_pred_flag=1 if cfg.weightp > 0 else 0,
@@ -211,7 +216,7 @@ class TpuEncoder:
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, self.pps.chroma_qp_index_offset,
-                cfg.trellis)
+                cfg.trellis, self.partitions)
             nb = np.asarray(nbits)
             need_words = (int(nb.max()) + 31) // 32 + 2
             if need_words <= bucket or bucket >= cap_words:
@@ -299,7 +304,7 @@ class TpuEncoder:
                 cfg.search_range, cfg.subpel, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, self.pps.chroma_qp_index_offset,
-                cfg.trellis)
+                cfg.trellis, partitions=self.partitions)
             self.last_mv = mv
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
@@ -391,9 +396,8 @@ class TpuEncoder:
         from ..bitstream import cabac_native as cn
         use_native = cn.available()
         if is_idr:
-            my_ = np.arange(n) // mbw
-            i16_mode = np.where(my_ == 0, 2, 0).astype(np.int32)
-            cmode = np.where(my_ == 0, 0, 2).astype(np.int32)
+            i16_mode = out["i16_mode"].astype(np.int32)
+            cmode = out["cmode"].astype(np.int32)
             acf = out["cbp_luma_nz"].astype(np.uint8)
             cbc = out["cbp_chroma"].astype(np.int32)
             dcu = np.where((cbc >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
@@ -711,7 +715,7 @@ class TpuEncoder:
                     cfg.trellis,
                     None if qp_off is None
                     else jnp.asarray(qp_off, jnp.int32),
-                    wp_dev)
+                    wp_dev, partitions=self.partitions)
                 self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
@@ -828,10 +832,8 @@ class TpuEncoder:
         ac_u = np.asarray(out["ac_u"])        # (n,4,15)
         ac_v = np.asarray(out["ac_v"])
 
-        # modes: top MB row -> DC (2) / chroma DC (0); others V (0) / ch V (2)
-        my = np.arange(n) // self.mbw
-        i16_mode = np.where(my == 0, 2, 0)
-        chroma_mode = np.where(my == 0, 0, 2)
+        i16_mode = np.asarray(out["i16_mode"])
+        chroma_mode = np.asarray(out["cmode"])
         mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma_nz
 
         # suppress AC when cbp_luma == 0 (device already guarantees all-zero)

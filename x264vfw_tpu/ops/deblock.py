@@ -255,3 +255,150 @@ def apply_maps_np(y, u, v, mapsV, mapsH, mapsVc, mapsHc):
                     if yc >= 2:
                         pl[yc - 2:yc, colsc] = Pn.T
                     pl[yc:yc + 2, colsc] = Qn.T
+
+
+# ---------------------------------------------------------------------------
+# Wavefront map application (XLA): the spec's raster-order pixel dependency
+# is MB (r, c) <- {(r, c-1), (r-1, c), and (r, c)'s V-writes feeding
+# (r+1, c-1)'s top edge}, which a slope-2 anti-diagonal wavefront
+# (d = 2r + c) satisfies with one lax.scan step per diagonal.  Per slot
+# (= MB row) the carry holds just TWO tiles: `cur` (the previous MB of the
+# row, pending our V0 p-side writes) and `prev` (two MBs back, pending the
+# below-row's H0 p-side writes this step).  A tile is final two steps after
+# its own processing and is emitted then — slope-2 skew/unskew transforms
+# (ops/skew.py) move tiles between raster and wavefront layouts with pure
+# reshapes.  This replaces the sequential rolling-window Pallas kernel
+# (55 ms/frame at 1080p — 8160 serial MB steps) with ~2*mbh + mbw fully
+# vectorized scan steps.
+# ---------------------------------------------------------------------------
+
+def _tiles(p, th, tw):
+    """(R*th, C*tw) -> (R, C, th, tw)."""
+    R, C = p.shape[0] // th, p.shape[1] // tw
+    return p.reshape(R, th, C, tw).transpose(0, 2, 1, 3)
+
+
+def _untiles(t, th, tw):
+    R, C = t.shape[:2]
+    return t.transpose(0, 2, 1, 3).reshape(R * th, C * tw)
+
+
+def deblock_apply_wavefront(y, u, v, mapsV, mapsH, mapsVc, mapsHc):
+    """Apply the loop filter (same contract as pallas.deblock.deblock_apply).
+
+    y (H, W), u/v (H/2, W/2) int32; maps from build_maps.
+    Returns filtered (y, u, v)."""
+    import jax
+    from ..ops.skew import skew, unskew
+    from ..ops.pallas.deblock import _luma_filter, _chroma_filter
+
+    H, W = y.shape
+    mbh, mbw = H // 16, W // 16
+    steps = 2 * mbh + mbw
+
+    def prep(p, th, tw, pad_cols):
+        t = _tiles(p.astype(jnp.int32), th, tw)
+        t = jnp.pad(t, ((0, 0), (0, pad_cols), (0, 0), (0, 0)))
+        return skew(t, steps, 2)
+
+    # virtual columns c in {mbw, mbw+1} carry zero maps (bs = 0 ->
+    # identity) so the retire pipeline can drain without special cases
+    sy = prep(y, 16, 16, 2)
+    su = prep(u, 8, 8, 2)
+    sv = prep(v, 8, 8, 2)
+    smV = prep(mapsV, 16, 4, 2)
+    smH = prep(mapsH, 4, 16, 2)
+    smVc = prep(mapsVc, 8, 2, 2)
+    smHc = prep(mapsHc, 2, 8, 2)
+
+    def shift_down(a):      # slot s -> value from slot s-1
+        return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
+
+    def luma_v_edge(P, Q, m):
+        """P (mbh,16,4) p3..p0, Q (mbh,16,4) q0..q3, m (mbh,16) ->
+        (new_p (mbh,16,3) p2' p1' p0', new_q (mbh,16,3) q0' q1' q2')."""
+        outs = _luma_filter(P[..., 0], P[..., 1], P[..., 2], P[..., 3],
+                            Q[..., 0], Q[..., 1], Q[..., 2], Q[..., 3], m)
+        return (jnp.stack(outs[0:3], axis=-1), jnp.stack(outs[3:6], axis=-1))
+
+    def luma_h_edge(P, Q, m):
+        """P (mbh,4,16) rows p3..p0, Q (mbh,4,16) rows q0..q3, m (mbh,16)."""
+        outs = _luma_filter(P[:, 0], P[:, 1], P[:, 2], P[:, 3],
+                            Q[:, 0], Q[:, 1], Q[:, 2], Q[:, 3], m)
+        return (jnp.stack(outs[0:3], axis=1), jnp.stack(outs[3:6], axis=1))
+
+    def step(carry, xs):
+        (cy, py, cu, pu, cv, pv) = carry
+        (ty, tu, tv_, mV, mH, mVc, mHc) = xs
+
+        # ---------------- luma vertical edges ----------------
+        np_, nq = luma_v_edge(cy[:, :, 12:16], ty[:, :, 0:4], mV[:, :, 0])
+        cy = jnp.concatenate([cy[:, :, :13], np_], axis=-1)
+        ty = jnp.concatenate([nq, ty[:, :, 3:]], axis=-1)
+        for e in (1, 2, 3):
+            np_, nq = luma_v_edge(ty[:, :, 4 * e - 4:4 * e],
+                                  ty[:, :, 4 * e:4 * e + 4], mV[:, :, e])
+            ty = jnp.concatenate([ty[:, :, :4 * e - 3], np_, nq,
+                                  ty[:, :, 4 * e + 3:]], axis=-1)
+
+        # ---------------- chroma vertical edges ----------------
+        def chroma_v(cc, tc, m):
+            p0n, q0n = _chroma_filter(cc[:, :, 6], cc[:, :, 7],
+                                      tc[:, :, 0], tc[:, :, 1], m[:, :, 0])
+            cc = jnp.concatenate([cc[:, :, :7], p0n[..., None]], axis=-1)
+            tc = jnp.concatenate([q0n[..., None], tc[:, :, 1:]], axis=-1)
+            p0n, q0n = _chroma_filter(tc[:, :, 2], tc[:, :, 3],
+                                      tc[:, :, 4], tc[:, :, 5], m[:, :, 1])
+            tc = jnp.concatenate([tc[:, :, :3], p0n[..., None],
+                                  q0n[..., None], tc[:, :, 5:]], axis=-1)
+            return cc, tc
+
+        cu, tu = chroma_v(cu, tu, mVc)
+        cv, tv_ = chroma_v(cv, tv_, mVc)
+
+        # ---------------- luma horizontal edges ----------------
+        above = shift_down(py)                         # (s-1)'s prev tile
+        np_, nq = luma_h_edge(above[:, 12:16, :], ty[:, 0:4, :], mH[:, 0])
+        ty = jnp.concatenate([nq, ty[:, 3:, :]], axis=1)
+        # write the p-side back to the row above: slot s computed rows
+        # 13..15 of prev[s-1]; bottom row keeps its own (no row below)
+        py = jnp.concatenate(
+            [py[:, :13, :],
+             jnp.concatenate([np_[1:], py[mbh - 1:, 13:16, :]], axis=0)],
+            axis=1)
+        for f in (1, 2, 3):
+            np_, nq = luma_h_edge(ty[:, 4 * f - 4:4 * f, :],
+                                  ty[:, 4 * f:4 * f + 4, :], mH[:, f])
+            ty = jnp.concatenate([ty[:, :4 * f - 3, :], np_, nq,
+                                  ty[:, 4 * f + 3:, :]], axis=1)
+
+        # ---------------- chroma horizontal edges ----------------
+        def chroma_h(pc, tc, m):
+            abv = shift_down(pc)
+            p0n, q0n = _chroma_filter(abv[:, 6, :], abv[:, 7, :],
+                                      tc[:, 0, :], tc[:, 1, :], m[:, 0])
+            tc = jnp.concatenate([q0n[:, None, :], tc[:, 1:, :]], axis=1)
+            p0_up = jnp.concatenate([p0n[1:], pc[mbh - 1:, 7, :]], axis=0)
+            pc = jnp.concatenate([pc[:, :7, :], p0_up[:, None, :]], axis=1)
+            p0n, q0n = _chroma_filter(tc[:, 2, :], tc[:, 3, :],
+                                      tc[:, 4, :], tc[:, 5, :], m[:, 1])
+            tc = jnp.concatenate([tc[:, :3, :], p0n[:, None, :],
+                                  q0n[:, None, :], tc[:, 5:, :]], axis=1)
+            return pc, tc
+
+        pu, tu = chroma_h(pu, tu, mHc)
+        pv, tv_ = chroma_h(pv, tv_, mHc)
+
+        out = (py, pu, pv)                             # final tiles
+        return (ty, cy, tu, cu, tv_, cv), out
+
+    z16 = jnp.zeros((mbh, 16, 16), jnp.int32)
+    z8 = jnp.zeros((mbh, 8, 8), jnp.int32)
+    init = (z16, z16, z8, z8, z8, z8)
+    _, (oy, ou, ov) = jax.lax.scan(
+        step, init, (sy, su, sv, smV, smH, smVc, smHc))
+
+    ry = _untiles(unskew(oy, mbw, 2, 2), 16, 16)
+    ru = _untiles(unskew(ou, mbw, 2, 2), 8, 8)
+    rv = _untiles(unskew(ov, mbw, 2, 2), 8, 8)
+    return ry, ru, rv
