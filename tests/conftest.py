@@ -35,3 +35,18 @@ import platform
 jax.config.update("jax_enable_compilation_cache", False)
 assert jax.devices()[0].platform == "cpu", jax.devices()
 assert jax.device_count() == 8, jax.devices()
+
+
+# XLA:CPU leaks compile-time memory across the suite's ~200 fused-program
+# compilations; around the 180th compile the compiler segfaults (observed
+# repeatedly at the same suite position on different test orderings).
+# Dropping jax's executable/trace caches after every test MODULE keeps the
+# process footprint bounded — modules re-compile their own geometries
+# anyway, so the cost is small.
+import pytest  # noqa: E402
+
+
+@pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_per_module():
+    yield
+    jax.clear_caches()

@@ -106,3 +106,33 @@ def test_partition_batch_matches_per_frame():
     assert len(aus1) == len(aus2)
     for a, b in zip(aus1, aus2):
         assert a == b
+
+
+def test_partition_cabac_conformance():
+    """Partitions under CABAC: mb_type/sub_mb_type bins + per-partition
+    mvds with 8x8-granular contexts must decode in stock FFmpeg."""
+    w, h, n = 96, 64, 5
+    frames = _mixed_motion_clip(w, h, n)
+    enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=26, keyint=50,
+                                   search_range=8, me_backend="xla",
+                                   cabac=True, partitions=True, deblock=True))
+    bs = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = oracle.decode_h264(bs)
+    assert dec is not None and dec.shape[0] == n
+    assert np.array_equal(np.asarray(enc.last_recon[0])[:h, :w],
+                          dec[n - 1][:w * h].reshape(h, w))
+
+
+def test_multiref_cabac_conformance():
+    """--ref 3 under CABAC emits ref_idx bins; streams must decode in
+    stock FFmpeg with a closed loop."""
+    w, h, n = 96, 64, 6
+    frames = _mixed_motion_clip(w, h, n, seed=11)
+    enc = TpuEncoder(EncoderConfig(width=w, height=h, qp=26, keyint=50,
+                                   search_range=8, me_backend="xla",
+                                   cabac=True, num_ref_frames=3))
+    bs = b"".join(enc.encode_frame(*f) for f in frames)
+    dec = oracle.decode_h264(bs)
+    assert dec is not None and dec.shape[0] == n
+    assert np.array_equal(np.asarray(enc.last_recon[0])[:h, :w],
+                          dec[n - 1][:w * h].reshape(h, w))

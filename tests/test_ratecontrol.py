@@ -82,7 +82,83 @@ def test_vbv_biases_qp_under_pressure():
         rc.update("P", rc.qp_for_frame(False), int(per_frame_in * 3))
     assert rc.qp_for_frame(False) > base
     assert rc._vbv_fill >= 0
-    # light frames afterwards: buffer refills, bias decays
-    for _ in range(40):
-        rc.update("P", rc.qp_for_frame(False), int(per_frame_in * 0.2))
-    assert rc._vbv_adj <= 1
+
+
+def _simulate(rc, cplx_seq, fps=25.0):
+    """Virtual encoder: bits = complexity / qscale, exact rate model."""
+    from x264vfw_tpu.encode.ratecontrol import qp2qscale
+    bits = []
+    for i, cplx in enumerate(cplx_seq):
+        ftype = "I" if i == 0 else "P"
+        qp = rc.qp_for_type(ftype)
+        b = int(cplx / qp2qscale(qp))
+        rc.update(ftype, qp, b)
+        bits.append(b)
+    return bits
+
+
+def test_abr_model_converges_within_5pct():
+    """Against an ideal bits=cplx/qscale encoder the ABR loop must land
+    within 5% of the target on varied-complexity content."""
+    from x264vfw_tpu.config.params import EncoderParams
+    from x264vfw_tpu.encode.ratecontrol import RateController
+    rng = np.random.default_rng(0)
+    for target, seed in ((400, 1), (1200, 2), (250, 3)):
+        p = EncoderParams(rc_mode="abr", bitrate=target, fps_num=25,
+                          fps_den=1, width=320, height=240)
+        rc = RateController(p)
+        n = 600
+        cplx = 3.0e4 * np.exp(rng.normal(0, 0.5, n)).cumsum() / \
+            np.arange(1, n + 1)  # slowly drifting complexity
+        bits = _simulate(rc, cplx.tolist())
+        kbps = sum(bits[n // 4:]) * 25 / (n - n // 4) / 1000.0
+        assert abs(kbps - target) / target < 0.05, (target, kbps)
+
+
+def test_vbv_preemptive_clamp_bounds_frames():
+    """With VBV on, the model must never schedule a frame larger than the
+    buffer and must keep the model fill above zero on a complexity spike."""
+    from x264vfw_tpu.config.params import EncoderParams
+    from x264vfw_tpu.encode.ratecontrol import RateController, qp2qscale
+    p = EncoderParams(rc_mode="abr", bitrate=400, vbv_maxrate=400,
+                      vbv_bufsize=160, fps_num=25, fps_den=1,
+                      width=320, height=240)
+    rc = RateController(p)
+    cap = 160 * 1000
+    rng = np.random.default_rng(4)
+    cplx = 2.0e4 * np.ones(300)
+    cplx[100:140] *= 12.0      # complexity spike
+    fills = []
+    for i, c in enumerate(cplx):
+        ftype = "I" if i == 0 else "P"
+        qp = rc.qp_for_type(ftype)
+        b = int(c / qp2qscale(qp) * float(rng.uniform(0.9, 1.1)))
+        rc.update(ftype, qp, b)
+        fills.append(rc._vbv_fill)
+    fills = np.asarray(fills)
+    # the pre-emptive clamp limits underflow to the spike ONSET (the bits
+    # predictor lags one frame on a step change — x264 has the same limit);
+    # in steady state the buffer must hold the guard level and recover
+    low = fills[10:] < 0.02 * cap
+    assert low.sum() <= 3, low.sum()
+    # after the spike the ABR catch-up legitimately rides the buffer low;
+    # the clamp must keep it near the 10% underflow guard (+-10% predictor
+    # noise), not at some comfortable fill level
+    assert fills[150:].min() > 0.08 * cap, fills[150:].min()
+
+
+def test_crf_bits_track_complexity():
+    """CRF must spend more bits on busier content at a similar QP spread
+    (bits ~ complexity^qcomp, not constant-QP)."""
+    from x264vfw_tpu.config.params import EncoderParams
+    from x264vfw_tpu.encode.ratecontrol import RateController
+    p = EncoderParams(rc_mode="crf", crf=26, fps_num=25, fps_den=1,
+                      width=320, height=240)
+    rc = RateController(p)
+    easy = _simulate(rc, [1.0e4] * 100)
+    rc2 = RateController(p)
+    hard = _simulate(rc2, [8.0e4] * 100)
+    r = sum(hard[50:]) / max(sum(easy[50:]), 1)
+    # qcomp 0.6: an 8x complexity step should cost ~8^0.6 ~ 3.5x the bits,
+    # NOT 8x (constant QP) and NOT 1x (constant bitrate)
+    assert 2.0 < r < 6.0, r

@@ -220,10 +220,15 @@ typedef struct {
     uint8_t direct[MAXMB_H * MAXMB_W];
     int32_t cbp_l[MAXMB_H * MAXMB_W];
     int32_t cbp_c[MAXMB_H * MAXMB_W];
-    int32_t mvdx[MAXMB_H * MAXMB_W];
-    int32_t mvdy[MAXMB_H * MAXMB_W];
-    int32_t mvd1x[MAXMB_H * MAXMB_W];
-    int32_t mvd1y[MAXMB_H * MAXMB_W];
+    /* mvd/ref neighbour maps live on the 8x8 partition grid
+     * (2*mbh x 2*mbw): the mvd ctxIdxInc (9.3.3.1.1.7) and the
+     * ref_idx ctxIdxInc (9.3.3.1.1.6) read the PARTITION covering
+     * the neighbouring 4x4 block; partitions here are 8x8-aligned */
+    int32_t mvdx[4 * MAXMB_H * MAXMB_W];
+    int32_t mvdy[4 * MAXMB_H * MAXMB_W];
+    int32_t mvd1x[4 * MAXMB_H * MAXMB_W];
+    int32_t mvd1y[4 * MAXMB_H * MAXMB_W];
+    int32_t ref8[4 * MAXMB_H * MAXMB_W];
     uint8_t cbf4[4 * MAXMB_H * 4 * MAXMB_W];
     uint8_t cbf_dc[MAXMB_H * MAXMB_W];
     uint8_t is_i16[MAXMB_H * MAXMB_W];
@@ -245,10 +250,11 @@ static void maps_clear(Maps *m, int mbh, int mbw)
     memset(m->direct, 0, (size_t)n);
     memset(m->cbp_l, 0, (size_t)n * sizeof(int32_t));
     memset(m->cbp_c, 0, (size_t)n * sizeof(int32_t));
-    memset(m->mvdx, 0, (size_t)n * sizeof(int32_t));
-    memset(m->mvdy, 0, (size_t)n * sizeof(int32_t));
-    memset(m->mvd1x, 0, (size_t)n * sizeof(int32_t));
-    memset(m->mvd1y, 0, (size_t)n * sizeof(int32_t));
+    memset(m->mvdx, 0, (size_t)(4 * n) * sizeof(int32_t));
+    memset(m->mvdy, 0, (size_t)(4 * n) * sizeof(int32_t));
+    memset(m->mvd1x, 0, (size_t)(4 * n) * sizeof(int32_t));
+    memset(m->mvd1y, 0, (size_t)(4 * n) * sizeof(int32_t));
+    memset(m->ref8, 0, (size_t)(4 * n) * sizeof(int32_t));
     memset(m->cbf4, 0, (size_t)(16 * n));
     memset(m->cbf_dc, 0, (size_t)n);
     memset(m->is_i16, 0, (size_t)n);
@@ -341,14 +347,16 @@ static int cbf_inc_cac(Maps *m, int mx, int my, int sb, int pl, int intra)
     return a + 2 * b;
 }
 
-static void mvd_comp_l(Cabac *c, Maps *m, int mx, int my, int comp, int val,
-                       int lst)
+/* qx/qy: 8x8-grid coords of the partition's FIRST block */
+static void mvd_comp_q(Cabac *c, Maps *m, int qx, int qy, int comp,
+                       int val, int lst)
 {
     const int32_t *arr = lst ? (comp ? m->mvd1y : m->mvd1x)
                              : (comp ? m->mvdy : m->mvdx);
+    int qw = 2 * m->mbw;
     int sa = 0, sb = 0;
-    if (mx - 1 >= 0) { int t = arr[my * m->mbw + mx - 1]; sa = t < 0 ? -t : t; }
-    if (my - 1 >= 0) { int t = arr[(my - 1) * m->mbw + mx]; sb = t < 0 ? -t : t; }
+    if (qx - 1 >= 0) { int t = arr[qy * qw + qx - 1]; sa = t < 0 ? -t : t; }
+    if (qy - 1 >= 0) { int t = arr[(qy - 1) * qw + qx]; sb = t < 0 ? -t : t; }
     int s = sa + sb;
     int inc = s < 3 ? 0 : (s <= 32 ? 1 : 2);
     int off = comp ? 47 : 40;
@@ -356,9 +364,42 @@ static void mvd_comp_l(Cabac *c, Maps *m, int mx, int my, int comp, int val,
     ueg(c, ctxs, 5, 3, 9, val, 1);
 }
 
-static void mvd_comp(Cabac *c, Maps *m, int mx, int my, int comp, int val)
+/* fill a partition's cells in the 8x8 mvd map (pw/ph in 8-pel units) */
+static void mvd_fill(Maps *m, int qx, int qy, int pw, int ph,
+                     int vx, int vy, int lst)
 {
-    mvd_comp_l(c, m, mx, my, comp, val, 0);
+    int32_t *ax = lst ? m->mvd1x : m->mvdx;
+    int32_t *ay = lst ? m->mvd1y : m->mvdy;
+    int qw = 2 * m->mbw;
+    for (int dy = 0; dy < ph; dy++)
+        for (int dx = 0; dx < pw; dx++) {
+            ax[(qy + dy) * qw + qx + dx] = vx;
+            ay[(qy + dy) * qw + qx + dx] = vy;
+        }
+}
+
+/* ref_idx bins (9.3.3.1.1.6): unary, bin0 ctx 54 + condA + 2*condB
+ * (condTerm = neighbouring partition has refIdx > 0), bins 1/2+ at
+ * ctx 58/59 */
+static void ref_idx_code(Cabac *c, Maps *m, int qx, int qy, int ref)
+{
+    int qw = 2 * m->mbw;
+    int ca = (qx - 1 >= 0 && m->ref8[qy * qw + qx - 1] > 0) ? 1 : 0;
+    int cb = (qy - 1 >= 0 && m->ref8[(qy - 1) * qw + qx] > 0) ? 1 : 0;
+    decision(c, 54 + ca + 2 * cb, ref > 0);
+    if (ref > 0) {
+        for (int i = 1; i < ref; i++)
+            decision(c, i == 1 ? 58 : 59, 1);
+        decision(c, ref == 1 ? 58 : 59, 0);
+    }
+}
+
+static void ref_fill(Maps *m, int qx, int qy, int pw, int ph, int ref)
+{
+    int qw = 2 * m->mbw;
+    for (int dy = 0; dy < ph; dy++)
+        for (int dx = 0; dx < pw; dx++)
+            m->ref8[(qy + dy) * qw + qx + dx] = ref;
 }
 
 static void cbp_code(Cabac *c, Maps *m, int mx, int my, int cbp_l, int cbp_c)
@@ -429,10 +470,17 @@ static void qp_delta_code(Cabac *c, int val, int *prev_nz)
     *prev_nz = 1;
 }
 
-/* returns payload bytes, or -1 on overflow / -2 on bad dims */
+/* returns payload bytes, or -1 on overflow / -2 on bad dims.
+ * part: (n,) in {0:P_L0_16x16, 1:16x8, 2:8x16, 3:P_8x8} or NULL (all 0)
+ * mvd:  (n,4,2) per-MB mvd pairs in quadrant raster order (16x16 uses
+ *       slot 0; 16x8 slots 0,2; 8x16 slots 0,1; 8x8 all four)
+ * ref:  (n,) per-MB refIdx (partitions gated to ref 0) or NULL; coded
+ *       only when nref > 1 */
 long cabac_encode_p_slice(
     int qp, int init_idc, int mbh, int mbw,
-    const uint8_t *skip, const int32_t *mvd,           /* (n,2) */
+    const uint8_t *skip, const int32_t *part,
+    const int32_t *mvd,                                 /* (n,4,2) */
+    const int32_t *ref, int nref,
     const int32_t *cbp_l, const int32_t *cbp_c,
     const int32_t *levels,                              /* (n,16,16) masked */
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
@@ -456,13 +504,47 @@ long cabac_encode_p_slice(
         decision(&c, 11 + ca + cb, skip[k]);
         m->skip[my * mbw + mx] = skip[k];
         if (!skip[k]) {
-            decision(&c, 14, 0);    /* mb_type P_L0_16x16 = 000 */
-            decision(&c, 15, 0);
-            decision(&c, 16, 0);
-            mvd_comp(&c, m, mx, my, 0, mvd[2 * k]);
-            mvd_comp(&c, m, mx, my, 1, mvd[2 * k + 1]);
-            m->mvdx[my * mbw + mx] = mvd[2 * k];
-            m->mvdy[my * mbw + mx] = mvd[2 * k + 1];
+            int pt = part ? part[k] : 0;
+            /* mb_type bins (Table 9-37 strings 000/011/010/001):
+             * 16x16: 14:0 15:0 16:0; P_8x8: 14:0 15:0 16:1;
+             * 8x16:  14:0 15:1 17:0; 16x8:  14:0 15:1 17:1 */
+            decision(&c, 14, 0);
+            if (pt == 0 || pt == 3) {
+                decision(&c, 15, 0);
+                decision(&c, 16, pt == 3);
+            } else {
+                decision(&c, 15, 1);
+                decision(&c, 17, pt == 1);
+            }
+            if (pt == 3)
+                for (int sbt = 0; sbt < 4; sbt++)
+                    decision(&c, 21, 1);   /* sub_mb_type P_L0_8x8 */
+            int r = ref ? ref[k] : 0;
+            int qx0 = 2 * mx, qy0 = 2 * my;
+            /* partition geometry: first-block offsets + sizes (8-pel) */
+            static const int POS[4][4][2] = {
+                {{0,0},{-1,-1},{-1,-1},{-1,-1}},   /* 16x16 */
+                {{0,0},{0,1},{-1,-1},{-1,-1}},     /* 16x8: top, bottom */
+                {{0,0},{1,0},{-1,-1},{-1,-1}},     /* 8x16: left, right */
+                {{0,0},{1,0},{0,1},{1,1}}};        /* 8x8 raster */
+            static const int SIZ[4][2] = {{2,2},{2,1},{1,2},{1,1}};
+            int np = pt == 0 ? 1 : (pt == 3 ? 4 : 2);
+            if (nref > 1)
+                for (int pi = 0; pi < np; pi++)
+                    ref_idx_code(&c, m, qx0 + POS[pt][pi][0],
+                                 qy0 + POS[pt][pi][1], r);
+            for (int pi = 0; pi < np; pi++) {
+                int qx = qx0 + POS[pt][pi][0], qy = qy0 + POS[pt][pi][1];
+                int pw = pt == 0 ? 2 : SIZ[pt][0];
+                int ph = pt == 0 ? 2 : SIZ[pt][1];
+                /* mvd slot index in the (4,2) quadrant-raster layout */
+                int sl = POS[pt][pi][1] * 2 + POS[pt][pi][0];
+                int vx = mvd[8 * k + 2 * sl], vy = mvd[8 * k + 2 * sl + 1];
+                mvd_comp_q(&c, m, qx, qy, 0, vx, 0);
+                mvd_comp_q(&c, m, qx, qy, 1, vy, 0);
+                mvd_fill(m, qx, qy, pw, ph, vx, vy, 0);
+                ref_fill(m, qx, qy, pw, ph, r);
+            }
             cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
             m->cbp_l[my * mbw + mx] = cbp_l[k];
             m->cbp_c[my * mbw + mx] = cbp_c[k];
@@ -611,16 +693,16 @@ long cabac_encode_b_slice(
                     decision(&c, 27 + 5, 0);
                 }
                 if (t == 1 || t == 3) {
-                    mvd_comp_l(&c, m, mx, my, 0, mvd0[2 * k], 0);
-                    mvd_comp_l(&c, m, mx, my, 1, mvd0[2 * k + 1], 0);
-                    m->mvdx[my * mbw + mx] = mvd0[2 * k];
-                    m->mvdy[my * mbw + mx] = mvd0[2 * k + 1];
+                    mvd_comp_q(&c, m, 2 * mx, 2 * my, 0, mvd0[2 * k], 0);
+                    mvd_comp_q(&c, m, 2 * mx, 2 * my, 1, mvd0[2 * k + 1], 0);
+                    mvd_fill(m, 2 * mx, 2 * my, 2, 2,
+                             mvd0[2 * k], mvd0[2 * k + 1], 0);
                 }
                 if (t == 2 || t == 3) {
-                    mvd_comp_l(&c, m, mx, my, 0, mvd1[2 * k], 1);
-                    mvd_comp_l(&c, m, mx, my, 1, mvd1[2 * k + 1], 1);
-                    m->mvd1x[my * mbw + mx] = mvd1[2 * k];
-                    m->mvd1y[my * mbw + mx] = mvd1[2 * k + 1];
+                    mvd_comp_q(&c, m, 2 * mx, 2 * my, 0, mvd1[2 * k], 1);
+                    mvd_comp_q(&c, m, 2 * mx, 2 * my, 1, mvd1[2 * k + 1], 1);
+                    mvd_fill(m, 2 * mx, 2 * my, 2, 2,
+                             mvd1[2 * k], mvd1[2 * k + 1], 1);
                 }
             }
             cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);

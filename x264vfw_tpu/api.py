@@ -98,10 +98,10 @@ class CompressSession:
         cabac = p.cabac
         want_parts = ("none" not in p.partitions
                       and ("p8x8" in p.partitions or "p4x4" in p.partitions))
-        if want_parts and (cabac or p.ref > 1):
+        if want_parts and p.ref > 1:
             self.log.warning(
-                "P partitions are active only with CAVLC and --ref 1 for "
-                "now; falling back to P16x16 (use --no-cabac --ref 1)")
+                "P partitions are searched per 8x8 block with a single "
+                f"reference; --ref {p.ref} keeps P16x16 per MB")
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),

@@ -51,16 +51,36 @@ def _p(a, dt):
 
 
 def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
-                   levels, dc_u, dc_v, ac_u, ac_v, qpd=None) -> bytes:
+                   levels, dc_u, dc_v, ac_u, ac_v, qpd=None,
+                   part=None, ref=None, nref=1) -> bytes:
+    """mvd: (n, 2) for an all-16x16 slice, or (n, 4, 2) quadrant-raster
+    mvd slots with `part` (n,) in {0:16x16, 1:16x8, 2:8x16, 3:P_8x8}.
+    ref (n,) + nref > 1 emit ref_idx bins (te/unary)."""
     lib = _get_lib()
     n = mbh * mbw
     cap = max(1 << 16, n * 800)
     out = np.zeros(cap, np.uint8)
     if qpd is None:
         qpd = np.zeros(n, np.int32)
+    mvd = np.ascontiguousarray(mvd, np.int32)
+    if mvd.size == n * 2:                 # legacy 16x16 layout -> slot 0
+        m4 = np.zeros((n, 4, 2), np.int32)
+        m4[:, 0, :] = mvd.reshape(n, 2)
+        mvd = m4
+    if part is None:
+        part = np.zeros(n, np.int32)
+    if ref is None:
+        ref = np.zeros(n, np.int32)
     holds = []
     ptrs = []
-    for a, dt in ((skip, np.uint8), (mvd, np.int32), (cbp_l, np.int32),
+    for a, dt in ((skip, np.uint8), (part, np.int32), (mvd, np.int32)):
+        arr, p = _p(a, dt)
+        holds.append(arr)
+        ptrs.append(p)
+    refa, refp = _p(ref, np.int32)
+    holds.append(refa)
+    ptrs += [refp, ctypes.c_int(int(nref))]
+    for a, dt in ((cbp_l, np.int32),
                   (cbp_c, np.int32), (levels, np.int32), (dc_u, np.int32),
                   (dc_v, np.int32), (ac_u, np.int32), (ac_v, np.int32),
                   (qpd, np.int32)):

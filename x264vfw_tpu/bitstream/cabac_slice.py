@@ -107,8 +107,12 @@ class CabacSliceBase:
         self.coded = np.zeros((mbh, mbw), bool)
         self.cbp_luma = np.zeros((mbh, mbw), np.int32)
         self.cbp_chroma = np.zeros((mbh, mbw), np.int32)
-        self.mvd = np.zeros((mbh, mbw, 2), np.int32)       # list 0
-        self.mvd1 = np.zeros((mbh, mbw, 2), np.int32)      # list 1 (B)
+        # mvd/ref neighbour maps on the 8x8 PARTITION grid (the mvd
+        # ctxIdxInc reads the partition covering the neighbouring 4x4
+        # block; partitions here are 8x8-aligned)
+        self.mvd = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)   # list 0
+        self.mvd1 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)  # list 1
+        self.ref8 = np.zeros((2 * mbh, 2 * mbw), np.int32)
         self.direct = np.zeros((mbh, mbw), bool)           # B_Skip/B_Direct
         self.cbf4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.cbf_dc = np.zeros((mbh, mbw), np.int32)
@@ -227,20 +231,45 @@ class CabacSliceBase:
         self.skip[my, mx] = bool(v)
         return bool(v)
 
-    def mvd_comp(self, mx, my, comp, val=None, lst=0):
+    def mvd_comp(self, qx, qy, comp, val=None, lst=0):
+        """qx/qy: 8x8-grid coords of the partition's first block."""
         mvd_f = self.mvd if lst == 0 else self.mvd1
 
         def absmvd(x, y):
-            if not self.avail(x, y):
+            if x < 0 or y < 0 or x >= 2 * self.mbw:
                 return 0
             return abs(int(mvd_f[y, x, comp]))
 
-        s = absmvd(mx - 1, my) + absmvd(mx, my - 1)
+        s = absmvd(qx - 1, qy) + absmvd(qx, qy - 1)
         inc = 0 if s < 3 else (1 if s <= 32 else 2)
         off = 40 if comp == 0 else 47
         v = _ueg(self.io, [off + inc, off + 3, off + 4, off + 5, off + 6],
                  3, 9, value=val)
         return v
+
+    def ref_idx(self, qx, qy, val=None):
+        """ref_idx_l0 bins (9.3.3.1.1.6): unary, bin0 ctx 54 +
+        condA + 2*condB (condTerm = neighbour partition refIdx > 0),
+        later bins ctx 58/59."""
+        io = self.io
+
+        def cond(x, y):
+            if x < 0 or y < 0 or x >= 2 * self.mbw:
+                return 0
+            return 1 if self.ref8[y, x] > 0 else 0
+
+        inc = cond(qx - 1, qy) + 2 * cond(qx, qy - 1)
+        write = val is not None
+        b = io.decision(54 + inc, int(val > 0) if write else None)
+        if not b:
+            return 0
+        v = 1
+        while True:
+            bit = io.decision(58 if v == 1 else 59,
+                              (1 if v < val else 0) if write else None)
+            if not bit:
+                return v
+            v += 1
 
     def b_mb_type(self, mx, my, val=None):
         """B-slice mb_type bins (ctxIdxOffset 27, Table 9-37 shape as
@@ -446,18 +475,47 @@ class CabacSlice(CabacSliceBase):
         super().__init__(_Writer(self.enc), qp, intra, mbh, mbw)
 
     def p_mb(self, mx, my, skipped, mv_d, cbp_l, cbp_c, levels16,
-             dc_u, dc_v, ac_u, ac_v, qpd=0):
+             dc_u, dc_v, ac_u, ac_v, qpd=0, part=0, ref=0, nref=1):
+        """mv_d: (2,) for 16x16 or (4, 2) quadrant-raster mvd slots
+        with part in {0:16x16, 1:16x8, 2:8x16, 3:P_8x8}."""
         self.coded[my, mx] = True
         if self.skip_flag(mx, my, skipped):
             self.prev_qp_delta_nz = 0
             return
         io = self.io
+        mv4 = np.zeros((4, 2), np.int32)
+        mv_d = np.asarray(mv_d, np.int32)
+        if mv_d.size == 2:
+            mv4[0] = mv_d
+        else:
+            mv4 = mv_d.reshape(4, 2)
+        # mb_type bins (Table 9-37 strings 000/011/010/001)
         io.decision(14, 0)
-        io.decision(15, 0)
-        io.decision(16, 0)
-        self.mvd_comp(mx, my, 0, int(mv_d[0]))
-        self.mvd_comp(mx, my, 1, int(mv_d[1]))
-        self.mvd[my, mx] = mv_d
+        if part in (0, 3):
+            io.decision(15, 0)
+            io.decision(16, int(part == 3))
+        else:
+            io.decision(15, 1)
+            io.decision(17, int(part == 1))
+        if part == 3:
+            for _ in range(4):
+                io.decision(21, 1)       # sub_mb_type P_L0_8x8
+        POS = {0: [(0, 0)], 1: [(0, 0), (0, 1)],
+               2: [(0, 0), (1, 0)], 3: [(0, 0), (1, 0), (0, 1), (1, 1)]}
+        SIZ = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
+        qx0, qy0 = 2 * mx, 2 * my
+        if nref > 1:
+            for (ox, oy) in POS[part]:
+                self.ref_idx(qx0 + ox, qy0 + oy, int(ref))
+        for (ox, oy) in POS[part]:
+            sl = oy * 2 + ox
+            vx, vy = int(mv4[sl, 0]), int(mv4[sl, 1])
+            qx, qy = qx0 + ox, qy0 + oy
+            self.mvd_comp(qx, qy, 0, vx)
+            self.mvd_comp(qx, qy, 1, vy)
+            pw, ph = SIZ[part]
+            self.mvd[qy:qy + ph, qx:qx + pw] = (vx, vy)
+            self.ref8[qy:qy + ph, qx:qx + pw] = int(ref)
         self.cbp(mx, my, cbp_l, cbp_c)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
@@ -488,13 +546,13 @@ class CabacSlice(CabacSliceBase):
         self.b_mb_type(mx, my, mode)
         self.direct[my, mx] = mode == 0
         if mode in (1, 3):
-            self.mvd_comp(mx, my, 0, int(mvd0[0]), lst=0)
-            self.mvd_comp(mx, my, 1, int(mvd0[1]), lst=0)
-            self.mvd[my, mx] = mvd0
+            self.mvd_comp(2 * mx, 2 * my, 0, int(mvd0[0]), lst=0)
+            self.mvd_comp(2 * mx, 2 * my, 1, int(mvd0[1]), lst=0)
+            self.mvd[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = mvd0
         if mode in (2, 3):
-            self.mvd_comp(mx, my, 0, int(mvd1[0]), lst=1)
-            self.mvd_comp(mx, my, 1, int(mvd1[1]), lst=1)
-            self.mvd1[my, mx] = mvd1
+            self.mvd_comp(2 * mx, 2 * my, 0, int(mvd1[0]), lst=1)
+            self.mvd_comp(2 * mx, 2 * my, 1, int(mvd1[1]), lst=1)
+            self.mvd1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = mvd1
         self.cbp(mx, my, cbp_l, cbp_c)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
@@ -578,15 +636,36 @@ class CabacSliceReader(CabacSliceBase):
             return out
         b1 = io.decision(15)
         b2 = io.decision(16 if b1 == 0 else 17)
-        if (b1, b2) != (0, 0):
-            raise NotImplementedError(f"P mb_type bins {b0}{b1}{b2}")
-        mvd = np.array([self.mvd_comp(mx, my, 0), self.mvd_comp(mx, my, 1)],
-                       np.int32)
-        self.mvd[my, mx] = mvd
+        # Table 9-37 strings 000/011/010/001 -> 16x16/16x8/8x16/P_8x8
+        part = (0 if not b2 else 3) if b1 == 0 else (1 if b2 else 2)
+        if part == 3:
+            for _ in range(4):
+                if not io.decision(21):      # only P_L0_8x8 subs supported
+                    raise NotImplementedError("sub_mb_type < 8x8 in CABAC")
+        nref = getattr(self, "num_ref_l0", 1)
+        POS = {0: [(0, 0)], 1: [(0, 0), (0, 1)],
+               2: [(0, 0), (1, 0)], 3: [(0, 0), (1, 0), (0, 1), (1, 1)]}
+        SIZ = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
+        qx0, qy0 = 2 * mx, 2 * my
+        refs4 = np.zeros(4, np.int32)
+        if nref > 1:
+            for (ox, oy) in POS[part]:
+                refs4[oy * 2 + ox] = self.ref_idx(qx0 + ox, qy0 + oy)
+        mvd4 = np.zeros((4, 2), np.int32)
+        for (ox, oy) in POS[part]:
+            sl = oy * 2 + ox
+            qx, qy = qx0 + ox, qy0 + oy
+            mvd4[sl, 0] = self.mvd_comp(qx, qy, 0)
+            mvd4[sl, 1] = self.mvd_comp(qx, qy, 1)
+            pw, ph = SIZ[part]
+            self.mvd[qy:qy + ph, qx:qx + pw] = mvd4[sl]
+            self.ref8[qy:qy + ph, qx:qx + pw] = refs4[sl]
+        mvd = mvd4[0]
         cbp_l, cbp_c = self.cbp(mx, my)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
         out = {"skip": False, "intra": False, "mvd": mvd,
+               "part": part, "mvd4": mvd4, "refs4": refs4,
                "cbp_l": cbp_l, "cbp_c": cbp_c,
                "levels": np.zeros((16, 16), np.int32),
                "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
@@ -631,13 +710,13 @@ class CabacSliceReader(CabacSliceBase):
                "ac_u": np.zeros((4, 15), np.int32),
                "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
         if t in (1, 3):
-            out["mvd0"] = np.array([self.mvd_comp(mx, my, 0, lst=0),
-                                    self.mvd_comp(mx, my, 1, lst=0)], np.int32)
-            self.mvd[my, mx] = out["mvd0"]
+            out["mvd0"] = np.array([self.mvd_comp(2 * mx, 2 * my, 0, lst=0),
+                                    self.mvd_comp(2 * mx, 2 * my, 1, lst=0)], np.int32)
+            self.mvd[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = out["mvd0"]
         if t in (2, 3):
-            out["mvd1"] = np.array([self.mvd_comp(mx, my, 0, lst=1),
-                                    self.mvd_comp(mx, my, 1, lst=1)], np.int32)
-            self.mvd1[my, mx] = out["mvd1"]
+            out["mvd1"] = np.array([self.mvd_comp(2 * mx, 2 * my, 0, lst=1),
+                                    self.mvd_comp(2 * mx, 2 * my, 1, lst=1)], np.int32)
+            self.mvd1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = out["mvd1"]
         cbp_l, cbp_c = self.cbp(mx, my)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c

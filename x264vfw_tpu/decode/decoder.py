@@ -314,6 +314,7 @@ class _SliceDecoder:
         h = self.h
         rd = CabacSliceReader(self.qp, h.is_i(), self.mbh, self.mbw, payload,
                               h.cabac_init_idc)
+        rd.num_ref_l0 = h.num_ref_idx_l0_active_minus1 + 1
         self.collect["eligible"] = False
         n = self.mbh * self.mbw
         for k in range(n):
@@ -352,11 +353,32 @@ class _SliceDecoder:
 
     def _recon_p16_cabac(self, mx: int, my: int, o: dict) -> None:
         gx, gy = mx * 4, my * 4
-        self.mb_type[my, mx] = 100
-        pmv = self._mv_pred(mx, my, 0, 0, 4, 4, 0)
-        mv = pmv + o["mvd"]
-        self._set_motion(mx, my, (0, 0, 4, 4), True, False, mv, 0, None, None)
-        self._inter_recon_16x16(mx, my, mv, 0)
+        part = o.get("part", 0)
+        self.mb_type[my, mx] = 100 + part
+        if part == 0:
+            ref = int(o.get("refs4", np.zeros(4, np.int32))[0])
+            pmv = self._mv_pred(mx, my, 0, 0, 4, 4, ref)
+            mv = pmv + o["mvd"]
+            self._set_motion(mx, my, (0, 0, 4, 4), True, False,
+                             mv, ref, None, None)
+            self._inter_recon_16x16(mx, my, mv, ref)
+        else:
+            # partitions (same geometry walk as the CAVLC path)
+            PARTS = {1: [(0, 0, 4, 2), (0, 2, 4, 2)],
+                     2: [(0, 0, 2, 4), (2, 0, 2, 4)],
+                     3: [(0, 0, 2, 2), (2, 0, 2, 2),
+                         (0, 2, 2, 2), (2, 2, 2, 2)]}
+            refs4 = o.get("refs4", np.zeros(4, np.int32))
+            for (px, py, pw, ph) in PARTS[part]:
+                sl = (py // 2) * 2 + (px // 2)
+                ref = int(refs4[sl])
+                pmv = self._mv_pred(mx, my, px, py, pw, ph, ref)
+                mv = pmv + o["mvd4"][sl]
+                self._set_motion(mx, my, (px, py, pw, ph), True, False,
+                                 mv, ref, None, None)
+                self._inter_recon_16x16(
+                    mx, my, mv, ref,
+                    part=(px * 4, py * 4, pw * 4, ph * 4))
         self.qp += o["qpd"]
         self.qp_map[my, mx] = self.qp
         qp = self.qp

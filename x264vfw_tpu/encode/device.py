@@ -1176,7 +1176,7 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
 
 encode_p_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "aq_strength", "qpc_offset",
-    "decimate", "trellis"))(encode_p_frame_core)
+    "decimate", "trellis", "partitions"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "decimate", "trellis"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

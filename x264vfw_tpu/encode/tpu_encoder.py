@@ -62,15 +62,12 @@ class TpuEncoder:
             self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
         _apply_vui(self.sps, cfg)
         # multi-reference P (x264 --ref): DPB depth; B-frames keep 1 ref
-        # per list (their ref handling is a separate path) and the CABAC
-        # host stage does not emit ref_idx bins yet
-        self.nref = (1 if (cfg.bframes or cfg.cabac)
+        # per list (their ref handling is a separate path)
+        self.nref = (1 if cfg.bframes
                      else max(1, min(cfg.num_ref_frames, 4)))
-        # inter partitions: device path covers single-ref CAVLC; the
-        # CABAC host coder and the multi-ref search keep P16x16 until
-        # their partition syntax lands (flag honesty: api layer warns)
-        self.partitions = bool(cfg.partitions) and self.nref == 1 \
-            and not cfg.cabac
+        # inter partitions are searched at 8x8 granularity with a
+        # single reference; multi-ref keeps P16x16 per MB
+        self.partitions = bool(cfg.partitions) and self.nref == 1
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        weighted_pred_flag=1 if cfg.weightp > 0 else 0,
@@ -372,7 +369,16 @@ class TpuEncoder:
             nal_type = NAL_SLICE
             self._wp = (self._weight_analysis(y) if cfg.weightp > 0
                         else None)
-            outj = encode_p_frame(sy, su, sv, *self.ref, self.qp, self.qpc,
+            if self.nref > 1 and len(self.dpb) > 1:
+                kR = min(len(self.dpb), self.nref)
+                self._cur_nref = kR
+                refs = (jnp.stack([self.dpb[i][0] for i in range(kR)]),
+                        jnp.stack([self.dpb[i][1] for i in range(kR)]),
+                        jnp.stack([self.dpb[i][2] for i in range(kR)]))
+            else:
+                self._cur_nref = 1
+                refs = self.ref
+            outj = encode_p_frame(sy, su, sv, *refs, self.qp, self.qpc,
                                   rng=cfg.search_range, subpel=cfg.subpel,
                                   me_backend=cfg.me_backend,
                                   aq_strength=cfg.aq_strength,
@@ -382,7 +388,8 @@ class TpuEncoder:
                                   else jnp.asarray(qp_off, jnp.int32),
                                   wp=None if self._wp is None else
                                   (jnp.asarray(self._wp[0], jnp.int32),
-                                   jnp.asarray(self._wp[1], jnp.int32)))
+                                   jnp.asarray(self._wp[1], jnp.int32)),
+                                  partitions=self.partitions)
             self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
@@ -419,8 +426,6 @@ class TpuEncoder:
                     cs.end_mb(k == n - 1)
                 payload = cs.payload()
         else:
-            mv = out["mv"].reshape(mbh, mbw, 2)
-            pmv, skip_zero = (np.asarray(a) for a in _pmv(_jnp.asarray(mv)))
             cbp_l = out["cbp_luma"]
             cbp_c = out["cbp_chroma"]
             quad = ((cbp_l[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
@@ -429,23 +434,50 @@ class TpuEncoder:
             ac_v = np.where((cbp_c == 2)[:, None, None], out["ac_v"], 0)
             dc_u = np.where((cbp_c >= 1)[:, None], out["dc_u"].reshape(n, 4), 0)
             dc_v = np.where((cbp_c >= 1)[:, None], out["dc_v"].reshape(n, 4), 0)
-            mvf = mv.reshape(n, 2)
-            skipf = ((cbp_l == 0) & (cbp_c == 0) & (mvf == 0).all(1)
-                     & skip_zero.reshape(n)).astype(np.uint8)
-            mvd_all = (mvf - pmv.reshape(n, 2)).astype(np.int32)
             qpd = out.get("qp_delta", np.zeros(n, np.int32)).astype(np.int32)
+            ref_arr = out.get("ref_idx", np.zeros(n, np.int32)).astype(np.int32)
+            if "part" in out:
+                from .inter_partition import partition_mvds
+                part = out["part"].astype(np.int32)
+                mvd8, nslot, skipz8 = (np.asarray(a) for a in partition_mvds(
+                    _jnp.asarray(out["mv8"]),
+                    _jnp.asarray(part.reshape(mbh, mbw))))
+                mv00 = out["mv8"][0::2, 0::2].reshape(n, 2)
+                skipf = ((cbp_l == 0) & (cbp_c == 0) & (part == 0)
+                         & (mv00 == 0).all(1)
+                         & skipz8.reshape(n)).astype(np.uint8)
+                mvd4 = (mvd8.reshape(mbh, 2, mbw, 2, 2)
+                        .transpose(0, 2, 1, 3, 4).reshape(n, 4, 2)
+                        .astype(np.int32))
+            else:
+                mv = out["mv"].reshape(mbh, mbw, 2)
+                rmap = (ref_arr.reshape(mbh, mbw) if "ref_idx" in out
+                        else None)
+                pmv, skip_zero = (np.asarray(a) for a in _pmv(
+                    _jnp.asarray(mv), None if rmap is None
+                    else _jnp.asarray(rmap)))
+                mvf = mv.reshape(n, 2)
+                skipf = ((cbp_l == 0) & (cbp_c == 0) & (mvf == 0).all(1)
+                         & skip_zero.reshape(n)
+                         & (ref_arr == 0)).astype(np.uint8)
+                part = np.zeros(n, np.int32)
+                mvd4 = np.zeros((n, 4, 2), np.int32)
+                mvd4[:, 0] = (mvf - pmv.reshape(n, 2)).astype(np.int32)
             if use_native:
                 payload = cn.encode_p_slice(
-                    self.qp, 0, mbh, mbw, skipf, mvd_all,
+                    self.qp, 0, mbh, mbw, skipf, mvd4,
                     cbp_l.astype(np.int32), cbp_c.astype(np.int32),
-                    levels, dc_u, dc_v, ac_u, ac_v, qpd)
+                    levels, dc_u, dc_v, ac_u, ac_v, qpd,
+                    part=part, ref=ref_arr, nref=getattr(self, "_cur_nref", 1))
             else:
                 cs = CabacSlice(self.qp, False, mbh, mbw)
                 for k in range(n):
-                    cs.p_mb(k % mbw, k // mbw, bool(skipf[k]), mvd_all[k],
+                    cs.p_mb(k % mbw, k // mbw, bool(skipf[k]), mvd4[k],
                             int(cbp_l[k]), int(cbp_c[k]), levels[k],
                             dc_u[k], dc_v[k], ac_u[k], ac_v[k],
-                            qpd=int(qpd[k]))
+                            qpd=int(qpd[k]), part=int(part[k]),
+                            ref=int(ref_arr[k]),
+                            nref=getattr(self, "_cur_nref", 1))
                     cs.end_mb(k == n - 1)
                 payload = cs.payload()
         self.ref = (outj["recon_y"], outj["recon_u"], outj["recon_v"])
@@ -456,6 +488,12 @@ class TpuEncoder:
                 mbh, mbw, is_idr, offA=2 * cfg.deblock_alpha,
                 offB=2 * cfg.deblock_beta,
                 qpc_offset=self.pps.chroma_qp_index_offset)
+        if self.nref > 1:
+            if is_idr:
+                self.dpb = [self.ref]
+            else:
+                self.dpb.insert(0, self.ref)
+                del self.dpb[self.nref:]
         self.frame_idx += 1
         self.frame_num = (self.frame_num + 1) % (
             1 << (self.sps.log2_max_frame_num_minus4 + 4))
