@@ -43,11 +43,22 @@ def _pack(bs, tc0, alpha, beta):
     return (bs | (tc0 << 3) | (alpha << 8) | (beta << 16)).astype(jnp.int32)
 
 
+def _lut(table, idx):
+    """table[idx] without a gather: TPU lowers runtime-index gathers
+    to a serial loop; an unrolled compare-select chain over the (<=52
+    entry) table fuses into one vector pass."""
+    tb = np.asarray(table)
+    out = jnp.full(idx.shape, int(tb[0]), jnp.int32)
+    for k in range(1, tb.shape[0]):
+        out = jnp.where(idx == k, int(tb[k]), out)
+    return out
+
+
 def _qp_avg_params(qp_p, qp_q, offA, offB, alpha_t, beta_t):
     qpav = (qp_p + qp_q + 1) >> 1
     ia = jnp.clip(qpav + offA, 0, 51)
     ib = jnp.clip(qpav + offB, 0, 51)
-    return alpha_t[ia], beta_t[ib], ia
+    return _lut(alpha_t, ia), _lut(beta_t, ib), ia
 
 
 def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
@@ -60,10 +71,12 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
     Returns (mapsV, mapsH, mapsVc, mapsHc) int32.
     """
     mbh, mbw = intra_mb.shape
-    alpha_t = jnp.asarray(ALPHA_TABLE)
-    beta_t = jnp.asarray(BETA_TABLE)
-    tc0_t = jnp.asarray(TC0_TABLE)
-    cqp_t = jnp.asarray(_CQP_FULL)
+    # numpy tables on purpose: they embed as HLO literals via the
+    # _lut select chains (no gathers, no captured device constants)
+    alpha_t = np.asarray(ALPHA_TABLE)
+    beta_t = np.asarray(BETA_TABLE)
+    tc0_t = np.asarray(TC0_TABLE)
+    cqp_t = np.asarray(_CQP_FULL)
     intra4 = jnp.repeat(jnp.repeat(intra_mb, 4, 0), 4, 1)   # (4mbh, 4mbw)
 
     def bs_between(p_intra, q_intra, tc_p, tc_q, mv_p, mv_q,
@@ -101,8 +114,11 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
                                            alpha_t, beta_t)  # (mbh, 4mbw)
     alpha_v = jnp.repeat(alpha_v, 4, 0)                  # (4mbh, 4mbw)
     beta_v = jnp.repeat(beta_v, 4, 0)
-    ia_v4 = jnp.repeat(ia_v, 4, 0)
-    tc0_v = jnp.where(bsv > 0, tc0_t[jnp.clip(bsv, 1, 3) - 1, ia_v4], 0)
+    tcs_v = [jnp.repeat(_lut(tc0_t[k], ia_v), 4, 0) for k in range(3)]
+    tc0_v = jnp.where(bsv > 0,
+                      jnp.where(bsv == 1, tcs_v[0],
+                                jnp.where(bsv == 2, tcs_v[1], tcs_v[2])),
+                      0)
     # per-4x4-block values -> per pixel row (each block row spans 4 rows)
     mapsV = jnp.repeat(_pack(bsv, tc0_v, alpha_v, beta_v), 4, 0)  # (H, 4mbw)
 
@@ -125,13 +141,16 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
                                            alpha_t, beta_t)  # (4mbh, mbw)
     alpha_h = jnp.repeat(alpha_h, 4, 1)                  # (4mbh, 4mbw)
     beta_h = jnp.repeat(beta_h, 4, 1)
-    ia_h4 = jnp.repeat(ia_h, 4, 1)
-    tc0_h = jnp.where(bsh > 0, tc0_t[jnp.clip(bsh, 1, 3) - 1, ia_h4], 0)
+    tcs_h = [jnp.repeat(_lut(tc0_t[k], ia_h), 4, 1) for k in range(3)]
+    tc0_h = jnp.where(bsh > 0,
+                      jnp.where(bsh == 1, tcs_h[0],
+                                jnp.where(bsh == 2, tcs_h[1], tcs_h[2])),
+                      0)
     mapsH = jnp.repeat(_pack(bsh, tc0_h, alpha_h, beta_h), 4, 1)  # (4mbh, W)
 
     # ---- chroma: bs reuses luma block bs at the corresponding positions;
     # thresholds use the averaged chroma QP pair ----
-    qpc_map = cqp_t[jnp.clip(qp_map + chroma_qp_offset, 0, 51)]
+    qpc_map = _lut(cqp_t, jnp.clip(qp_map + chroma_qp_offset, 0, 51))
     qpc_p_v = jnp.concatenate([qpc_map[:, :1], qpc_map[:, :-1]], axis=1)
     qpc_p_h = jnp.concatenate([qpc_map[:1, :], qpc_map[:-1, :]], axis=0)
 
@@ -150,10 +169,14 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
     qpcav_v = (qpc_pv + qpc_q_v + 1) >> 1
     ia_cv = jnp.clip(qpcav_v + offA, 0, 51)
     ib_cv = jnp.clip(qpcav_v + offB, 0, 51)
-    al_cv = jnp.repeat(alpha_t[ia_cv], 8, 0)             # (8mbh, 2mbw)
-    be_cv = jnp.repeat(beta_t[ib_cv], 8, 0)
-    ia_cv8 = jnp.repeat(ia_cv, 8, 0)
-    tc0_cv = jnp.where(bsv_c > 0, tc0_t[jnp.clip(bsv_c, 1, 3) - 1, ia_cv8], 0)
+    al_cv = jnp.repeat(_lut(alpha_t, ia_cv), 8, 0)       # (8mbh, 2mbw)
+    be_cv = jnp.repeat(_lut(beta_t, ib_cv), 8, 0)
+    tcs_cv = [jnp.repeat(_lut(tc0_t[k], ia_cv), 8, 0) for k in range(3)]
+    tc0_cv = jnp.where(bsv_c > 0,
+                       jnp.where(bsv_c == 1, tcs_cv[0],
+                                 jnp.where(bsv_c == 2, tcs_cv[1],
+                                           tcs_cv[2])),
+                       0)
     mapsVc = _pack(bsv_c, tc0_cv, al_cv, be_cv)          # (H/2, 2mbw)
 
     # horizontal chroma edges: per MB, edges f in {0,1} at luma edge 2f;
@@ -170,10 +193,14 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
     qpcav_h = (qpc_ph + qpc_q_h + 1) >> 1
     ia_ch = jnp.clip(qpcav_h + offA, 0, 51)
     ib_ch = jnp.clip(qpcav_h + offB, 0, 51)
-    al_ch = jnp.repeat(alpha_t[ia_ch], 8, 1)             # (2mbh, Wc)
-    be_ch = jnp.repeat(beta_t[ib_ch], 8, 1)
-    ia_ch8 = jnp.repeat(ia_ch, 8, 1)
-    tc0_ch = jnp.where(bsh_c > 0, tc0_t[jnp.clip(bsh_c, 1, 3) - 1, ia_ch8], 0)
+    al_ch = jnp.repeat(_lut(alpha_t, ia_ch), 8, 1)       # (2mbh, Wc)
+    be_ch = jnp.repeat(_lut(beta_t, ib_ch), 8, 1)
+    tcs_ch = [jnp.repeat(_lut(tc0_t[k], ia_ch), 8, 1) for k in range(3)]
+    tc0_ch = jnp.where(bsh_c > 0,
+                       jnp.where(bsh_c == 1, tcs_ch[0],
+                                 jnp.where(bsh_c == 2, tcs_ch[1],
+                                           tcs_ch[2])),
+                       0)
     mapsHc = _pack(bsh_c, tc0_ch, al_ch, be_ch)          # (2mbh, Wc)
 
     return mapsV, mapsH, mapsVc, mapsHc

@@ -41,7 +41,7 @@ from jax.experimental.pallas import tpu as pltpu
 def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
     K = 2 * R + 1
     W = mbw * 16
-    src = src_ref[:]                                   # (16, W) int32
+    src = src_ref[:]                                   # (16, W) int16
 
     # phase 1: per-column abs-diff sums for every offset, split into the
     # top/bottom 8-row halves -> scratch rows [2k] / [2k+1].  Both offset
@@ -53,7 +53,7 @@ def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
         rows = band_ref[0, oy:oy + 16, :]  # (16, bw), static slice
         for ox in range(K):
             cand = rows[:, ox:ox + W]                  # static unaligned
-            d = jnp.abs(src - cand)
+            d = jnp.abs(src - cand)                    # int16: <= 255
             k = oy * K + ox
             cs_ref[2 * k, :W] = jnp.sum(d[:8], axis=0)          # <= 2040
             cs_ref[2 * k + 1, :W] = jnp.sum(d[8:], axis=0)
@@ -72,7 +72,7 @@ def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
     CH = 256
     for c in range(0, KK2, CH):
         h = min(CH, KK2 - c)
-        cs = cs_ref[c:c + h, :]
+        cs = cs_ref[c:c + h, :].astype(jnp.int32)      # sums are >= 0
         lo = (cs & 0xFF).astype(jnp.float32)
         hi = ((cs >> 8) & 0xFF).astype(jnp.float32)
         sums = (jnp.dot(lo, E, preferred_element_type=jnp.float32)
@@ -114,9 +114,9 @@ def sad_search_quad(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
         ],
         out_specs=pl.BlockSpec((1, 2 * K * K, mbw2_pad), lambda i: (i, 0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((kk2_pad, bw), jnp.int32)],
+        scratch_shapes=[pltpu.VMEM((kk2_pad, bw), jnp.int16)],
         interpret=interpret,
-    )(src_y.astype(jnp.int32), bands.astype(jnp.int32))
+    )(src_y.astype(jnp.int16), bands.astype(jnp.int16))
     # (mbh, 2*K*K, 2*mbw) -> (K*K, 2*mbh, 2*mbw)
     q = out[:, :, :2 * mbw].reshape(mbh, K * K, 2, 2 * mbw)
     return q.transpose(1, 0, 2, 3).reshape(K * K, 2 * mbh, 2 * mbw)

@@ -63,6 +63,19 @@ def fdct4x4(x: jnp.ndarray) -> jnp.ndarray:
     return jnp.stack([t0, t1, t2, t3], axis=-1)
 
 
+def _lut6(table, idx, extra_dims: int):
+    """table[idx] for the 6 qp%6 classes WITHOUT a gather (runtime-index
+    gathers serialize on TPU): unrolled compare-select chain; table rows
+    embed as HLO literals."""
+    import numpy as _np
+    tb = _np.asarray(table)
+    idx = _expand_qp(idx, extra_dims)
+    out = jnp.asarray(tb[-1]) + 0 * idx          # broadcast join
+    for k in range(tb.shape[0] - 2, -1, -1):
+        out = jnp.where(idx == k, jnp.asarray(tb[k]), out)
+    return out
+
+
 def _expand_qp(qp, extra_dims: int):
     qp = jnp.asarray(qp, dtype=jnp.int32)
     for _ in range(extra_dims):
@@ -74,10 +87,10 @@ def quant4x4(w: jnp.ndarray, qp, intra: bool, dc_mode: bool = False) -> jnp.ndar
     """Dead-zone quant: sign * ((|w| * MF + f) >> qbits)."""
     qp = jnp.asarray(qp, dtype=jnp.int32)
     if dc_mode:
-        mf = _expand_qp(jnp.take(QUANT_MF0, qp % 6), 2)
+        mf = _lut6(QUANT_MF0, qp % 6, 2)
         qbits = 16 + qp // 6
     else:
-        mf = jnp.take(QUANT_TABLE, qp % 6, axis=0)
+        mf = _lut6(QUANT_TABLE, qp % 6, 2)
         qbits = 15 + qp // 6
     f = (jnp.int32(1) << qbits) // (3 if intra else 6)
     f = _expand_qp(f, 2)
@@ -86,7 +99,7 @@ def quant4x4(w: jnp.ndarray, qp, intra: bool, dc_mode: bool = False) -> jnp.ndar
     level = (jnp.abs(w) * mf + f) >> qbits
     if not dc_mode:
         # int16 dynamic-range clamp (see transform_np.quant4x4)
-        v = jnp.take(DEQUANT_TABLE, qp % 6, axis=0) << _expand_qp(qp // 6, 2)
+        v = _lut6(DEQUANT_TABLE, qp % 6, 2) << _expand_qp(qp // 6, 2)
         level = jnp.minimum(level, 32767 // v)
     return jnp.sign(w) * level
 
@@ -94,7 +107,7 @@ def quant4x4(w: jnp.ndarray, qp, intra: bool, dc_mode: bool = False) -> jnp.ndar
 def dequant4x4(coef: jnp.ndarray, qp) -> jnp.ndarray:
     """d = c * V[qp%6][pos] << (qp/6)."""
     qp = jnp.asarray(qp, dtype=jnp.int32)
-    v = jnp.take(DEQUANT_TABLE, qp % 6, axis=0)
+    v = _lut6(DEQUANT_TABLE, qp % 6, 2)
     shift = _expand_qp(qp // 6, 2)
     return (coef.astype(jnp.int32) * v) << shift
 
@@ -145,7 +158,7 @@ def luma_dc_dequant(levels: jnp.ndarray, qp) -> jnp.ndarray:
     """Decoder §8.5.10: inverse Hadamard then LevelScale."""
     qp = jnp.asarray(qp, dtype=jnp.int32)
     f = hadamard4x4(levels)
-    ls = _expand_qp(16 * jnp.take(DEQUANT_V0, qp % 6), 2)
+    ls = 16 * _lut6(DEQUANT_V0, qp % 6, 2)
     qp6 = _expand_qp(qp // 6, 2)
     qpe = _expand_qp(qp, 2)
     hi = (f * ls) << jnp.maximum(qp6 - 6, 0)
@@ -170,7 +183,7 @@ def chroma_dc_fwd_quant(dc: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
 def chroma_dc_dequant(levels: jnp.ndarray, qp) -> jnp.ndarray:
     qp = jnp.asarray(qp, dtype=jnp.int32)
     f = hadamard2x2(levels)
-    ls = _expand_qp(16 * jnp.take(DEQUANT_V0, qp % 6), 2)
+    ls = 16 * _lut6(DEQUANT_V0, qp % 6, 2)
     qp6 = _expand_qp(qp // 6, 2)
     return ((f * ls) << qp6) >> 5
 
