@@ -111,3 +111,55 @@ def test_mkv_cluster_split(stream, tmp_path):
     m.close_file(100, 80)
     out = oracle.decode_container(path)
     assert out is not None and out[0].shape[0] == len(per_frame)
+
+
+def test_mp4_fragmented_nonseekable(stream, tmp_path):
+    """Non-seekable target switches to moof/mdat fragments (the reference
+    forces L-SMASH fragmented mode for non-regular files,
+    mp4_lsmash.c:199,206-207,428-434) and stock FFmpeg decodes it."""
+    per_frame, sps_nal, pps_nal, w, h, ref = stream
+    path = str(tmp_path / "frag.mp4")
+
+    class PipeLike:
+        """File object that refuses to seek, like a pipe/socket."""
+        def __init__(self, f):
+            self._f = f
+        def write(self, b):
+            return self._f.write(b)
+        def seekable(self):
+            return False
+        def seek(self, *a):
+            raise OSError("not seekable")
+        def close(self):
+            self._f.close()
+
+    from x264vfw_tpu.output.mp4 import Mp4Muxer
+    m = Mp4Muxer()
+    with open(path, "wb") as raw:
+        m.open_file(PipeLike(raw))
+        m.set_param(MuxParams(width=w, height=h, fps_num=25, fps_den=1,
+                              timebase_num=1, timebase_den=25))
+        m.write_headers(sps_nal, pps_nal)
+        for i, fb in enumerate(per_frame):
+            payload, key = _strip_headers(fb)
+            m.write_frame(payload, pts=i, dts=i, keyframe=key)
+        m.close_file(len(per_frame) - 1, len(per_frame) - 2)
+    assert m.fragmented is True
+    data = open(path, "rb").read()
+    assert b"moof" in data and b"mvex" in data and b"trex" in data
+
+    out = oracle.decode_container(path)
+    assert out is not None, "FFmpeg could not read fragmented mp4"
+    y, u, v, dur, fps = out
+    ry, ru, rv = ref
+    assert y.shape[0] == len(per_frame)
+    np.testing.assert_array_equal(y, ry)
+    np.testing.assert_array_equal(u, ru)
+    np.testing.assert_array_equal(v, rv)
+
+    # truncated mid-last-fragment: earlier complete fragments still decode
+    cut = data.rfind(b"moof") - 4
+    trunc = str(tmp_path / "trunc.mp4")
+    open(trunc, "wb").write(data[:cut])
+    out2 = oracle.decode_container(trunc)
+    assert out2 is not None and 0 < out2[0].shape[0] < len(per_frame)
