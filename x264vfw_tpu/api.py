@@ -102,6 +102,11 @@ class CompressSession:
             self.log.warning(
                 "P partitions are searched per 8x8 block with a single "
                 f"reference; --ref {p.ref} keeps P16x16 per MB")
+        if p.nal_hrd in ("vbr", "cbr") and not (p.vbv_maxrate > 0
+                                                and p.vbv_bufsize > 0):
+            # x264 refuses nal-hrd without VBV; we warn and drop it
+            self.log.warning("--nal-hrd requires --vbv-maxrate and "
+                             "--vbv-bufsize; not signaling HRD")
         self.encoder = TpuEncoder(EncoderConfig(
             width=width, height=height, qp=qp,
             keyint=min(p.keyint, 1 << 16),
@@ -124,6 +129,8 @@ class CompressSession:
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,
             fps_num=p.fps_num, fps_den=p.fps_den,
+            nal_hrd=p.nal_hrd if p.nal_hrd in ("vbr", "cbr") else "none",
+            vbv_maxrate=p.vbv_maxrate, vbv_bufsize=p.vbv_bufsize,
             sar_width=p.sar_width, sar_height=p.sar_height,
             fullrange=bool(p.fullrange),
             colorprim=_COLORPRIM.get(p.colorprim, 2),

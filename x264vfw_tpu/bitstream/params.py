@@ -20,6 +20,10 @@ PROFILE_HIGH = 100
 
 # Extended_SAR
 EXTENDED_SAR = 255
+
+# fixed HRD delay field lengths (bits) — shared with the buffering-period SEI
+HRD_INIT_DELAY_LEN = 24
+HRD_DELAY_LEN = 24
 # Table E-1 sample aspect ratios
 SAR_TABLE = [
     (0, 0), (1, 1), (12, 11), (10, 11), (16, 11), (40, 33), (24, 11),
@@ -74,6 +78,12 @@ class SPS:
     num_units_in_tick: int = 1
     time_scale: int = 50
     fixed_frame_rate_flag: int = 1
+    # NAL HRD (x264 --nal-hrd vbr/cbr, codec.c:917-919 VBV surface):
+    # bitrate in bits/s, cpb size in bits; cbr sets the CBR flag
+    nal_hrd_present: int = 0
+    hrd_bitrate: int = 0
+    hrd_cpb_size: int = 0
+    hrd_cbr: int = 0
 
     # -- derived --
     @property
@@ -126,10 +136,35 @@ class SPS:
             w.u(32, self.num_units_in_tick)
             w.u(32, self.time_scale)
             w.u(1, self.fixed_frame_rate_flag)
-        w.u(1, 0)  # nal_hrd_parameters_present_flag
+        w.u(1, self.nal_hrd_present)  # nal_hrd_parameters_present_flag
+        if self.nal_hrd_present:
+            self._write_hrd(w)
         w.u(1, 0)  # vcl_hrd_parameters_present_flag
+        if self.nal_hrd_present:
+            w.u(1, 0)  # low_delay_hrd_flag
         w.u(1, 0)  # pic_struct_present_flag
         w.u(1, 0)  # bitstream_restriction_flag
+
+    def _write_hrd(self, w: BitWriter) -> None:
+        """hrd_parameters() (§E.1.2): one CPB, scales chosen so the
+        signaled value loses no precision (x264's scale fitting)."""
+        def scale_of(x: int, base: int) -> tuple[int, int]:
+            s = 0
+            while s < 15 and x % (1 << (base + s + 1)) == 0:
+                s += 1
+            return s, (x >> (base + s)) - 1
+        br_scale, br_val = scale_of(max(self.hrd_bitrate, 64), 6)
+        cpb_scale, cpb_val = scale_of(max(self.hrd_cpb_size, 16), 4)
+        w.ue(0)            # cpb_cnt_minus1
+        w.u(4, br_scale)
+        w.u(4, cpb_scale)
+        w.ue(br_val)
+        w.ue(cpb_val)
+        w.u(1, self.hrd_cbr)
+        w.u(5, HRD_INIT_DELAY_LEN - 1)   # initial_cpb_removal_delay_length
+        w.u(5, HRD_DELAY_LEN - 1)        # cpb_removal_delay_length
+        w.u(5, HRD_DELAY_LEN - 1)        # dpb_output_delay_length
+        w.u(5, 0)                        # time_offset_length
 
     def to_rbsp(self) -> np.ndarray:
         w = BitWriter()

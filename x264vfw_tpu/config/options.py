@@ -140,7 +140,7 @@ ACCEPTED_IGNORED = {
     "weightb", "direct", "chroma-me", "nr", "fast-pskip",
     "sliced-threads", "lookahead-threads", "sync-lookahead",
     "slices", "deterministic", "cpu-independent",
-    "nal-hrd", "qpstep",
+    "qpstep",
 }
 
 # options the reference forwards but we exclude by design (interlace etc.)

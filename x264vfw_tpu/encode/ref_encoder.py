@@ -69,6 +69,11 @@ class EncoderConfig:
     transfer: int = 2        # transfer_characteristics code
     colmatrix: int = 2       # matrix_coefficients code
     vui_timing: bool = True  # write timing_info (fps) into the SPS VUI
+    # NAL HRD signaling (x264 --nal-hrd, requires VBV; codec.c:917-919):
+    # "none" | "vbr" | "cbr"; rates in kbit/s, kbit (x264 flag units)
+    nal_hrd: str = "none"
+    vbv_maxrate: int = 0
+    vbv_bufsize: int = 0
     # motion-search SAD backend: "auto" (Pallas kernel on TPU, XLA scan
     # elsewhere), "pallas", "pallas_interpret" (--no-asm analogue on TPU),
     # or "xla"

@@ -326,12 +326,17 @@ class TpuEncoder:
         return tuple(np.asarray(p) for p in self.ref)
 
     def headers(self) -> bytes:
-        from ..bitstream.sei import version_sei
+        from ..bitstream.sei import version_sei, buffering_period_sei
         opts = (f"qp={self.cfg.qp} keyint={self.cfg.keyint} "
                 f"merange={self.cfg.search_range} cavlc=1")
-        return (wrap_nal(3, NAL_SPS, self.sps.to_rbsp())
-                + wrap_nal(3, NAL_PPS, self.pps.to_rbsp())
-                + version_sei(opts))
+        bs = (wrap_nal(3, NAL_SPS, self.sps.to_rbsp())
+              + wrap_nal(3, NAL_PPS, self.pps.to_rbsp()))
+        if self.sps.nal_hrd_present:
+            # HRD buffering period at every IDR (§D.1.1; x264 emits this
+            # when --nal-hrd is set).  Buffering period must be the first
+            # SEI of the access unit (§D.1), so it precedes the version SEI.
+            bs += buffering_period_sei(self.sps)
+        return bs + version_sei(opts)
 
     # ------------------------------------------------------------------
     def _encode_frame_cabac(self, y, u, v, qp, force_idr=None,
@@ -1117,9 +1122,18 @@ def _apply_vui(sps: SPS, cfg: EncoderConfig) -> None:
     want_signal = (cfg.fullrange or cfg.colorprim != 2 or cfg.transfer != 2
                    or cfg.colmatrix != 2)
     want_sar = cfg.sar_width > 0 and cfg.sar_height > 0
-    if not (want_signal or want_sar or cfg.vui_timing):
+    # --nal-hrd needs VBV rates to signal (x264 refuses nal-hrd without
+    # VBV; we warn at the session layer and drop it here)
+    want_hrd = (cfg.nal_hrd in ("vbr", "cbr") and cfg.vbv_maxrate > 0
+                and cfg.vbv_bufsize > 0)
+    if not (want_signal or want_sar or cfg.vui_timing or want_hrd):
         return
     sps.vui_parameters_present_flag = 1
+    if want_hrd:
+        sps.nal_hrd_present = 1
+        sps.hrd_bitrate = cfg.vbv_maxrate * 1000
+        sps.hrd_cpb_size = cfg.vbv_bufsize * 1000
+        sps.hrd_cbr = int(cfg.nal_hrd == "cbr")
     if want_sar:
         sps.sar_width, sps.sar_height = cfg.sar_width, cfg.sar_height
     if want_signal:

@@ -53,7 +53,10 @@ def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
         rows = band_ref[0, oy:oy + 16, :]  # (16, bw), static slice
         for ox in range(K):
             cand = rows[:, ox:ox + W]                  # static unaligned
-            d = jnp.abs(src - cand)                    # int16: <= 255
+            # |src-cand| as max(a-b, b-a): Mosaic has no int16 vector absi
+            # (math.absi fails to legalize on real TPU; interpret mode and
+            # CPU hide this — the gotcha in .claude/skills/verify)
+            d = jnp.maximum(src - cand, cand - src)    # int16: <= 255
             k = oy * K + ox
             cs_ref[2 * k, :W] = jnp.sum(d[:8], axis=0)          # <= 2040
             cs_ref[2 * k + 1, :W] = jnp.sum(d[8:], axis=0)
