@@ -145,6 +145,17 @@ class CompressSession:
         ))
         self._encode_idx = 0
         self._delay = 1 if bframes else 0
+        # PSNR/SSIM telemetry: like the reference, measurement is gated on
+        # the flags AND log level >= info (codec.c:1558-1559) — it forces a
+        # per-frame recon pull, so the silent fast path skips it
+        self._measure = (p.psnr or p.ssim) and p.log_level >= 2
+        self.encoder.measure = self._measure
+        self._src_q: dict[int, tuple] = {}
+        self._disp_idx = 0
+        self._mse_sum = {"y": 0.0, "u": 0.0, "v": 0.0}
+        self._psnr_sum = {"y": 0.0, "u": 0.0, "v": 0.0, "global": 0.0}
+        self._ssim_sum = 0.0
+        self._measured = 0
         # MB-tree lookahead (x264 --mbtree/--rc-lookahead): buffers
         # rc_lookahead display-order frames and feeds the encoder per-MB
         # QP offsets from backward cost propagation (SURVEY §5)
@@ -182,6 +193,9 @@ class CompressSession:
         qp_b = self.rc.qp_for_type("B")
         try:
             y, u, v = _to_i420(frame, fmt)
+            if self._measure:
+                self._src_q[self._disp_idx] = (y, u, v)
+            self._disp_idx += 1
             if self.mbtree is not None:
                 outs = []
                 for ((fy, fu, fv), off) in self.mbtree.push((y, u, v), y):
@@ -207,7 +221,10 @@ class CompressSession:
                 ppt = {"I": 0, "P": 1, "B": 2}[ftype]
                 au = (START_CODE_LONG + bytes([0x09, (ppt << 5) | 0x10])
                       + au)
-            self.rc.update(ftype, self.rc.qp_for_type(ftype), len(au) * 8)
+            qp_used = self.rc.qp_for_type(ftype)
+            self.rc.update(ftype, qp_used, len(au) * 8)
+            if self._measure:
+                self._frame_metrics(pts, ftype, qp_used, len(au) * 8)
             if pts > self._largest:
                 self._second = self._largest
                 self._largest = pts
@@ -221,6 +238,34 @@ class CompressSession:
             self._encode_idx += 1
             result += au
         return result
+
+    def _frame_metrics(self, pts: int, ftype: str, qp: int,
+                       bits: int) -> None:
+        """Per-frame PSNR/SSIM telemetry (the reference's b_psnr/b_ssim
+        measurement plus x264's per-frame log line, codec.c:1555-1559)."""
+        src = self._src_q.pop(pts, None)
+        rec = self.encoder.pop_recon(pts) if self.encoder else None
+        if src is None or rec is None:
+            return
+        from .utils.metrics import frame_psnr_yuv, ssim
+        p = self.params
+        line = f"frame={pts:4d} type={ftype} qp={qp} bits={bits}"
+        if p.psnr:
+            ps = frame_psnr_yuv(src, rec)
+            for name, s, r in zip("yuv", src, rec):
+                s64 = np.asarray(s, np.float64)
+                self._mse_sum[name] += ((s64 - np.asarray(r, np.float64))
+                                        ** 2).mean()
+            for k in ("y", "u", "v", "global"):
+                self._psnr_sum[k] += ps[k]
+            line += (f" psnr_y={ps['y']:.2f} psnr_u={ps['u']:.2f}"
+                     f" psnr_v={ps['v']:.2f}")
+        if p.ssim:
+            sv = ssim(src[0], rec[0])
+            self._ssim_sum += sv
+            line += f" ssim_y={sv:.5f}"
+        self._measured += 1
+        self.log.info(line)
 
     # --------------------------------------------------------------- end
     def end(self) -> dict:
@@ -247,6 +292,24 @@ class CompressSession:
             "kbps": self._bits_total / 1000.0 / dur if dur else 0.0,
             "tail": tail,  # delayed AUs flushed at end (B reordering)
         }
+        if getattr(self, "_measured", 0):
+            m = self._measured
+            if p.psnr:
+                # Mean = average of per-frame PSNR; Global = PSNR of the
+                # average MSE (x264's end-of-encode PSNR report shape)
+                mean = {k: self._psnr_sum[k] / m
+                        for k in ("y", "u", "v", "global")}
+                gm = (4 * self._mse_sum["y"] + self._mse_sum["u"]
+                      + self._mse_sum["v"]) / (6 * m)
+                glob = 99.0 if gm == 0 else float(10 * np.log10(255 ** 2 / gm))
+                stats["psnr"] = {**mean, "global_all": glob}
+                self.log.info(
+                    f"PSNR Mean Y:{mean['y']:.3f} U:{mean['u']:.3f} "
+                    f"V:{mean['v']:.3f} Avg:{mean['global']:.3f} "
+                    f"Global:{glob:.3f}")
+            if p.ssim:
+                stats["ssim"] = self._ssim_sum / m
+                self.log.info(f"SSIM Mean Y:{stats['ssim']:.7f}")
         if self.frame_count:
             self.log.info(f"encoded {self.frame_count} frames, "
                           f"{stats['kbps']:.2f} kb/s")

@@ -923,7 +923,7 @@ def encode_b_frame_core(src_y, src_u, src_v,
                         ref1_y, ref1_u, ref1_v,
                         mvcol, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
-                        decimate=True, trellis=False):
+                        decimate=True, trellis=False, want_recon=False):
     """Device B-frame encode: independent L0/L1 motion searches, per-MB
     {L0, L1, Bi} mode decision (default bi-prediction §8.4.2.3.2:
     (p0 + p1 + 1) >> 1), then a second phase flipping MBs to spatial
@@ -1017,8 +1017,10 @@ def encode_b_frame_core(src_y, src_u, src_v,
                        jnp.where(mc_ == 2, p1v, biv))).astype(jnp.int32)
 
     pred = mbize(pred_y)
-    levels, _ = _luma_residual_pipeline(src_mbs, pred, qp, intra=False,
-                                        decimate=decimate, trellis=trellis)
+    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp,
+                                                intra=False,
+                                                decimate=decimate,
+                                                trellis=trellis)
     nz_blk = (levels != 0).any(axis=-1)
     cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
     cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
@@ -1037,7 +1039,7 @@ def encode_b_frame_core(src_y, src_u, src_v,
     uses0 = jnp.where(flip, flavor != 2, (mode == 1) | (mode == 3))
     uses1 = jnp.where(flip, flavor != 1, (mode == 2) | (mode == 3))
 
-    return {
+    out = {
         "mode": mode,                  # (n,) 0=direct 1=L0 2=L1 3=Bi
         "mv0": mv0, "mv1": mv1,        # (n,2) quarter-pel
         "uses0": uses0, "uses1": uses1,
@@ -1047,6 +1049,23 @@ def encode_b_frame_core(src_y, src_u, src_v,
         "dc_u": dc_u, "dc_v": dc_v,
         "ac_u": ac_u, "ac_v": ac_v,
     }
+    if want_recon:
+        # decoder-exact B reconstruction (pre-deblock), same cbp masking
+        # as the P path — used for PSNR/SSIM telemetry (b_psnr/b_ssim,
+        # reference codec.c:1558-1559); B is still non-reference
+        keep = jnp.repeat(cbp_q, 4, axis=-1)
+        res_mb = blocks_to_mb(mb_to_blocks(recon_res)
+                              * keep[:, :, None, None])
+        use_dc = cbp_chroma >= 1
+        use_ac = cbp_chroma == 2
+        out["recon_y"] = unmbize(jnp.clip(pred + res_mb, 0, 255), H, W)
+        out["recon_u"] = unmbize(
+            _chroma_recon(pred_u_mbs, dc_u, ac_u, qpc, use_dc, use_ac),
+            H // 2, W // 2, 8)
+        out["recon_v"] = unmbize(
+            _chroma_recon(pred_v_mbs, dc_v, ac_v, qpc, use_dc, use_ac),
+            H // 2, W // 2, 8)
+    return out
 
 
 # --------------------------------------------------------------------------
@@ -1178,5 +1197,6 @@ encode_p_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "aq_strength", "qpc_offset",
     "decimate", "trellis", "partitions"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=(
-    "rng", "subpel", "me_backend", "decimate", "trellis"))(encode_b_frame_core)
+    "rng", "subpel", "me_backend", "decimate", "trellis",
+    "want_recon"))(encode_b_frame_core)
 encode_i_frame = jax.jit(encode_i_frame_core)

@@ -216,12 +216,15 @@ def b_mv_pred(mv, uses):
     return pmv
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
+                                   "want_recon"))
 def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
                    mvcol, qp, qpc, hdr_vals, hdr_lens,
-                   rng, subpel=True, me_backend="auto"):
+                   rng, subpel=True, me_backend="auto", want_recon=False):
     """Fused B-frame phase 1: unpack -> B encode -> syntax slots.
-    Returns (slot_vals, slot_lens, nbits) — no recon (B is non-reference)."""
+    Returns (slot_vals, slot_lens, nbits) — B is non-reference, so recon is
+    only computed (and appended to the return) under want_recon, which the
+    session enables for PSNR/SSIM telemetry."""
     from .device import encode_b_frame_core
     H, W = ref0_y.shape
     ys = H * W
@@ -231,8 +234,11 @@ def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
     out = encode_b_frame_core(sy, su, sv, ref0_y, ref0_u, ref0_v,
                               ref1_y, ref1_u, ref1_v, mvcol, qp, qpc,
-                              rng, subpel, me_backend)
+                              rng, subpel, me_backend,
+                              want_recon=want_recon)
     v, l = _finalize_b_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+    if want_recon:
+        return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
     return v, l, l.sum()
 
 

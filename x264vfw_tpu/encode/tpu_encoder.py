@@ -98,6 +98,28 @@ class TpuEncoder:
         # debug); False keeps the whole entropy stage on device.
         self.host_entropy = False
         self._i_full = None  # fused I-frame program (per-geometry)
+        # PSNR/SSIM telemetry (reference b_psnr/b_ssim, codec.c:1558-1559):
+        # when on, reconstructions are kept per display index for the
+        # session to pull — off by default, the hot path never transfers
+        # pixel data off device.
+        self.measure = False
+        self._recon_q: dict[int, tuple] = {}
+        self._last_b_recon: tuple | None = None
+
+    # -- telemetry hooks (PSNR/SSIM): recon per display index -------------
+    def _stash_recon(self, d: int, planes: tuple | None = None) -> None:
+        if self.measure:
+            self._recon_q[d] = planes if planes is not None else self.ref
+
+    def pop_recon(self, d: int) -> tuple | None:
+        """Reconstruction of display frame d, cropped to the configured
+        geometry (host copy). None when telemetry is off/not kept."""
+        planes = self._recon_q.pop(d, None)
+        if planes is None:
+            return None
+        w, h = self.cfg.width, self.cfg.height
+        y, u, v = (np.asarray(p) for p in planes)
+        return (y[:h, :w], u[:h // 2, :w // 2], v[:h // 2, :w // 2])
 
     # ------------------------------------------------------------------
     # pipelined encoding: one frame of output delay hides the host<->device
@@ -531,6 +553,7 @@ class TpuEncoder:
             au = self.encode_frame(y, u, v, qp=qp_i if is_idr else qp_p,
                                    force_idr=is_idr,
                                    qp_off=None if is_idr else qp_off)
+            self._stash_recon(d)
             return [(au, d, is_idr)]
         out: list[tuple[bytes, int, bool]] = []
         if is_idr:
@@ -539,6 +562,7 @@ class TpuEncoder:
             self.poc_base = d
             self.poc = 0
             au = self.encode_frame(y, u, v, qp=qp_i, force_idr=True)
+            self._stash_recon(d)
             out.append((au, d, True))
             return out
         if len(self.pending) < cfg.bframes:
@@ -549,12 +573,14 @@ class TpuEncoder:
         self.poc = 2 * (d - self.poc_base)
         au = self.encode_frame(y, u, v, qp=qp_p, force_idr=False,
                                qp_off=qp_off)
+        self._stash_recon(d)
         out.append((au, d, False))
         mvcol = self.last_mv
         for (by, bu, bv, bd) in self.pending:
             out.append((self._encode_b(by, bu, bv, old_ref, self.ref, mvcol,
                                        2 * (bd - self.poc_base), qp_b), bd,
                         False))
+            self._stash_recon(bd, self._last_b_recon)
         self.pending = []
         return out
 
@@ -568,6 +594,7 @@ class TpuEncoder:
             self.poc = 2 * (pd - self.poc_base)
             out.append((self.encode_frame(py, pu, pv, qp=qp_p,
                                           force_idr=False), pd, False))
+            self._stash_recon(pd)
         self.pending = []
         return out
 
@@ -591,11 +618,14 @@ class TpuEncoder:
             np.ascontiguousarray(_pad(v, H // 2, W // 2), dtype=np.uint8).ravel()])
         hw = self._slice_header_codes(SLICE_B, NAL_SLICE, nal_ref_idc=0)
         hv, hl = hw.to_slots(pad_to=device_finalize.MAX_HDR)
-        sv_, sl_, nbits = device_finalize.encode_b_slots(
+        res = device_finalize.encode_b_slots(
             jnp.asarray(src), *ref0, *ref1, mvcol, self.qp, self.qpc,
             jnp.asarray(hv.astype(np.uint32)),
             jnp.asarray(hl.astype(np.int32)),
-            cfg.search_range, cfg.subpel, cfg.me_backend)
+            cfg.search_range, cfg.subpel, cfg.me_backend,
+            want_recon=self.measure)
+        sv_, sl_, nbits = res[:3]
+        self._last_b_recon = res[3:6] if self.measure else None
         nb = int(nbits)
         cap_words = (H * W * 3 // 2 + 4096) // 4
         need_words = (nb + 31) // 32 + 8
@@ -620,8 +650,13 @@ class TpuEncoder:
         sv = jnp.asarray(_pad(v, H // 2, W // 2), jnp.int32)
         outj = encode_b_frame(sy, su, sv, *ref0, *ref1, mvcol,
                               self.qp, self.qpc, rng=cfg.search_range,
-                              subpel=cfg.subpel, me_backend=cfg.me_backend)
-        out = {k: np.asarray(v2) for k, v2 in outj.items()}
+                              subpel=cfg.subpel, me_backend=cfg.me_backend,
+                              want_recon=self.measure)
+        self._last_b_recon = (
+            (outj["recon_y"], outj["recon_u"], outj["recon_v"])
+            if self.measure else None)
+        out = {k: np.asarray(v2) for k, v2 in outj.items()
+               if not k.startswith("recon")}
         mode = out["mode"]
         mv0 = out["mv0"].reshape(mbh, mbw, 2)
         mv1 = out["mv1"].reshape(mbh, mbw, 2)
