@@ -62,12 +62,12 @@ def main():
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    th.join(timeout=240)
+    th.join(timeout=600)  # cold device init alone has been measured at ~185s
     if not probe_ok.is_set():
         print(json.dumps({
             "metric": "1080p_encode_fps_per_chip", "value": 0.0,
             "unit": "fps", "vs_baseline": 0.0,
-            "error": "TPU tunnel unresponsive (device probe hung >240s); "
+            "error": "TPU tunnel unresponsive (device probe hung >600s); "
                      "re-run on a healthy chip"}))
         return
     from x264vfw_tpu.encode.ref_encoder import EncoderConfig

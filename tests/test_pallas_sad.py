@@ -43,6 +43,46 @@ def test_sad_search_matches_golden(H, W, R):
     np.testing.assert_array_equal(got, golden_sads(src, refp, R))
 
 
+@pytest.mark.parametrize("H,W,R", [(64, 80, 8), (48, 128, 4), (48, 320, 4)])
+def test_partition_minima_match_xla(H, W, R):
+    """In-kernel argmin (sad_partition_minima) == XLA full-tensor reduction
+    (_minima_from_q) for every partition shape, values AND tie-broken ids."""
+    import jax
+    from x264vfw_tpu.ops.pallas.sad import sad_partition_minima
+    from x264vfw_tpu.encode.inter_partition import (_minima_from_q,
+                                                    _quad_sads)
+    rng = np.random.default_rng(1)
+    src = rng.integers(0, 256, (H, W), dtype=np.int32)
+    refp = rng.integers(0, 256, (H + 2 * R, W + 2 * R), dtype=np.int32)
+    got = sad_partition_minima(jnp.asarray(src), jnp.asarray(refp), R,
+                               interpret=True)
+    # XLA path expects pad-by-(R+8); edge-extending refp by 8 keeps the
+    # in-range candidate windows identical to the kernel's
+    q = _quad_sads(jnp.asarray(src).astype(jnp.int16),
+                   jnp.pad(jnp.asarray(refp), 8, mode="edge").astype(
+                       jnp.int16), R, "xla")
+    want = jax.tree.map(np.asarray, _minima_from_q(q, R))
+    for key in want:
+        np.testing.assert_array_equal(np.asarray(got[key]), want[key],
+                                      err_msg=key)
+
+
+def test_sad16_argmin_matches_xla():
+    from x264vfw_tpu.ops.pallas.sad import sad16_argmin
+    H, W, R = 48, 128, 8
+    rng = np.random.default_rng(2)
+    src = rng.integers(0, 256, (H, W), dtype=np.int32)
+    refp = rng.integers(0, 256, (H + 2 * R, W + 2 * R), dtype=np.int32)
+    got = np.asarray(sad16_argmin(jnp.asarray(src), jnp.asarray(refp), R,
+                                  interpret=True))
+    K = 2 * R + 1
+    sads = golden_sads(src, refp, R)
+    pen = (np.abs(np.arange(K * K) // K - R)
+           + np.abs(np.arange(K * K) % K - R))
+    want = np.argmin(sads * 4 + pen[:, None, None], axis=0)
+    np.testing.assert_array_equal(got, want)
+
+
 def test_encoder_identical_across_me_backends():
     """End-to-end: the pallas_interpret backend and the XLA backend must
     produce byte-identical access units."""

@@ -62,11 +62,10 @@ def _argmin_mv(costs, K, rng):
     return jnp.stack([dx, dy], axis=-1).astype(jnp.int32), val
 
 
-def partition_decide(q, rng: int, qp, lam_bits=None):
-    """Integer-pel partition decision from quadrant SADs.
-
-    q: (KK, 2mbh, 2mbw).  Returns (part (mbh, mbw) in {0:16x16, 1:16x8,
-    2:8x16, 3:8x8}, mv8_int (2mbh, 2mbw, 2) full-pel)."""
+def _minima_from_q(q, rng: int) -> dict:
+    """Per-partition (best cost, best offset id) from full quadrant SADs —
+    the XLA-path equivalent of ops/pallas/sad.sad_partition_minima
+    (scales 4/2/2/1), bit-identical by construction."""
     KK, qh, qw = q.shape
     K = 2 * rng + 1
     mbh, mbw = qh // 2, qw // 2
@@ -75,27 +74,42 @@ def partition_decide(q, rng: int, qp, lam_bits=None):
     pen = offs_pen[:, None, None]
     q5 = q.reshape(KK, mbh, 2, mbw, 2)
 
-    c16 = q5.sum(axis=(2, 4)) * 4 + 4 * pen
-    mv16, v16 = _argmin_mv(c16, K, rng)                    # (mbh, mbw, 2)
+    def mink(c):
+        return jnp.min(c, axis=0), jnp.argmin(c, axis=0).astype(jnp.int32)
 
-    c168 = q5.sum(axis=4).transpose(0, 1, 3, 2) * 4 + 2 * pen[..., None]
-    mv168, v168 = _argmin_mv(c168, K, rng)                 # (mbh, mbw, 2h, 2)
+    v16, k16 = mink(q5.sum(axis=(2, 4)) * 4 + 4 * pen)
+    v168, k168 = mink(q5.sum(axis=4).transpose(0, 1, 3, 2) * 4
+                      + 2 * pen[..., None])
+    v816, k816 = mink(q5.sum(axis=2) * 4 + 2 * pen[..., None])
+    v8, k8 = mink(q * 4 + pen)
+    return {"v16": v16, "k16": k16, "v168": v168, "k168": k168,
+            "v816": v816, "k816": k816, "v8": v8, "k8": k8}
 
-    c816 = q5.sum(axis=2) * 4 + 2 * pen[..., None]
-    mv816, v816 = _argmin_mv(c816, K, rng)                 # (mbh, mbw, 2v, 2)
 
-    c8 = q * 4 + pen
-    mv8q, v8 = _argmin_mv(c8, K, rng)                      # (2mbh, 2mbw, 2)
-    v8m = v8.reshape(mbh, 2, mbw, 2).sum(axis=(1, 3))
+def _k_to_mv(k, K, rng):
+    return jnp.stack([k % K - rng, k // K - rng], axis=-1).astype(jnp.int32)
+
+
+def partition_decide_from_minima(mins: dict, rng: int, qp, lam_bits=None):
+    """Partition decision from per-shape minima (see _minima_from_q /
+    sad_partition_minima).  Returns (part (mbh, mbw) in {0:16x16, 1:16x8,
+    2:8x16, 3:8x8}, mv8_int (2mbh, 2mbw, 2) full-pel)."""
+    K = 2 * rng + 1
+    mbh, mbw = mins["v16"].shape
+    mv16 = _k_to_mv(mins["k16"], K, rng)                   # (mbh, mbw, 2)
+    mv168 = _k_to_mv(mins["k168"], K, rng)                 # (mbh, mbw, 2h, 2)
+    mv816 = _k_to_mv(mins["k816"], K, rng)                 # (mbh, mbw, 2v, 2)
+    mv8q = _k_to_mv(mins["k8"], K, rng)                    # (2mbh, 2mbw, 2)
+    v8m = mins["v8"].reshape(mbh, 2, mbw, 2).sum(axis=(1, 3))
 
     # lambda-scaled header-bit estimates (ue(mb_type) + mvd-per-partition)
     lam = (jnp.maximum(1, jnp.round(
         3.4 * jnp.exp2((jnp.asarray(qp, jnp.float32) - 12.0) / 3.0)))
         .astype(jnp.int32) if lam_bits is None else lam_bits)
     cost = jnp.stack([
-        v16 + lam * 7,
-        v168.sum(-1) + lam * 15,
-        v816.sum(-1) + lam * 15,
+        mins["v16"] + lam * 7,
+        mins["v168"].sum(-1) + lam * 15,
+        mins["v816"].sum(-1) + lam * 15,
         v8m + lam * 33,
     ])
     part = jnp.argmin(cost, axis=0).astype(jnp.int32)      # (mbh, mbw)
@@ -110,6 +124,12 @@ def partition_decide(q, rng: int, qp, lam_bits=None):
                     jnp.where(p8 == 1, f168,
                               jnp.where(p8 == 2, f816, mv8q)))
     return part, mv8
+
+
+def partition_decide(q, rng: int, qp, lam_bits=None):
+    """Integer-pel partition decision from quadrant SADs (XLA path)."""
+    return partition_decide_from_minima(_minima_from_q(q, rng), rng, qp,
+                                        lam_bits)
 
 
 def _to_bands8(pl_, qh, Wb, bh, PAD, Mg):
@@ -132,8 +152,61 @@ def partition_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v,
     backend = _resolve_me_backend(
         me_backend[:-5] if me_backend.endswith(":hier") else me_backend)
 
-    q = _quad_sads(src16, ref_pad, rng, backend)
-    part, mv8i = partition_decide(q, rng, qp)
+    if backend in ("pallas", "pallas_interpret"):
+        from ..ops.pallas.sad import sad_partition_minima
+        mins = sad_partition_minima(
+            src16, ref_pad[8:-8, 8:-8], rng,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        mins = _minima_from_q(_quad_sads(src16, ref_pad, rng, backend), rng)
+    part, mv8i = partition_decide_from_minima(mins, rng, qp)
+
+    sub_lv = 2 if subpel is True else int(subpel)
+    if backend in ("pallas", "pallas_interpret") and sub_lv == 2:
+        # fused Pallas path: halfpel + alignment + qpel refine + MC in one
+        # VMEM-resident kernel (bit-identical to _refine_and_mc_xla)
+        from ..ops.pallas.memc import partition_refine_mc
+        mv8, pred_y = partition_refine_mc(
+            src16, ref_pad, mv8i, part, rng,
+            interpret=(backend == "pallas_interpret"))
+    else:
+        mv8, pred_y = _refine_and_mc_xla(src16, ref_pad, mv8i, part, rng,
+                                         sub_lv)
+
+    pred_u, pred_v = _chroma_mc_8x8(mv8, ref_u, ref_v, rng, H, W)
+    return part, mv8, pred_y, pred_u, pred_v
+
+
+def refine_deltas(sub_lv: int) -> list:
+    """Quarter-pel refine candidate grid (tx, ty) around the integer best:
+    full [-2,2]^2 at quarter precision, even offsets at half, (0,0) at
+    integer (unifies the no-subpel path with the refine/select machinery)."""
+    if sub_lv >= 2:
+        return [(tx, ty) for ty in range(-2, 3) for tx in range(-2, 3)]
+    if sub_lv == 1:
+        return [(tx, ty) for ty in (-2, 0, 2) for tx in (-2, 0, 2)]
+    return [(0, 0)]
+
+
+def _refine_and_mc_xla(src16, ref_pad, mv8i, part, rng: int, sub_lv: int = 2):
+    """Quarter-pel refine + exact MC from the integer partition decision
+    (XLA masked-shift formulation — the golden model for the fused Pallas
+    kernel in ops/pallas/memc.py).  Returns (mv8 qpel, pred_y (H,W) i32).
+
+    Alignment is EXACT per horizontal operand offset: for each plane the
+    h-pass accumulates THREE aligned variants (o = -1/0/+1), where variant o
+    column x holds plane[x + o + dx(block(x))] — i.e. the slice is shifted,
+    never the read.  A single wider aligned array indexed at x + o is wrong
+    at interior 8-px block boundaries (the neighbour block's dx leaks into
+    the operand; frame-edge padding does not cover that), which broke
+    conformance vs FFmpeg at partition seams.  MC is then a select over the
+    refine candidates — no second alignment pass is needed."""
+    H = src16.shape[0]
+    W = src16.shape[1]
+    mbh, mbw = H // 16, W // 16
+    qh, qw = 2 * mbh, 2 * mbw
+    K = 2 * rng + 1
+    PAD = rng + 8
     dxb = mv8i[..., 0]
     dyb = mv8i[..., 1]
 
@@ -141,124 +214,92 @@ def partition_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v,
     Mg = rng + 1
     bh = 8 + 2 * Mg
     Wb = W + 2 * Mg
-    if subpel:
+    if sub_lv:
         hb, hh, hj = _halfpel_planes(ref_pad)
         planes = (ref_pad, hb, hh, hj)
     else:
         planes = (ref_pad,)
     bands = tuple(_to_bands8(p, qh, Wb, bh, PAD, Mg) for p in planes)
-    oxc = jnp.repeat(dxb, 8, axis=1)[:, None, :]           # (qh, 1, W)
+    # per-column masks: every column x uses its OWN block's offset
+    oxc = jnp.repeat(dxb, 8, axis=1)[:, None, :]            # (qh, 1, W)
     oyc = jnp.repeat(dyb, 8, axis=1)[:, None, :]
     shifts = jnp.arange(K, dtype=jnp.int32) - rng
+    NV = 3 if sub_lv else 1                                 # h variants
 
-    sub_lv = 2 if subpel is True else int(subpel)
-    if sub_lv:
-        def h_step(carry, s):
-            out = []
-            for acc, b in zip(carry, bands):
-                sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (qh, bh, W))
-                out.append(acc + jnp.where(oxc == s, sl, 0))
-            return tuple(out), None
+    def h_step(carry, s):
+        out = []
+        for pi, b in enumerate(bands):
+            sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s - 1), (qh, bh, W + 2))
+            for o in range(NV):
+                out.append(carry[pi * NV + o]
+                           + jnp.where(oxc == s, sl[:, :, o:o + W], 0))
+        return tuple(out), None
 
-        Ah, _ = jax.lax.scan(
-            h_step, tuple(jnp.zeros((qh, bh, W), jnp.int16) for _ in bands),
-            shifts)
+    Ah, _ = jax.lax.scan(
+        h_step,
+        tuple(jnp.zeros((qh, bh, W), jnp.int16)
+              for _ in range(NV * len(bands))),
+        shifts)
 
-        def v_step(carry, s):
-            out = []
-            for acc, a in zip(carry, Ah):
-                sl = jax.lax.dynamic_slice(a, (0, Mg + s - 1, 0),
-                                           (qh, 10, W))
-                out.append(acc + jnp.where(oyc == s, sl, 0))
-            return tuple(out), None
+    def v_step(carry, s):
+        out = []
+        for acc, a in zip(carry, Ah):
+            sl = jax.lax.dynamic_slice(a, (0, Mg + s - 1, 0), (qh, 10, W))
+            out.append(acc + jnp.where(oyc == s, sl, 0))
+        return tuple(out), None
 
-        aligned, _ = jax.lax.scan(
-            v_step, tuple(jnp.zeros((qh, 10, W), jnp.int16) for _ in bands),
-            shifts)                     # 4 x (qh, 10, W); row 0 = row -1
-        amap = tuple(jnp.pad(a, ((0, 0), (0, 0), (1, 1)), mode="edge")
-                     for a in aligned)
+    amap, _ = jax.lax.scan(
+        v_step,
+        tuple(jnp.zeros((qh, 10, W), jnp.int16)
+              for _ in range(NV * len(bands))),
+        shifts)   # amap[p*NV + o+1] (qh, 10, W); row 1 = vertical offset 0
 
-        if sub_lv >= 2:
-            deltas = [(tx, ty) for ty in range(-2, 3) for tx in range(-2, 3)]
-        else:
-            deltas = [(tx, ty) for ty in (-2, 0, 2) for tx in (-2, 0, 2)]
-        ops = [_qpel_operands(tx, ty) for tx, ty in deltas]
+    deltas = refine_deltas(sub_lv)
+    ops = [_qpel_operands(tx, ty) for tx, ty in deltas]
 
-        def read(op):
-            p_, ox_, oy_ = op
-            return amap[p_][:, 1 + oy_:9 + oy_, 1 + ox_:1 + ox_ + W]
+    def read(op):
+        p_, ox_, oy_ = op
+        return amap[p_ * NV + (ox_ + 1 if sub_lv else 0)][
+            :, 1 + oy_:9 + oy_, :]
 
-        src_r = src16.reshape(qh, 8, W)
-        sads_r = []
-        for (op1, op2) in ops:
-            a = read(op1)
-            c = a if op1 == op2 else (a + read(op2) + 1) >> 1
-            sads_r.append(jnp.abs(src_r - c).astype(jnp.int32)
-                          .reshape(qh, 8, qw, 8).sum(axis=(1, 3)))
-        hsads = jnp.stack(sads_r)                          # (ncand, qh, qw)
-        # group refine SADs by the chosen partition so the delta is shared
-        h5 = hsads.reshape(-1, mbh, 2, mbw, 2)
-        g16 = jnp.repeat(jnp.repeat(
-            h5.sum(axis=(2, 4)), 2, 1), 2, 2)              # (nc, qh, qw)
-        g168 = jnp.repeat(h5.sum(axis=4).reshape(-1, qh, mbw), 2, 2)
-        g816 = jnp.repeat(h5.sum(axis=2).reshape(-1, mbh, qw), 2, 1)
-        p8 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)[None]
-        gsel = jnp.where(p8 == 0, g16,
-                         jnp.where(p8 == 1, g168,
-                                   jnp.where(p8 == 2, g816, hsads)))
-        hcost = jnp.asarray([(abs(tx) + abs(ty)) for tx, ty in deltas])
-        hbest = jnp.argmin(gsel * 4 + hcost[:, None, None], axis=0)
-        txs = jnp.asarray([d[0] for d in deltas])[hbest]
-        tys = jnp.asarray([d[1] for d in deltas])[hbest]
-        mv8 = mv8i * 4 + jnp.stack([txs, tys], axis=-1)
+    def cand(op1, op2):
+        a = read(op1)
+        return a if op1 == op2 else (a + read(op2) + 1) >> 1
 
-        pm1 = jnp.asarray([o[0][0] for o in ops])[hbest]   # (qh, qw)
-        ox1 = dxb + jnp.asarray([o[0][1] for o in ops])[hbest]
-        oy1 = dyb + jnp.asarray([o[0][2] for o in ops])[hbest]
-        pm2 = jnp.asarray([o[1][0] for o in ops])[hbest]
-        ox2 = dxb + jnp.asarray([o[1][1] for o in ops])[hbest]
-        oy2 = dyb + jnp.asarray([o[1][2] for o in ops])[hbest]
-    else:
-        mv8 = mv8i * 4
-        z = jnp.zeros((qh, qw), jnp.int32)
-        pm1 = pm2 = z
-        ox1 = ox2 = dxb
-        oy1 = oy2 = dyb
+    src_r = src16.reshape(qh, 8, W)
+    sads_r = [jnp.abs(src_r - cand(op1, op2)).astype(jnp.int32)
+              .reshape(qh, 8, qw, 8).sum(axis=(1, 3)) for op1, op2 in ops]
+    hsads = jnp.stack(sads_r)                          # (ncand, qh, qw)
+    # group refine SADs by the chosen partition so the delta is shared
+    h5 = hsads.reshape(-1, mbh, 2, mbw, 2)
+    g16 = jnp.repeat(jnp.repeat(
+        h5.sum(axis=(2, 4)), 2, 1), 2, 2)              # (nc, qh, qw)
+    g168 = jnp.repeat(h5.sum(axis=4).reshape(-1, qh, mbw), 2, 2)
+    g816 = jnp.repeat(h5.sum(axis=2).reshape(-1, mbh, qw), 2, 1)
+    p8 = jnp.repeat(jnp.repeat(part, 2, 0), 2, 1)[None]
+    gsel = jnp.where(p8 == 0, g16,
+                     jnp.where(p8 == 1, g168,
+                               jnp.where(p8 == 2, g816, hsads)))
+    hcost = jnp.asarray([(abs(tx) + abs(ty)) for tx, ty in deltas])
+    hbest = jnp.argmin(gsel * 4 + hcost[:, None, None], axis=0)
+    txs = jnp.asarray([d[0] for d in deltas])[hbest]
+    tys = jnp.asarray([d[1] for d in deltas])[hbest]
+    mv8 = mv8i * 4 + jnp.stack([txs, tys], axis=-1)
 
-    # ---- exact MC (h-then-v, both qpel operands in one scan) ----
-    shifts2 = jnp.arange(K + 1, dtype=jnp.int32) - rng - 1
-    hA = 8 + 2 * rng + 1
-    pmc1 = jnp.repeat(pm1, 8, axis=1)[:, None, :]
-    oxc1 = jnp.repeat(ox1, 8, axis=1)[:, None, :]
-    oyc1 = jnp.repeat(oy1, 8, axis=1)[:, None, :]
-    pmc2 = jnp.repeat(pm2, 8, axis=1)[:, None, :]
-    oxc2 = jnp.repeat(ox2, 8, axis=1)[:, None, :]
-    oyc2 = jnp.repeat(oy2, 8, axis=1)[:, None, :]
+    # ---- MC = select over the refine candidates ----
+    hb8 = jnp.repeat(hbest, 8, axis=1)[:, None, :]     # (qh, 1, W)
+    pred = jnp.zeros((qh, 8, W), jnp.int16)
+    for c, (op1, op2) in enumerate(ops):
+        pred = jnp.where(hb8 == c, cand(op1, op2), pred)
+    pred_y = pred.reshape(H, W).astype(jnp.int32)
+    return mv8, pred_y
 
-    def h2_step(carry, s):
-        a1, a2 = carry
-        for p, b in enumerate(bands):
-            sl = jax.lax.dynamic_slice(b, (0, 0, Mg + s), (qh, hA, W))
-            a1 = a1 + jnp.where((oxc1 == s) & (pmc1 == p), sl, 0)
-            a2 = a2 + jnp.where((oxc2 == s) & (pmc2 == p), sl, 0)
-        return (a1, a2), None
 
-    z2 = jnp.zeros((qh, hA, W), jnp.int16)
-    (Ah1, Ah2), _ = jax.lax.scan(h2_step, (z2, z2), shifts2)
-
-    def v2_step(carry, s):
-        a1, a2 = carry
-        s1 = jax.lax.dynamic_slice(Ah1, (0, rng + 1 + s, 0), (qh, 8, W))
-        s2 = jax.lax.dynamic_slice(Ah2, (0, rng + 1 + s, 0), (qh, 8, W))
-        return (a1 + jnp.where(oyc1 == s, s1, 0),
-                a2 + jnp.where(oyc2 == s, s2, 0)), None
-
-    z3 = jnp.zeros((qh, 8, W), jnp.int16)
-    (pA, pB), _ = jax.lax.scan(v2_step, (z3, z3), shifts2)
-    # with sub_lv == 0 both operands coincide, so the mean is the identity
-    pred_y = ((pA + pB + 1) >> 1).reshape(H, W).astype(jnp.int32)
-
-    # ---- chroma MC: 4x4 chroma blocks, one per luma 8x8 ----
+def _chroma_mc_8x8(mv8, ref_u, ref_v, rng: int, H: int, W: int):
+    """Chroma MC from the 8x8-grid qpel motion field: one 4x4 chroma block
+    per luma 8x8, eighth-pel bilinear (§8.4.2.2.2).  Returns (pred_u,
+    pred_v) (H/2, W/2) int32."""
+    qh = 2 * (H // 16)
     ci = mv8 >> 3
     f = mv8 & 7
     clo = -((4 * rng + 2) >> 3) - 1
@@ -315,8 +356,7 @@ def partition_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v,
 
     zp = jnp.zeros((qh, 4, Wc), jnp.int32)
     (pu_r, pv_r), _ = jax.lax.scan(cv_step, (zp, zp), cshifts)
-    return (part, mv8, pred_y,
-            pu_r.reshape(H // 2, Wc), pv_r.reshape(H // 2, Wc))
+    return pu_r.reshape(H // 2, Wc), pv_r.reshape(H // 2, Wc)
 
 
 # ---------------------------------------------------------------------------

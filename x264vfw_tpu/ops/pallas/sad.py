@@ -34,6 +34,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -49,17 +50,21 @@ def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
     # lane-unaligned) slice — Mosaic lowers those to one or two lane-shift
     # ops, an order of magnitude cheaper than a dynamic pltpu.roll per
     # offset (which dominated the whole encoder).
+    #
+    # Arithmetic is int32: current libtpu Mosaic fails to legalize most
+    # int16 vector ops (sub/min/max/shift/select all die in
+    # tpu_compile_helper; only add/xor survive — probed on real TPU).
+    # Storage stays int16 (band/scratch) for VMEM footprint; each band row
+    # is widened once per oy, so the converts are O(K), not O(K^2).
+    src32 = src.astype(jnp.int32)
     for oy in range(K):
-        rows = band_ref[0, oy:oy + 16, :]  # (16, bw), static slice
+        rows = band_ref[0, oy:oy + 16, :].astype(jnp.int32)  # (16, bw)
         for ox in range(K):
             cand = rows[:, ox:ox + W]                  # static unaligned
-            # |src-cand| as max(a-b, b-a): Mosaic has no int16 vector absi
-            # (math.absi fails to legalize on real TPU; interpret mode and
-            # CPU hide this — the gotcha in .claude/skills/verify)
-            d = jnp.maximum(src - cand, cand - src)    # int16: <= 255
+            d = jnp.maximum(src32 - cand, cand - src32)        # <= 255
             k = oy * K + ox
-            cs_ref[2 * k, :W] = jnp.sum(d[:8], axis=0)          # <= 2040
-            cs_ref[2 * k + 1, :W] = jnp.sum(d[8:], axis=0)
+            cs_ref[2 * k, :W] = jnp.sum(d[:8], axis=0).astype(jnp.int16)
+            cs_ref[2 * k + 1, :W] = jnp.sum(d[8:], axis=0).astype(jnp.int16)
 
     # phase 2: column -> 8-wide block reduction as big MXU matmuls (chunked
     # over offset rows to bound transient f32 VMEM).  Output row layout
@@ -81,6 +86,235 @@ def _sad_kernel(src_ref, band_ref, out_ref, cs_ref, *, R: int, mbw: int):
         sums = (jnp.dot(lo, E, preferred_element_type=jnp.float32)
                 + 256.0 * jnp.dot(hi, E, preferred_element_type=jnp.float32))
         out_ref[0, c:c + h, :] = sums.astype(jnp.int32)
+
+
+def _chunking(KK: int) -> tuple:
+    """Uniform phase-2 chunking: (chunk_rows, padded_row_count).
+
+    Equal-size chunks keep the in-kernel fori_loop shape-uniform; rows in
+    [KK, KKp) are argmin-neutral (host sets their pen to BIG)."""
+    nch = max(1, -(-KK // 128))
+    ch = (-(-KK // nch) + 7) // 8 * 8
+    return ch, ch * nch
+
+
+def _row_geometry(K: int) -> tuple:
+    """Scratch row layout for the argmin kernel: offset (oy, ox) lives at
+    row oy*Kp + ox (Kp = pad8(K)) so each oy's K-row group can be stored
+    with ONE 8-aligned dynamic store (Mosaic requires dynamic sublane
+    indices to be provably 8-aligned).  Returns (Kp, chunk, NRp) with NRp
+    the chunk-padded total rows per half."""
+    Kp = (K + 7) // 8 * 8
+    ch, nrp = _chunking(K * Kp)
+    return Kp, ch, nrp
+
+
+def _sad_argmin_kernel(src_ref, band_ref, pen_ref, kmap_ref, out_ref,
+                       cs_ref, band2_ref, *, R: int, mbw: int,
+                       scales: tuple):
+    """Full SAD sweep + in-kernel argmin over offsets, per partition shape.
+
+    Emits, per MB row, only the best (cost, offset-id) pair for each of the
+    six partition cost planes — 16x16, 16x8 top/bottom, 8x16 (lane = x
+    half), 8x8 top/bottom (lane = x quadrant) — instead of the full
+    (2*K*K, lanes) SAD tensor.  The full tensor at 1080p/R=8 is ~40 MB and
+    the newer libtpu stack-allocates pallas outputs in VMEM inside scans
+    (hard OOM); the reduction also kills ~190 MB/frame of HBM traffic the
+    host-side argmin used to re-read.  Cost model matches the XLA path
+    bit-for-bit: cost_X = 4 * SAD_X + scales[X] * (|dy| + |dx|); the
+    smallest offset id k = (dy+R)*K + (dx+R) wins ties via a lexicographic
+    (cost, k) reduction over the host-supplied kmap, so the padded scratch
+    row layout never leaks into the result.
+    """
+    K = 2 * R + 1
+    Kp, CH, NRp = _row_geometry(K)
+    W = mbw * 16
+    src32 = src_ref[:].astype(jnp.int32)
+
+    # phase 1 (same math as _sad_kernel): per-column |src-cand| sums, int32
+    # math / int16 storage; TOP halves in rows [0, NRp), BOTTOM at NRp +.
+    # The oy loop is a fori_loop — a fully unrolled K^2 body makes Mosaic
+    # stack-allocate every iteration's int32 temps at once (~30 MB at
+    # 1080p/R=8, a hard VMEM OOM).  Mosaic constraints shape the rest:
+    # dynamic sublane loads must be 2D and provably 8-aligned, so the band
+    # stages through a 2D scratch, oy splits as 8a + b (b a static python
+    # loop, the window load starts at 8a, b is a static slice of the
+    # window), and each oy's K per-ox rows are stacked locally and written
+    # with one aligned store at row oy*Kp.
+    band2_ref[:16 + 2 * R, :] = band_ref[0]
+    WH = 24                                     # 16 rows + max static b
+
+    def make_body(b):
+        def body(a, _):
+            oy = a * 8 + b
+            win = band2_ref[pl.ds(a * 8, WH), :]
+            rows = win[b:b + 16].astype(jnp.int32)
+            top = []
+            bot = []
+            for ox in range(K):
+                cand = rows[:, ox:ox + W]
+                d = jnp.maximum(src32 - cand, cand - src32)
+                top.append(jnp.sum(d[:8], axis=0).astype(jnp.int16))
+                bot.append(jnp.sum(d[8:], axis=0).astype(jnp.int16))
+            pad = [jnp.zeros((W,), jnp.int16)] * (Kp - K)
+            cs_ref[pl.ds(oy * Kp, Kp), :W] = jnp.stack(top + pad)
+            cs_ref[pl.ds(NRp + oy * Kp, Kp), :W] = jnp.stack(bot + pad)
+            return 0
+        return body
+
+    for b in range(min(8, K)):
+        na = (K - 1 - b) // 8 + 1
+        jax.lax.fori_loop(0, na, make_body(b), 0)
+
+    # phase 2: two indicator matmuls give 8-wide (lane = x quadrant) and
+    # 16-wide (lane = MB x) block sums of each chunk of offset rows; six
+    # cost planes then reduce to running (min, smallest-k) accumulators.
+    # bf16 operands are exact here (byte halves <= 255, indicator 0/1,
+    # f32 accumulation of <= 2^12 exact products).
+    L = out_ref.shape[2]
+    bw = band_ref.shape[2]
+    f32 = jnp.float32
+    iw = jax.lax.broadcasted_iota(jnp.int32, (bw, L), 0)
+    im = jax.lax.broadcasted_iota(jnp.int32, (bw, L), 1)
+    E8 = ((iw >> 3) == im).astype(jnp.bfloat16)
+    E16 = ((iw >> 4) == im).astype(jnp.bfloat16)
+    BIG = jnp.int32(1 << 28)
+
+    def chunk_body(i, carry):
+        c = i * CH
+
+        def q_pair(base):
+            cs = cs_ref[pl.ds(base + c, CH), :].astype(jnp.int32)
+            lo = (cs & 0xFF).astype(jnp.bfloat16)
+            hi = ((cs >> 8) & 0xFF).astype(jnp.bfloat16)
+
+            def dot2(E):
+                return (jnp.dot(lo, E, preferred_element_type=f32)
+                        + 256.0 * jnp.dot(hi, E,
+                                          preferred_element_type=f32)
+                        ).astype(jnp.int32)
+            return dot2(E8), dot2(E16)
+
+        qt8, qt16 = q_pair(0)           # top-half sums, 8- and 16-wide
+        qb8, qb16 = q_pair(NRp)         # bottom-half sums
+        # pen/kmap rows for padding (ox >= K or beyond K*Kp) are BIG on the
+        # host, so scratch garbage there can never win the argmin
+        pen = pen_ref[pl.ds(c, CH), :]
+        kmap = kmap_ref[pl.ds(c, CH), :]
+        costs = (
+            (qt16 + qb16) * 4 + scales[0] * pen,   # 16x16 (lane = mbx)
+            qt16 * 4 + scales[1] * pen,            # 16x8 top
+            qb16 * 4 + scales[1] * pen,            # 16x8 bottom
+            (qt8 + qb8) * 4 + scales[2] * pen,     # 8x16 (lane = qx)
+            qt8 * 4 + scales[3] * pen,             # 8x8 top
+            qb8 * 4 + scales[3] * pen,             # 8x8 bottom
+        )
+        out = []
+        for j, cst in enumerate(costs):
+            m = jnp.min(cst, axis=0, keepdims=True)
+            idx = jnp.min(jnp.where(cst == m, kmap, BIG), axis=0,
+                          keepdims=True)
+            pb, pk = carry[2 * j], carry[2 * j + 1]
+            upd = (m < pb) | ((m == pb) & (idx < pk))
+            out.append(jnp.where(upd, m, pb))
+            out.append(jnp.where(upd, idx, pk))
+        return tuple(out)
+
+    init = tuple(jnp.full((1, L), BIG, jnp.int32) for _ in range(12))
+    res = jax.lax.fori_loop(0, NRp // CH, chunk_body, init)
+
+    for j in range(6):
+        out_ref[0, 2 * j:2 * j + 1, :] = res[2 * j]
+        out_ref[0, 2 * j + 1:2 * j + 2, :] = res[2 * j + 1]
+    out_ref[0, 12:16, :] = jnp.zeros((4, L), jnp.int32)
+
+
+@partial(jax.jit, static_argnames=("R", "scales", "interpret"))
+def sad_partition_minima(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
+                         scales: tuple = (4, 2, 2, 1),
+                         interpret: bool = False) -> dict:
+    """Best (cost, offset) per partition shape, reduced on device.
+
+    src_y: (H, W) int; ref_pad: (H + 2R, W + 2R) int (edge-padded).
+    cost_X = 4*SAD_X + scales[X]*(|dy|+|dx|); ties resolve to the smallest
+    k = (dy+R)*K + (dx+R), matching jnp.argmin over the full SAD tensor.
+
+    Returns dict of int32 arrays:
+      v16/k16 (mbh, mbw), v168/k168 (mbh, mbw, 2 [top,bottom]),
+      v816/k816 (mbh, mbw, 2 [left,right]), v8/k8 (2mbh, 2mbw).
+    """
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    K = 2 * R + 1
+    Kp, _, NRp = _row_geometry(K)
+    band_h = 16 + 2 * R
+    bw = (W + 2 * R + 127) // 128 * 128
+    L = (2 * mbw + 127) // 128 * 128
+    ref_w = jnp.pad(ref_pad, ((0, 0), (0, bw - (W + 2 * R))), mode="edge")
+    bands = jnp.stack([
+        jax.lax.dynamic_slice(ref_w, (i * 16, 0), (band_h, bw))
+        for i in range(mbh)])
+
+    # scratch row r holds offset (oy = r // Kp, ox = r % Kp); rows with
+    # ox >= K (and any beyond K*Kp) are layout padding — argmin-neutral via
+    # BIG pen/kmap
+    r_oy = np.arange(NRp) // Kp
+    r_ox = np.arange(NRp) % Kp
+    valid = (r_ox < K) & (r_oy < K)
+    pen_r = np.abs(r_oy - R) + np.abs(r_ox - R)
+    pen_np = np.where(valid, pen_r, 1 << 28).astype(np.int32)
+    kmap_np = np.where(valid, r_oy * K + r_ox, 1 << 28).astype(np.int32)
+
+    out = pl.pallas_call(
+        partial(_sad_argmin_kernel, R=R, mbw=mbw, scales=scales),
+        out_shape=jax.ShapeDtypeStruct((mbh, 16, L), jnp.int32),
+        grid=(mbh,),
+        in_specs=[
+            pl.BlockSpec((16, W), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, band_h, bw), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NRp, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NRp, L), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 16, L), lambda i: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * NRp, bw), jnp.int16),
+                        # rows: aligned window reach (8*a_max + 24) >= band_h
+                        pltpu.VMEM(((K - 1) // 8 * 8 + 24, bw), jnp.int16)],
+        interpret=interpret,
+    )(src_y.astype(jnp.int16), bands.astype(jnp.int16),
+      jnp.asarray(np.broadcast_to(pen_np[:, None], (NRp, L)).copy()),
+      jnp.asarray(np.broadcast_to(kmap_np[:, None], (NRp, L)).copy()))
+
+    q2 = 2 * mbw
+    v168 = jnp.stack([out[:, 2, :mbw], out[:, 4, :mbw]], axis=-1)
+    k168 = jnp.stack([out[:, 3, :mbw], out[:, 5, :mbw]], axis=-1)
+    v8 = jnp.stack([out[:, 8, :q2], out[:, 10, :q2]], axis=1
+                   ).reshape(2 * mbh, q2)
+    k8 = jnp.stack([out[:, 9, :q2], out[:, 11, :q2]], axis=1
+                   ).reshape(2 * mbh, q2)
+    return {
+        "v16": out[:, 0, :mbw], "k16": out[:, 1, :mbw],
+        "v168": v168, "k168": k168,
+        "v816": out[:, 6, :q2].reshape(mbh, mbw, 2),
+        "k816": out[:, 7, :q2].reshape(mbh, mbw, 2),
+        "v8": v8, "k8": k8,
+    }
+
+
+@partial(jax.jit, static_argnames=("R", "interpret"))
+def sad16_argmin(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
+                 interpret: bool = False) -> jnp.ndarray:
+    """Best offset id per MB for cost = 4*SAD16 + (|dy|+|dx|).
+
+    Drop-in for argmin(sad_search(...)*4 + pen) without materializing the
+    (K*K, mbh, mbw) tensor.  Returns k16 (mbh, mbw) int32.
+    """
+    mins = sad_partition_minima(src_y, ref_pad, R, scales=(1, 0, 0, 0),
+                                interpret=interpret)
+    return mins["k16"]
 
 
 @partial(jax.jit, static_argnames=("R", "interpret"))
