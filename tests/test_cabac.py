@@ -257,3 +257,57 @@ def test_native_b_slice_matches_python():
                     dc_u[k], dc_v[k], ac_u[k], ac_v[k])
             cs.end_mb(k == n - 1)
         assert native == cs.payload()
+
+
+def test_native_i4_slice_matches_python():
+    """Mixed I16/I_NxN I-slice: the C coder must be byte-identical to the
+    Python golden model (mb_type bin 0, pred-mode bins ctx 68/69, intra
+    CBP me(), conditional qp_delta, LumaLevel4x4 residual)."""
+    from x264vfw_tpu.bitstream import cabac_native as cn
+    from x264vfw_tpu.bitstream.cabac_slice import CabacSlice
+    if not cn.available():
+        import pytest
+        pytest.skip("native coder unavailable")
+    rng = np.random.default_rng(11)
+    for trial in range(4):
+        mbh, mbw = int(rng.integers(2, 5)), int(rng.integers(2, 7))
+        n = mbh * mbw
+        use_i4 = rng.random(n) < 0.6
+        i16m = rng.integers(0, 4, n).astype(np.int32)
+        cmode = rng.integers(0, 4, n).astype(np.int32)
+        acf = (rng.random(n) < 0.5).astype(np.uint8)
+        cbc = rng.integers(0, 3, n).astype(np.int32)
+
+        def lv(shape, density=0.3):
+            a = rng.integers(-8, 9, shape).astype(np.int32)
+            return np.where(rng.random(shape) < density, a, 0)
+
+        dc = lv((n, 16))
+        ac = np.where(acf[:, None, None].astype(bool), lv((n, 16, 15)), 0)
+        dcu = np.where((cbc >= 1)[:, None], lv((n, 4)), 0)
+        dcv = np.where((cbc >= 1)[:, None], lv((n, 4)), 0)
+        acu = np.where((cbc == 2)[:, None, None], lv((n, 4, 15)), 0)
+        acv = np.where((cbc == 2)[:, None, None], lv((n, 4, 15)), 0)
+        cbp4 = rng.integers(0, 16, n).astype(np.int32)
+        quad = ((cbp4[:, None] >> (np.arange(16) // 4)) & 1).astype(bool)
+        lvl4 = np.where(quad[:, :, None], lv((n, 16, 16)), 0)
+        prevs = rng.random((n, 16)) < 0.5
+        rems = rng.integers(0, 8, (n, 16)).astype(np.int32)
+        qp = int(rng.integers(10, 45))
+        native = cn.encode_i_slice(qp, mbh, mbw, i16m, cmode, acf, cbc,
+                                   dc, ac, dcu, dcv, acu, acv,
+                                   use_i4=use_i4.astype(np.uint8),
+                                   i4_prev=prevs.astype(np.uint8),
+                                   i4_rem=rems, cbp4=cbp4, levels4=lvl4)
+        cs = CabacSlice(qp, True, mbh, mbw)
+        for k in range(n):
+            if use_i4[k]:
+                cs.i4_mb(k % mbw, k // mbw, prevs[k], rems[k],
+                         int(cmode[k]), int(cbp4[k]), int(cbc[k]), lvl4[k],
+                         dcu[k], dcv[k], acu[k], acv[k])
+            else:
+                cs.i16_mb(k % mbw, k // mbw, int(i16m[k]), int(cmode[k]),
+                          bool(acf[k]), int(cbc[k]), dc[k], ac[k],
+                          dcu[k], dcv[k], acu[k], acv[k])
+            cs.end_mb(k == n - 1)
+        assert native == cs.payload(), f"trial {trial}"

@@ -232,6 +232,7 @@ typedef struct {
     uint8_t cbf4[4 * MAXMB_H * 4 * MAXMB_W];
     uint8_t cbf_dc[MAXMB_H * MAXMB_W];
     uint8_t is_i16[MAXMB_H * MAXMB_W];
+    uint8_t is_inxn[MAXMB_H * MAXMB_W];
     uint8_t cbf_cdc[MAXMB_H * MAXMB_W * 2];
     uint8_t cbf_cac[2 * MAXMB_H * 2 * MAXMB_W * 2];
     int32_t cmode[MAXMB_H * MAXMB_W];
@@ -258,6 +259,7 @@ static void maps_clear(Maps *m, int mbh, int mbw)
     memset(m->cbf4, 0, (size_t)(16 * n));
     memset(m->cbf_dc, 0, (size_t)n);
     memset(m->is_i16, 0, (size_t)n);
+    memset(m->is_inxn, 0, (size_t)n);
     memset(m->cbf_cdc, 0, (size_t)(2 * n));
     memset(m->cbf_cac, 0, (size_t)(8 * n));
     memset(m->cmode, 0, (size_t)n * sizeof(int32_t));
@@ -576,8 +578,13 @@ long cabac_encode_p_slice(
     return (c.nbits + 7) >> 3;
 }
 
+/* I slice with mixed I16x16 / I_NxN macroblocks.  The five i4 arrays may
+ * all be NULL for a pure-I16 slice: use_i4 (n,), i4_prev (n,16),
+ * i4_rem (n,16), cbp4 (n,), levels4 (n,16,16 zigzag decode order). */
 long cabac_encode_i_slice(
     int qp, int mbh, int mbw,
+    const uint8_t *use_i4, const uint8_t *i4_prev, const int32_t *i4_rem,
+    const int32_t *cbp4, const int32_t *levels4,
     const int32_t *i16mode, const int32_t *cmode, const uint8_t *acflag,
     const int32_t *cbp_c,
     const int32_t *dc,                                  /* (n,16) */
@@ -595,20 +602,34 @@ long cabac_encode_i_slice(
     int n = mbh * mbw;
     for (int k = 0; k < n; k++) {
         int mx = k % mbw, my = k / mbw;
-        /* mb_type I16: b0 at 3 + condA + condB (no I_NxN emitted) */
-        int ca = mx - 1 >= 0 ? 1 : 0;
-        int cb = my - 1 >= 0 ? 1 : 0;
-        decision(&c, 3 + ca + cb, 1);
-        terminate(&c, 0);
-        decision(&c, 6, acflag[k]);
-        decision(&c, 7, cbp_c[k] != 0);
-        if (cbp_c[k])
-            decision(&c, 8, cbp_c[k] == 2);
-        decision(&c, 9, (i16mode[k] >> 1) & 1);
-        decision(&c, 10, i16mode[k] & 1);
-        m->is_i16[my * mbw + mx] = 1;
-        m->cbp_l[my * mbw + mx] = acflag[k] ? 15 : 0;
-        m->cbp_c[my * mbw + mx] = cbp_c[k];
+        int i4 = use_i4 && use_i4[k];
+        /* mb_type b0 at 3 + condA + condB (condTerm = nbr not I_NxN) */
+        int ca = mx - 1 >= 0 ? !m->is_inxn[my * mbw + mx - 1] : 0;
+        int cb = my - 1 >= 0 ? !m->is_inxn[(my - 1) * mbw + mx] : 0;
+        decision(&c, 3 + ca + cb, !i4);
+        if (i4) {
+            m->is_inxn[my * mbw + mx] = 1;
+            for (int b = 0; b < 16; b++) {
+                int pf = i4_prev[16 * k + b];
+                decision(&c, 68, pf);
+                if (!pf) {
+                    int rv = i4_rem[16 * k + b];
+                    for (int i = 0; i < 3; i++)
+                        decision(&c, 69, (rv >> i) & 1);
+                }
+            }
+        } else {
+            terminate(&c, 0);      /* I_PCM escape, always 0 for I16 */
+            decision(&c, 6, acflag[k]);
+            decision(&c, 7, cbp_c[k] != 0);
+            if (cbp_c[k])
+                decision(&c, 8, cbp_c[k] == 2);
+            decision(&c, 9, (i16mode[k] >> 1) & 1);
+            decision(&c, 10, i16mode[k] & 1);
+            m->is_i16[my * mbw + mx] = 1;
+            m->cbp_l[my * mbw + mx] = acflag[k] ? 15 : 0;
+            m->cbp_c[my * mbw + mx] = cbp_c[k];
+        }
         /* intra_chroma_pred_mode: TU cMax 3 */
         int ia = mx - 1 >= 0 ? (m->cmode[my * mbw + mx - 1] != 0) : 0;
         int ib = my - 1 >= 0 ? (m->cmode[(my - 1) * mbw + mx] != 0) : 0;
@@ -618,19 +639,43 @@ long cabac_encode_i_slice(
         if (cmode[k] < 3)
             decision(&c, cmode[k] == 0 ? 64 + inc : 67, 0);
         m->cmode[my * mbw + mx] = cmode[k];
-        decision(&c, 60, 0);        /* mb_qp_delta = 0 */
-        int cbf = residual(&c, 0, cbf_inc_dc(m, mx, my, 1), dc + 16 * k, 16);
-        m->cbf_dc[my * mbw + mx] = (uint8_t)cbf;
-        if (acflag[k]) {
-            for (int blk = 0; blk < 16; blk++) {
-                int bx = BLKX[blk], by = BLKY[blk];
-                int inc2 = cbf_inc_luma4(m, mx, my, bx, by, 1);
-                int cb2 = residual(&c, 1, inc2, ac + (k * 16 + blk) * 15, 15);
-                m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx] = (uint8_t)cb2;
+        if (i4) {
+            cbp_code(&c, m, mx, my, cbp4[k], cbp_c[k]);
+            m->cbp_l[my * mbw + mx] = cbp4[k];
+            m->cbp_c[my * mbw + mx] = cbp_c[k];
+            if (cbp4[k] || cbp_c[k]) {
+                decision(&c, 60, 0);    /* mb_qp_delta = 0 */
+                for (int blk = 0; blk < 16; blk++) {
+                    if (!((cbp4[k] >> (blk / 4)) & 1))
+                        continue;
+                    int bx = BLKX[blk], by = BLKY[blk];
+                    int inc2 = cbf_inc_luma4(m, mx, my, bx, by, 1);
+                    int cb2 = residual(&c, 2, inc2,
+                                       levels4 + (k * 16 + blk) * 16, 16);
+                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                        = (uint8_t)cb2;
+                }
+                chroma_res(&c, m, mx, my, cbp_c[k], 1, dc_u + 4 * k,
+                           dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
             }
+        } else {
+            decision(&c, 60, 0);        /* mb_qp_delta = 0 */
+            int cbf = residual(&c, 0, cbf_inc_dc(m, mx, my, 1),
+                               dc + 16 * k, 16);
+            m->cbf_dc[my * mbw + mx] = (uint8_t)cbf;
+            if (acflag[k]) {
+                for (int blk = 0; blk < 16; blk++) {
+                    int bx = BLKX[blk], by = BLKY[blk];
+                    int inc2 = cbf_inc_luma4(m, mx, my, bx, by, 1);
+                    int cb2 = residual(&c, 1, inc2, ac + (k * 16 + blk) * 15,
+                                       15);
+                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                        = (uint8_t)cb2;
+                }
+            }
+            chroma_res(&c, m, mx, my, cbp_c[k], 1, dc_u + 4 * k,
+                       dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
         }
-        chroma_res(&c, m, mx, my, cbp_c[k], 1, dc_u + 4 * k, dc_v + 4 * k,
-                   ac_u + 60 * k, ac_v + 60 * k);
         terminate(&c, k == n - 1);
         if (c.overflow)
             return -1;

@@ -125,6 +125,7 @@ class CompressSession:
             # search; i4x4/i8x8 entries are intra-side and separate)
             partitions="none" not in p.partitions
             and ("p8x8" in p.partitions or "p4x4" in p.partitions),
+            i4x4="none" not in p.partitions and "i4x4" in p.partitions,
             weightp=p.weightp,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,

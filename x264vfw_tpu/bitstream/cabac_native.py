@@ -117,13 +117,26 @@ def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
 
 
 def encode_i_slice(qp, mbh, mbw, i16mode, cmode, acflag, cbp_c,
-                   dc, ac, dc_u, dc_v, ac_u, ac_v) -> bytes:
+                   dc, ac, dc_u, dc_v, ac_u, ac_v,
+                   use_i4=None, i4_prev=None, i4_rem=None, cbp4=None,
+                   levels4=None) -> bytes:
+    """Mixed I16/I_NxN slice; the five i4 args may all be None (pure I16).
+    levels4: (n, 16, 16) zigzag decode-order blocks, cbp-masked."""
     lib = _get_lib()
     n = mbh * mbw
     cap = max(1 << 16, n * 1200)
     out = np.zeros(cap, np.uint8)
     holds = []
     ptrs = []
+    if use_i4 is None:
+        ptrs = [None] * 5
+    else:
+        for a, dt in ((use_i4, np.uint8), (i4_prev, np.uint8),
+                      (i4_rem, np.int32), (cbp4, np.int32),
+                      (levels4, np.int32)):
+            arr, p = _p(a, dt)
+            holds.append(arr)
+            ptrs.append(p)
     for a, dt in ((i16mode, np.int32), (cmode, np.int32), (acflag, np.uint8),
                   (cbp_c, np.int32), (dc, np.int32), (ac, np.int32),
                   (dc_u, np.int32), (dc_v, np.int32), (ac_u, np.int32),

@@ -388,9 +388,9 @@ class CabacSliceBase:
     def i_mb_type(self, mx, my, val=None):
         """I-slice mb_type (§9.3.2.5 / Table 9-39, ctxIdxOffset 3).
 
-        Writing: val = None is not supported for I_NxN yet (our encoder only
-        emits I16), pass (acflag, cbp_c, pred).  Reading: returns
-        ("i4",) for I_NxN or ("i16", acflag, cbp_c, pred); raises on I_PCM."""
+        Writing: pass ("i4",) for I_NxN or (acflag, cbp_c, pred) for
+        I16x16.  Reading: returns ("i4",) for I_NxN or ("i16", acflag,
+        cbp_c, pred); raises on I_PCM."""
         io = self.io
 
         def cond(x, y):
@@ -398,8 +398,10 @@ class CabacSliceBase:
                 return 0
             return 0 if self.is_inxn[y, x] else 1
 
+        writing = val is not None
+        is_i4_w = writing and len(val) == 1
         b0 = io.decision(3 + cond(mx - 1, my) + cond(mx, my - 1),
-                         1 if val is not None else None)
+                         (0 if is_i4_w else 1) if writing else None)
         if not b0:
             return ("i4",)
         if io.terminate(0 if val is not None else None):
@@ -568,6 +570,37 @@ class CabacSlice(CabacSliceBase):
             cbf, _ = self.residual(2, inc, coeffs=levels16[blk])
             self.cbf4[4 * my + by, 4 * mx + bx] = cbf
         self._chroma_res(mx, my, cbp_c, False,
+                         dc_u=dc_u, dc_v=dc_v, ac_u=ac_u, ac_v=ac_v)
+
+    def i4_mb(self, mx, my, prevs, rems, cmode, cbp_l, cbp_c,
+              levels16, dc_u, dc_v, ac_u, ac_v, qpd=0):
+        """One I_NxN macroblock (write side, mirror of read_i4_mb_body):
+        prevs (16,) prev_intra4x4_pred_mode_flag, rems (16,)
+        rem_intra4x4_pred_mode (used where prevs is 0), levels16 (16, 16)
+        zigzag decode-order luma blocks."""
+        self.i_mb_type(mx, my, ("i4",))
+        self.coded[my, mx] = True
+        self.is_intra[my, mx] = True
+        self.is_inxn[my, mx] = True
+        for b in range(16):
+            p = bool(prevs[b])
+            self.i4_pred_bins(prev=p, rem=None if p else int(rems[b]))
+        self.chroma_pred_mode(mx, my, int(cmode))
+        self.cbp(mx, my, int(cbp_l), int(cbp_c))
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return
+        self.qp_delta(int(qpd))
+        for blk in range(16):
+            if not (cbp_l >> (blk // 4)) & 1:
+                continue
+            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+            inc = self.cbf_inc_luma4(mx, my, bx, by, True)
+            cbf, _ = self.residual(2, inc, coeffs=levels16[blk])
+            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        self._chroma_res(mx, my, cbp_c, True,
                          dc_u=dc_u, dc_v=dc_v, ac_u=ac_u, ac_v=ac_v)
 
     def i16_mb(self, mx, my, pred, cmode, ac_flag, cbp_c, dc16,

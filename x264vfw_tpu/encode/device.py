@@ -342,11 +342,11 @@ def _motion_search_and_mc(src_y, src_u, src_v, ref_y, ref_u, ref_v, rng: int,
         dxb = jnp.where(use_z, zdxs[bestz], dxb0 + rdxs[bestr])
         dyb = jnp.where(use_z, zdys[bestz], dyb0 + rdys[bestr])
     elif backend in ("pallas", "pallas_interpret"):
-        from ..ops.pallas.sad import sad_search
-        sads = sad_search(src16, ref_pad[8:-8, 8:-8], rng,
-                          interpret=(backend == "pallas_interpret"))
-        cost = jnp.abs(offs[:, 0] - rng) + jnp.abs(offs[:, 1] - rng)
-        best = jnp.argmin(sads * 4 + cost[:, None, None], axis=0)
+        # in-kernel argmin: cost = 4*SAD16 + (|dy|+|dx|), identical ints
+        # and tie-break order to the XLA argmin below
+        from ..ops.pallas.sad import sad16_argmin
+        best = sad16_argmin(src16, ref_pad[8:-8, 8:-8], rng,
+                            interpret=(backend == "pallas_interpret"))
         dyb = best // K - rng
         dxb = best % K - rng
     else:
@@ -1072,15 +1072,17 @@ def encode_b_frame_core(src_y, src_u, src_v,
 # I-frame pipeline (row scan, V/DC modes)
 # --------------------------------------------------------------------------
 
-def encode_i_frame_core(src_y, src_u, src_v, qp, qpc):
+def encode_i_frame_core(src_y, src_u, src_v, qp, qpc, i4x4: bool = False):
     """Device I-frame encode: anti-diagonal wavefront with full per-MB
     Intra_16x16 (V/H/DC/Plane) and chroma (DC/H/V/Plane) mode decision
     under exact reconstruction feedback (see intra_wavefront module).
+    i4x4=True adds the full 9-mode I_NxN candidate per MB (slope-2
+    wavefront, see intra4x4 module).
 
     Returns syntax tensors + recon planes + per-MB 'i16_mode'/'cmode'.
     """
     from .intra_wavefront import encode_i_frame_core_wf
-    return encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc)
+    return encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc, i4x4)
 
 
 def _luma_residual_pipeline_i16(src_mbs, pred_mbs, qp):
@@ -1199,4 +1201,5 @@ encode_p_frame = partial(jax.jit, static_argnames=(
 encode_b_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "decimate", "trellis",
     "want_recon"))(encode_b_frame_core)
-encode_i_frame = jax.jit(encode_i_frame_core)
+encode_i_frame = partial(jax.jit, static_argnames=("i4x4",))(
+    encode_i_frame_core)

@@ -431,7 +431,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
 
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
-                      dbA: int = 0, dbB: int = 0, qpc_offset: int = 0):
+                      dbA: int = 0, dbB: int = 0, qpc_offset: int = 0,
+                      i4x4: bool = False):
     """Returns a jitted fused I-frame phase-1 program for a geometry.
 
     Deliberately a PER-SESSION jitted closure, NOT a shared module-level
@@ -452,7 +453,7 @@ def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
         sy = src_yuv[:ys].reshape(H, W).astype(jnp.int32)
         su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
-        out = encode_i_frame_core(sy, su, sv, qp, qpc)
+        out = encode_i_frame_core(sy, su, sv, qp, qpc, i4x4)
         v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
         recon = _maybe_deblock(out, qp, H // 16, W // 16, True, deblock,
                                dbA, dbB, qpc_offset=qpc_offset)
@@ -652,7 +653,7 @@ def finalize_i(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
 
 
 def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
-    """I-slice (I16x16 V/DC row-scan encoding) -> packed bytes."""
+    """I-slice syntax tensors -> slot rows (mixed I16x16 / I_NxN MBs)."""
     n = mbh * mbw
     dc = out["dc"]
     ac = out["ac"]
@@ -666,21 +667,49 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     chroma_mode = out["cmode"]
     mb_type = 1 + i16_mode + 4 * cbp_chroma + 12 * cbp_luma_nz
 
-    ac = jnp.where(cbp_luma_nz[:, None, None], ac, 0)
+    use_i4 = out.get("use_i4")
+    if use_i4 is None:
+        use_i4 = jnp.zeros((n,), bool)
+        levels4 = jnp.zeros((n, 16, 16), jnp.int32)
+        i4_prev = jnp.zeros((n, 16), bool)
+        i4_rem = jnp.zeros((n, 16), jnp.int32)
+        cbp4 = jnp.zeros((n,), jnp.int32)
+    else:
+        levels4 = out["levels4"]
+        i4_prev = out["i4_prev"]
+        i4_rem = out["i4_rem"]
+        cbp4 = out["cbp_luma4"]
+    mb_type = jnp.where(use_i4, 0, mb_type)
+
+    ac = jnp.where(cbp_luma_nz[:, None, None] & ~use_i4[:, None, None],
+                   ac, 0)
     ac_u = jnp.where((cbp_chroma == 2)[:, None, None], ac_u, 0)
     ac_v = jnp.where((cbp_chroma == 2)[:, None, None], ac_v, 0)
     dc_u = jnp.where((cbp_chroma >= 1)[:, None], dc_u, 0)
     dc_v = jnp.where((cbp_chroma >= 1)[:, None], dc_v, 0)
 
-    tc_blk = (ac != 0).sum(-1)
+    # unified per-block total_coeff map: I_NxN blocks count all 16 coeffs,
+    # I16 blocks their 15 AC coeffs (§9.2.1 nC derivation)
+    tc_blk = jnp.where(use_i4[:, None], (levels4 != 0).sum(-1),
+                       (ac != 0).sum(-1))
     nc_l = _nc_luma(tc_blk, mbh, mbw)
     nc_cu = _nc_chroma((ac_u != 0).sum(-1), mbh, mbw)
     nc_cv = _nc_chroma((ac_v != 0).sum(-1), mbh, mbw)
 
     vdc, ldc = cj.encode_blocks(dc, nc_l[:, 0], 16)
+    ldc = jnp.where(use_i4[:, None], 0, ldc)
     vac, lac = cj.encode_blocks(ac.reshape(-1, 15), nc_l.reshape(-1), 15)
     vac = vac.reshape(n, 16, S)
-    lac = jnp.where(cbp_luma_nz[:, None, None], lac.reshape(n, 16, S), 0)
+    lac = jnp.where((cbp_luma_nz & ~use_i4)[:, None, None],
+                    lac.reshape(n, 16, S), 0)
+    # I_NxN luma residual: 16-coeff blocks, coded iff the 8x8 quadrant's
+    # cbp bit is set
+    vl4, ll4 = cj.encode_blocks(levels4.reshape(-1, 16),
+                                nc_l.reshape(-1), 16)
+    quad4 = ((cbp4[:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
+    vl4 = vl4.reshape(n, 16, S)
+    ll4 = jnp.where((use_i4[:, None] & quad4)[:, :, None],
+                    ll4.reshape(n, 16, S), 0)
     vcdu, lcdu = cj.encode_blocks(dc_u, jnp.full(n, -1), 4)
     vcdv, lcdv = cj.encode_blocks(dc_v, jnp.full(n, -1), 4)
     has_cdc = (cbp_chroma >= 1)[:, None]
@@ -694,22 +723,36 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    hv = jnp.zeros((n, 3), jnp.uint32)
-    hl = jnp.zeros((n, 3), jnp.int32)
+    # header slots: [mb_type, 16 x intra4x4 pred modes, cmode, cbp, qpd]
+    hv = jnp.zeros((n, 20), jnp.uint32)
+    hl = jnp.zeros((n, 20), jnp.int32)
     tv, tl = cj.ue_codes_j(mb_type)
     hv = hv.at[:, 0].set(tv)
     hl = hl.at[:, 0].set(tl)
+    # prev_intra4x4_pred_mode_flag (+ rem): '1' (1 bit) or '0rrr' (4 bits)
+    pmv = jnp.where(i4_prev, 1, i4_rem).astype(jnp.uint32)
+    pml = jnp.where(use_i4[:, None], jnp.where(i4_prev, 1, 4), 0)
+    hv = hv.at[:, 1:17].set(pmv)
+    hl = hl.at[:, 1:17].set(pml.astype(jnp.int32))
     cv, cl = cj.ue_codes_j(chroma_mode)
-    hv = hv.at[:, 1].set(cv)
-    hl = hl.at[:, 1].set(cl)
-    hv = hv.at[:, 2].set(1)
-    hl = hl.at[:, 2].set(1)  # se(0)
+    hv = hv.at[:, 17].set(cv)
+    hl = hl.at[:, 17].set(cl)
+    # coded_block_pattern, me() intra mapping (I_NxN only)
+    from ..bitstream.mb_syntax import CBP_TO_CODE
+    code = jnp.asarray(CBP_TO_CODE[1])[cbp4 | (cbp_chroma << 4)]
+    bv, bl = cj.ue_codes_j(code)
+    hv = hv.at[:, 18].set(bv)
+    hl = hl.at[:, 18].set(jnp.where(use_i4, bl, 0))
+    # mb_qp_delta se(0): always for I16, only when cbp != 0 for I_NxN
+    qpd_on = ~use_i4 | (cbp4 != 0) | (cbp_chroma != 0)
+    hv = hv.at[:, 19].set(1)
+    hl = hl.at[:, 19].set(jnp.where(qpd_on, 1, 0))
 
     mb_vals = jnp.concatenate([
-        hv, vdc, vac.reshape(n, -1), vcdu, vcdv,
+        hv, vdc, vac.reshape(n, -1), vl4.reshape(n, -1), vcdu, vcdv,
         vcau.reshape(n, -1), vcav.reshape(n, -1)], axis=1)
     mb_lens = jnp.concatenate([
-        hl, ldc, lac.reshape(n, -1), lcdu, lcdv,
+        hl, ldc, lac.reshape(n, -1), ll4.reshape(n, -1), lcdu, lcdv,
         lcau.reshape(n, -1), lcav.reshape(n, -1)], axis=1)
 
     body_bits = hdr_lens.sum() + mb_lens.sum()

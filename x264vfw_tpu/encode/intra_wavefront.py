@@ -38,22 +38,24 @@ import numpy as np
 from ..ops import transform as tj
 
 
-def _skew(b, mbh, mbw, steps):
-    """(mbh, mbw, ...) -> (steps, mbh, ...) with out[d, y] = b[y, d - y]
-    (junk in out-of-range slots)."""
+def _skew(b, mbh, mbw, steps, slope: int = 1):
+    """(mbh, mbw, ...) -> (steps, mbh, ...) with out[d, y] = b[y, d - slope*y]
+    (junk in out-of-range slots).  slope 2 is required when dependencies
+    include the top-right neighbour (I4x4 — the same reason HEVC WPP lags
+    two CTUs per row)."""
     trail = b.shape[2:]
-    pad = [(0, 0), (0, steps + 1 - mbw)] + [(0, 0)] * len(trail)
-    g = jnp.pad(b, pad).reshape((mbh * (steps + 1),) + trail)
+    pad = [(0, 0), (0, steps + slope - mbw)] + [(0, 0)] * len(trail)
+    g = jnp.pad(b, pad).reshape((mbh * (steps + slope),) + trail)
     f = g[: mbh * steps].reshape((mbh, steps) + trail)
     return jnp.swapaxes(f, 0, 1)
 
 
-def _unskew(a, mbh, mbw, steps):
-    """(steps, mbh, ...) -> (mbh, mbw, ...) with out[y, x] = a[x + y, y]."""
+def _unskew(a, mbh, mbw, steps, slope: int = 1):
+    """(steps, mbh, ...) -> (mbh, mbw, ...) with out[y, x] = a[slope*y+x, y]."""
     trail = a.shape[2:]
     f = jnp.swapaxes(a, 0, 1).reshape((mbh * steps,) + trail)
-    pad = [(0, mbh)] + [(0, 0)] * len(trail)
-    g = jnp.pad(f, pad).reshape((mbh, steps + 1) + trail)
+    pad = [(0, slope * mbh)] + [(0, 0)] * len(trail)
+    g = jnp.pad(f, pad).reshape((mbh, steps + slope) + trail)
     return g[:, :mbw]
 
 
@@ -152,21 +154,28 @@ def _i16_dc_pred(top, left, availT, availL):
 BIG = 1 << 29
 
 
-def encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc):
+def encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc, i4x4: bool = False):
     """Device I-frame encode with full I16 + chroma mode decision.
 
     Returns the syntax-tensor dict of encode_i_frame_core plus
     'i16_mode' (n,) in {0=V,1=H,2=DC,3=Plane} and 'cmode' (n,) in
-    {0=DC,1=H,2=V,3=Plane} (§7.4.5 numbering for both)."""
+    {0=DC,1=H,2=V,3=Plane} (§7.4.5 numbering for both).
+
+    With i4x4=True the wavefront runs at slope 2 (the I4x4 top-right-MB
+    dependency) and every MB additionally runs the full 9-mode I_NxN
+    encode (encode/intra4x4.py); the per-MB winner is selected by
+    SATD + lambda*bits and reported via 'use_i4' / 'i4_modes' /
+    'levels4' / 'cbp_luma4'."""
     from .device import (mbize, unmbize, _luma_residual_pipeline_i16,
                          _finish_intra_mb)
     H, W = src_y.shape
     mbh, mbw = H // 16, W // 16
-    steps = mbh + mbw - 1
+    slope = 2 if i4x4 else 1
+    steps = slope * (mbh - 1) + mbw
 
-    sy = _skew(mbize(src_y).reshape(mbh, mbw, 16, 16), mbh, mbw, steps)
-    su = _skew(mbize(src_u, 8).reshape(mbh, mbw, 8, 8), mbh, mbw, steps)
-    sv = _skew(mbize(src_v, 8).reshape(mbh, mbw, 8, 8), mbh, mbw, steps)
+    sy = _skew(mbize(src_y).reshape(mbh, mbw, 16, 16), mbh, mbw, steps, slope)
+    su = _skew(mbize(src_u, 8).reshape(mbh, mbw, 8, 8), mbh, mbw, steps, slope)
+    sv = _skew(mbize(src_v, 8).reshape(mbh, mbw, 8, 8), mbh, mbw, steps, slope)
 
     ys_idx = jnp.arange(mbh, dtype=jnp.int32)
     # satd-domain lambda (x264 lambda table shape)
@@ -179,17 +188,18 @@ def encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc):
         return jnp.concatenate([jnp.zeros_like(a[:1]), a[:-1]])
 
     def step(carry, xs):
-        (bot1_y, bot2_y, right_y,
-         bot1_u, bot2_u, right_u,
-         bot1_v, bot2_v, right_v) = carry
+        # bots_*[k] = bottom rows emitted at step d-1-k (depth slope+1);
+        # mode borders only carried when i4x4
+        (bots_y, right_y, bots_u, right_u, bots_v, right_v,
+         mbots, mright) = carry
         smb_y, smb_u, smb_v, d = xs
-        x = d - ys_idx                                  # (mbh,)
+        x = d - slope * ys_idx                          # (mbh,)
         availT = ys_idx >= 1                            # top nbr (y-1, x)
         availL = x >= 1                                 # left nbr (y, x-1)
         availTL = availT & availL
 
-        top_y = shift_down(bot1_y)                      # (mbh, 16)
-        tl_y = shift_down(bot2_y)[:, 15]                # corner pixel
+        top_y = shift_down(bots_y[slope - 1])           # (mbh, 16)
+        tl_y = shift_down(bots_y[slope])[:, 15]         # corner pixel
         left_y = right_y
         # ---- luma I16 mode decision ----
         pV = jnp.broadcast_to(top_y[:, None, :], (mbh, 16, 16))
@@ -208,11 +218,11 @@ def encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc):
                                      jnp.where(sel == 2, pDC, pPL)))
 
         # ---- chroma mode decision (joint over U+V) ----
-        top_u = shift_down(bot1_u)
-        tl_u = shift_down(bot2_u)[:, 7]
+        top_u = shift_down(bots_u[slope - 1])
+        tl_u = shift_down(bots_u[slope])[:, 7]
         left_u = right_u
-        top_v = shift_down(bot1_v)
-        tl_v = shift_down(bot2_v)[:, 7]
+        top_v = shift_down(bots_v[slope - 1])
+        tl_v = shift_down(bots_v[slope])[:, 7]
         left_v = right_v
         cand_u = [
             _chroma_dc_pred(top_u, left_u, availT, availL),
@@ -246,22 +256,59 @@ def encode_i_frame_core_wf(src_y, src_u, src_v, qp, qpc):
                                smb_u, pred_u, smb_v, pred_v, qp, qpc)
         out["i16_mode"] = i16_mode
         out["cmode"] = cmode
-        new_carry = (out["recon_y"][:, -1, :], bot1_y,
+
+        if i4x4:
+            from .intra4x4 import encode_i4x4_batch
+            availTR = availT & (x + 1 < mbw) & (x + 1 > 0)
+            tr4 = shift_down(bots_y[0])[:, :4]          # (y-1, x+1) bottom
+            top_modes = shift_down(mbots[1])            # top MB bottom modes
+            left_modes = mright                         # left MB right modes
+            i4 = encode_i4x4_batch(
+                smb_y, top_y, tr4, left_y, tl_y, top_modes, left_modes,
+                availT, availL, availTR, qp, lam)
+            # MB-type decision: total satd + lambda * signalling bits.
+            # I16 header ~ ue(mb_type 1..24) ~ 9 bits; I_NxN adds
+            # mb_type ue(0) = 1 bit + coded_block_pattern me() ~ 6 bits.
+            cost_i16 = jnp.min(costs, axis=0) + lam * 9
+            cost_i4 = i4["cost"] + lam * 7
+            use_i4 = cost_i4 < cost_i16
+            u3 = use_i4[:, None, None]
+            out["recon_y"] = jnp.where(u3, i4["recon"], out["recon_y"])
+            out["use_i4"] = use_i4
+            out["i4_modes"] = i4["modes"]
+            out["i4_prev"] = i4["prev"]
+            out["i4_rem"] = i4["rem"]
+            out["levels4"] = jnp.where(u3, i4["levels"], 0)
+            out["cbp_luma4"] = jnp.where(use_i4, i4["cbp_luma"], 0)
+            two = jnp.full((mbh, 4), 2, jnp.int32)
+            new_mbots = (jnp.where(use_i4[:, None], i4["bot_modes"], two),
+                         mbots[0])
+            new_mright = jnp.where(use_i4[:, None], i4["right_modes"], two)
+        else:
+            new_mbots, new_mright = mbots, mright
+
+        new_carry = ((out["recon_y"][:, -1, :],) + bots_y[:-1],
                      out["recon_y"][:, :, -1],
-                     out["recon_u"][:, -1, :], bot1_u,
+                     (out["recon_u"][:, -1, :],) + bots_u[:-1],
                      out["recon_u"][:, :, -1],
-                     out["recon_v"][:, -1, :], bot1_v,
-                     out["recon_v"][:, :, -1])
+                     (out["recon_v"][:, -1, :],) + bots_v[:-1],
+                     out["recon_v"][:, :, -1],
+                     new_mbots, new_mright)
         return new_carry, out
 
     z16 = jnp.zeros((mbh, 16), jnp.int32)
     z8 = jnp.zeros((mbh, 8), jnp.int32)
-    init = (z16, z16, z16, z8, z8, z8, z8, z8, z8)
+    zm = jnp.full((mbh, 4), 2, jnp.int32)
+    init = ((z16,) * (slope + 1), z16,
+            (z8,) * (slope + 1), z8,
+            (z8,) * (slope + 1), z8,
+            (zm, zm), zm)
     _, outs = jax.lax.scan(step, init,
                            (sy, su, sv, jnp.arange(steps, dtype=jnp.int32)))
 
     # unskew every output back to MB raster order
-    out = {k: _unskew(v, mbh, mbw, steps).reshape((mbh * mbw,) + v.shape[2:])
+    out = {k: _unskew(v, mbh, mbw, steps, slope)
+           .reshape((mbh * mbw,) + v.shape[2:])
            for k, v in outs.items()}
     out["recon_y"] = unmbize(out.pop("recon_y"), H, W)
     out["recon_u"] = unmbize(out.pop("recon_u"), H // 2, W // 2, 8)

@@ -307,7 +307,8 @@ class TpuEncoder:
             if self._i_full is None:
                 self._i_full = device_finalize.encode_i_slots_fn(
                     H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-                    qpc_offset=self.pps.chroma_qp_index_offset)
+                    qpc_offset=self.pps.chroma_qp_index_offset,
+                    i4x4=cfg.i4x4)
             sv_, sl_, nbits, ry, ru, rv = self._i_full(
                 src_d, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
@@ -391,7 +392,8 @@ class TpuEncoder:
             nal_type = NAL_SLICE_IDR
             if cfg.weightp > 0:
                 self._weight_analysis(y)       # refresh pooled-prev state
-            outj = encode_i_frame(sy, su, sv, self.qp, self.qpc)
+            outj = encode_i_frame(sy, su, sv, self.qp, self.qpc,
+                                  i4x4=cfg.i4x4)
         else:
             nal_type = NAL_SLICE
             self._wp = (self._weight_analysis(y) if cfg.weightp > 0
@@ -439,17 +441,33 @@ class TpuEncoder:
             acu = np.where((cbc == 2)[:, None, None], out["ac_u"], 0)
             acv = np.where((cbc == 2)[:, None, None], out["ac_v"], 0)
             acl = np.where(acf[:, None, None].astype(bool), out["ac"], 0)
+            use_i4 = out.get("use_i4")
+            has_i4 = use_i4 is not None and bool(use_i4.any())
             if use_native:
+                kw = {}
+                if has_i4:
+                    kw = dict(use_i4=use_i4.astype(np.uint8),
+                              i4_prev=out["i4_prev"].astype(np.uint8),
+                              i4_rem=out["i4_rem"].astype(np.int32),
+                              cbp4=out["cbp_luma4"].astype(np.int32),
+                              levels4=out["levels4"].astype(np.int32))
                 payload = cn.encode_i_slice(self.qp, mbh, mbw, i16_mode,
                                             cmode, acf, cbc, out["dc"], acl,
-                                            dcu, dcv, acu, acv)
+                                            dcu, dcv, acu, acv, **kw)
             else:
                 cs = CabacSlice(self.qp, True, mbh, mbw)
                 for k in range(n):
-                    cs.i16_mb(k % mbw, k // mbw, int(i16_mode[k]),
-                              int(cmode[k]), bool(acf[k]), int(cbc[k]),
-                              out["dc"][k], acl[k], dcu[k], dcv[k],
-                              acu[k], acv[k])
+                    if has_i4 and use_i4[k]:
+                        cs.i4_mb(k % mbw, k // mbw, out["i4_prev"][k],
+                                 out["i4_rem"][k], int(cmode[k]),
+                                 int(out["cbp_luma4"][k]), int(cbc[k]),
+                                 out["levels4"][k], dcu[k], dcv[k],
+                                 acu[k], acv[k])
+                    else:
+                        cs.i16_mb(k % mbw, k // mbw, int(i16_mode[k]),
+                                  int(cmode[k]), bool(acf[k]), int(cbc[k]),
+                                  out["dc"][k], acl[k], dcu[k], dcv[k],
+                                  acu[k], acv[k])
                     cs.end_mb(k == n - 1)
                 payload = cs.payload()
         else:
@@ -760,7 +778,8 @@ class TpuEncoder:
                     self._i_full = device_finalize.encode_i_slots_fn(
                         H, W, cfg.deblock, cfg.deblock_alpha,
                         cfg.deblock_beta,
-                        qpc_offset=self.pps.chroma_qp_index_offset)
+                        qpc_offset=self.pps.chroma_qp_index_offset,
+                        i4x4=cfg.i4x4)
                 sv_, sl_, nbits, ry, ru, rv = self._i_full(
                     src_d, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
