@@ -171,6 +171,22 @@ def main():
         enc_c.encode_frame(*frames[(i + 2) % len(frames)])
     cabac_fps = nC / (time.perf_counter() - t0)
 
+    # ---- decode fast path (BASELINE config 4): native C entropy parse +
+    # one-dispatch device recon (decode/device_decode.py) ----
+    from x264vfw_tpu.decode.decoder import H264Decoder
+    cfg_d = EncoderConfig(width=W, height=H, qp=26, keyint=250,
+                          search_range=8, deblock=True)
+    enc_d = TpuEncoder(cfg_d)
+    annexb = enc_d.headers()
+    n_dec = 12
+    for i in range(n_dec):
+        annexb += enc_d.encode_frame(*frames[i % len(frames)])
+    H264Decoder(use_device=True).decode(annexb)   # warm (compile)
+    t0 = time.perf_counter()
+    dec = H264Decoder(use_device=True)
+    out_frames = dec.decode(annexb)
+    decode_fps = len(out_frames) / (time.perf_counter() - t0)
+
     # ingest link probe (raw 1080p frame = 3.11 MB)
     probe = np.zeros(16 << 20, np.uint8)
     tb = time.perf_counter()
@@ -186,6 +202,7 @@ def main():
         "cabac_fps": round(cabac_fps, 2),
         "stage_ms": stage_ms,
         "config": "cavlc-device-entropy deblock+aq+trellis+partitions qp26 merange8 G12",
+        "decode_fps": round(decode_fps, 2),
         "ingest_link_MBps": round(link_mbps, 1),
         "ingest_bound_fps": round(link_mbps / 3.11, 1),
         "kbps": round(kbps, 0),

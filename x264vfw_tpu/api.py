@@ -328,13 +328,14 @@ class DecompressSession:
     Missing/delayed output is masked with a black frame like the reference
     (codec.c:2250-2256)."""
 
-    def __init__(self) -> None:
-        self.decoder = H264Decoder()
+    def __init__(self, use_device: bool = True) -> None:
+        self._use_device = use_device
+        self.decoder = H264Decoder(use_device=use_device)
         self._consumed = 0
         self._reorder: list = []
 
     def begin(self, width: int = 0, height: int = 0) -> None:
-        self.decoder = H264Decoder()
+        self.decoder = H264Decoder(use_device=self._use_device)
         self._consumed = 0
         self._reorder = []
         self._wh = (width, height)

@@ -77,7 +77,7 @@ class Frame:
 class H264Decoder:
     """Stateful Annex-B decoder."""
 
-    def __init__(self) -> None:
+    def __init__(self, use_device: bool = False) -> None:
         self.sps: dict[int, SPS] = {}
         self.pps: dict[int, PPS] = {}
         self.dpb: list[Frame] = []   # short-term refs, most recent first
@@ -86,6 +86,10 @@ class H264Decoder:
         self._prev_poc_msb = 0
         self._prev_poc_lsb = 0
         self._idr_epoch = 0
+        # decode fast path (BASELINE config 4): native C entropy parse +
+        # one-dispatch device reconstruction; per-slice fallback to the
+        # host path on unsupported syntax (decode/device_decode.py)
+        self.use_device = use_device
 
     # ------------------------------------------------------------------ API
     def decode(self, annexb: bytes) -> list[Frame]:
@@ -151,16 +155,23 @@ class H264Decoder:
             self._idr_epoch += 1
 
         poc = self._compute_poc(sps, h, nal_type, nal_ref_idc)
-        st = _SliceDecoder(self, sps, pps, h, nal_type, nal_ref_idc, poc)
-        if pps.entropy_coding_mode_flag:
-            # cabac_alignment_one_bit(s), then the arithmetic payload
-            pad = (-r.bit_position) % 8
-            if pad:
-                r.u(pad)
-            frame = st.decode_slice_data_cabac(
-                np.asarray(rbsp[r.bit_position // 8:], np.uint8).tobytes())
-        else:
-            frame = st.decode_slice_data(r)
+        frame = None
+        if self.use_device:
+            from .device_decode import try_decode_slice
+            frame = try_decode_slice(self, rbsp, r.bit_position, sps, pps,
+                                     h, nal_type)
+        if frame is None:
+            st = _SliceDecoder(self, sps, pps, h, nal_type, nal_ref_idc, poc)
+            if pps.entropy_coding_mode_flag:
+                # cabac_alignment_one_bit(s), then the arithmetic payload
+                pad = (-r.bit_position) % 8
+                if pad:
+                    r.u(pad)
+                frame = st.decode_slice_data_cabac(
+                    np.asarray(rbsp[r.bit_position // 8:],
+                               np.uint8).tobytes())
+            else:
+                frame = st.decode_slice_data(r)
 
         frame.poc = poc
         frame.idr_epoch = self._idr_epoch
