@@ -175,9 +175,9 @@ static int decode_level(BR *r, int sl)
 
 /* decode one residual block into out[maxc] (zigzag order) */
 static void residual_block(BR *r, const uint16_t *luts, int nC, int maxc,
-                           int32_t *out)
+                           int16_t *out)
 {
-    memset(out, 0, (size_t)maxc * sizeof(int32_t));
+    memset(out, 0, (size_t)maxc * sizeof(int16_t));
     int tc, t1;
     if (nC >= 8) {
         int code = (int)br_u(r, 6);
@@ -223,11 +223,12 @@ static void residual_block(BR *r, const uint16_t *luts, int nC, int maxc,
     int zeros_left = total_zeros;
     int pos = tc + total_zeros - 1;
     for (int k = 0; k < tc; k++) {
-        if (pos < 0 || pos >= maxc) {
-            r->error = 1;
+        if (pos < 0 || pos >= maxc
+            || lvls[k] > 32767 || lvls[k] < -32768) {
+            r->error = 1;            /* out-of-profile level: fall back */
             return;
         }
-        out[pos] = lvls[k];
+        out[pos] = (int16_t)lvls[k];
         if (k == tc - 1)
             break;
         int run = 0;
@@ -292,7 +293,7 @@ static int nc_chroma(Ctx *c, uint8_t *tc, int gx, int gy)
     return availA ? a : (availB ? b : 0);
 }
 
-static int count_nz(const int32_t *v, int n)
+static int count_nz(const int16_t *v, int n)
 {
     int c = 0;
     for (int i = 0; i < n; i++)
@@ -406,7 +407,7 @@ static int read_ref(BR *r, int nref)
 
 /* chroma residuals: DC(u), DC(v), AC(u)x4, AC(v)x4 */
 static void chroma_residuals(BR *r, const uint16_t *luts, Ctx *c, int mx,
-                             int my, int cbp_c, int32_t *cdc, int32_t *cac)
+                             int my, int cbp_c, int16_t *cdc, int16_t *cac)
 {
     int cw = 2 * c->mbw;
     if (cbp_c) {
@@ -442,15 +443,15 @@ long cavlc_parse_slice(
     const uint16_t *luts,
     int32_t *mb_kind, int32_t *qp_map,
     int32_t *i16mode, int32_t *cmode,
-    int32_t *i4modes,                  /* (n,16) decode order */
+    int8_t *i4modes,                   /* (n,16) decode order */
     int32_t *cbp_luma, int32_t *cbp_chroma,
-    int32_t *dc16,                     /* (n,16) I16 luma DC */
-    int32_t *ac15,                     /* (n,16,15) I16 luma AC */
-    int32_t *lvl16,                    /* (n,16,16) I4/inter luma */
-    int32_t *cdc,                      /* (n,2,4) */
-    int32_t *cac,                      /* (n,2,4,15) */
-    int32_t *mv4,                      /* (n,16,2) raster 4x4 grid */
-    int32_t *ref4,                     /* (n,16) raster, -1 intra */
+    int16_t *dc16,                     /* (n,16) I16 luma DC */
+    int16_t *ac15,                     /* (n,16,15) I16 luma AC */
+    int16_t *lvl16,                    /* (n,16,16) I4/inter luma */
+    int16_t *cdc,                      /* (n,2,4) */
+    int16_t *cac,                      /* (n,2,4,15) */
+    int16_t *mv4,                      /* (n,16,2) raster 4x4 grid */
+    int8_t *ref4,                      /* (n,16) raster, -1 intra */
     int32_t *flags)                    /* (n,) bit0: has sub-8x8 parts */
 {
     if (mbh > MAXH || mbw > MAXW)
@@ -494,8 +495,8 @@ long cavlc_parse_slice(
                 mb_kind[k] = 0;
                 qp_map[k] = qp;
                 for (int b = 0; b < 16; b++) {
-                    mv4[(k * 16 + b) * 2] = mv[0];
-                    mv4[(k * 16 + b) * 2 + 1] = mv[1];
+                    mv4[(k * 16 + b) * 2] = (int16_t)mv[0];
+                    mv4[(k * 16 + b) * 2 + 1] = (int16_t)mv[1];
                     ref4[k * 16 + b] = 0;
                 }
                 k++;
@@ -577,8 +578,8 @@ long cavlc_parse_slice(
             mb_kind[k] = kind;
             for (int b = 0; b < 16; b++) {
                 long o = (long)(4 * my + b / 4) * c->gw + 4 * mx + (b & 3);
-                mv4[(k * 16 + b) * 2] = g_mvx[o];
-                mv4[(k * 16 + b) * 2 + 1] = g_mvy[o];
+                mv4[(k * 16 + b) * 2] = (int16_t)g_mvx[o];
+                mv4[(k * 16 + b) * 2 + 1] = (int16_t)g_mvy[o];
                 ref4[k * 16 + b] = g_ref[o];
             }
             /* residual tail */
@@ -597,7 +598,7 @@ long cavlc_parse_slice(
                 int gx = 4 * mx + bx, gy = 4 * my + by;
                 if (cl & (1 << (blk / 4))) {
                     int nc = nc_luma(c, gx, gy);
-                    int32_t *dst = lvl16 + (k * 16 + blk) * 16;
+                    int16_t *dst = lvl16 + (k * 16 + blk) * 16;
                     residual_block(r, luts, nc, 16, dst);
                     g_tc_luma[gy * c->gw + gx] = (uint8_t)count_nz(dst, 16);
                 } else
@@ -627,7 +628,7 @@ long cavlc_parse_slice(
                         int rem = (int)br_u(r, 3);
                         m = rem < pred ? rem : rem + 1;
                     }
-                    i4modes[k * 16 + blk] = m;
+                    i4modes[k * 16 + blk] = (int8_t)m;
                     int gx = 4 * mx + BLKX[blk], gy = 4 * my + BLKY[blk];
                     g_i4m[gy * c->gw + gx] = (int8_t)m;
                 }
@@ -647,7 +648,7 @@ long cavlc_parse_slice(
                     int gx = 4 * mx + bx, gy = 4 * my + by;
                     if (cl & (1 << (blk / 4))) {
                         int nc = nc_luma(c, gx, gy);
-                        int32_t *dst = lvl16 + (k * 16 + blk) * 16;
+                        int16_t *dst = lvl16 + (k * 16 + blk) * 16;
                         residual_block(r, luts, nc, 16, dst);
                         g_tc_luma[gy * c->gw + gx] =
                             (uint8_t)count_nz(dst, 16);
@@ -673,7 +674,7 @@ long cavlc_parse_slice(
                     int gx = 4 * mx + bx, gy = 4 * my + by;
                     if (cl) {
                         int nc2 = nc_luma(c, gx, gy);
-                        int32_t *dst = ac15 + (k * 16 + blk) * 15;
+                        int16_t *dst = ac15 + (k * 16 + blk) * 15;
                         residual_block(r, luts, nc2, 15, dst);
                         g_tc_luma[gy * c->gw + gx] =
                             (uint8_t)count_nz(dst, 15);

@@ -63,21 +63,23 @@ def parse_slice(rbsp: np.ndarray, bitpos: int, slice_type: int,
         return None
     n = mbh * mbw
     rbsp = np.ascontiguousarray(rbsp, np.uint8)
+    # narrow dtypes on the bulk arrays: the syntax upload is the decode
+    # path's host->device traffic, ~13 MB/frame at 1080p vs 27 MB as int32
     o = {
         "mb_kind": np.zeros(n, np.int32),
         "qp_map": np.zeros(n, np.int32),
         "i16mode": np.zeros(n, np.int32),
         "cmode": np.zeros(n, np.int32),
-        "i4modes": np.zeros((n, 16), np.int32),
+        "i4modes": np.zeros((n, 16), np.int8),
         "cbp_luma": np.zeros(n, np.int32),
         "cbp_chroma": np.zeros(n, np.int32),
-        "dc16": np.zeros((n, 16), np.int32),
-        "ac15": np.zeros((n, 16, 15), np.int32),
-        "lvl16": np.zeros((n, 16, 16), np.int32),
-        "cdc": np.zeros((n, 2, 4), np.int32),
-        "cac": np.zeros((n, 2, 4, 15), np.int32),
-        "mv4": np.zeros((n, 16, 2), np.int32),
-        "ref4": np.zeros((n, 16), np.int32),
+        "dc16": np.zeros((n, 16), np.int16),
+        "ac15": np.zeros((n, 16, 15), np.int16),
+        "lvl16": np.zeros((n, 16, 16), np.int16),
+        "cdc": np.zeros((n, 2, 4), np.int16),
+        "cac": np.zeros((n, 2, 4, 15), np.int16),
+        "mv4": np.zeros((n, 16, 2), np.int16),
+        "ref4": np.zeros((n, 16), np.int8),
         "flags": np.zeros(n, np.int32),
     }
     args = [rbsp.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(rbsp.size),
