@@ -210,9 +210,9 @@ class CompressSession:
             self.error = True
             raise
         self.frame_count += 1
-        return self._emit(outs)
+        return self._emit(outs, {"I": qp_i, "P": qp_p, "B": qp_b})
 
-    def _emit(self, outs) -> bytes:
+    def _emit(self, outs, qps: dict | None = None) -> bytes:
         result = b""
         for (au, pts, key) in outs:
             ftype = "I" if key else ("B" if (au[4] & 0x60) == 0 else "P")
@@ -222,7 +222,11 @@ class CompressSession:
                 ppt = {"I": 0, "P": 1, "B": 2}[ftype]
                 au = (START_CODE_LONG + bytes([0x09, (ppt << 5) | 0x10])
                       + au)
-            qp_used = self.rc.qp_for_type(ftype)
+            # the QP the encoder was actually given for this AU (recomputing
+            # via rc.qp_for_type here would read post-update state after the
+            # first AU of a multi-AU emit and poison stats/VBV feedback)
+            qp_used = (qps[ftype] if qps is not None
+                       else self.rc.qp_for_type(ftype))
             self.rc.update(ftype, qp_used, len(au) * 8)
             if self._measure:
                 self._frame_metrics(pts, ftype, qp_used, len(au) * 8)
@@ -276,11 +280,13 @@ class CompressSession:
         if self.encoder is not None and not self.error:
             if self.mbtree is not None:
                 for ((fy, fu, fv), off) in self.mbtree.flush():
+                    qps = {t: self.rc.qp_for_type(t) for t in "IPB"}
                     tail += self._emit(self.encoder.push_frame(
-                        fy, fu, fv, qp_i=self.rc.qp_for_type("I"),
-                        qp_p=self.rc.qp_for_type("P"),
-                        qp_b=self.rc.qp_for_type("B"), qp_off=off))
-            tail += self._emit(self.encoder.flush(qp_p=self.rc.qp_for_type("P")))
+                        fy, fu, fv, qp_i=qps["I"], qp_p=qps["P"],
+                        qp_b=qps["B"], qp_off=off), qps)
+            qp_p = self.rc.qp_for_type("P")
+            tail += self._emit(self.encoder.flush(qp_p=qp_p),
+                               {"I": qp_p, "P": qp_p, "B": qp_p})
         if self.muxer is not None:
             self.muxer.close_file(self._largest, self._second)
             self.muxer = None
@@ -375,12 +381,6 @@ class DecompressSession:
 
     def end(self) -> None:
         self._reorder = []
-
-
-def _crf_to_qp(crf: float) -> int:
-    """CRF -> base QP approximation until true CRF rate control lands
-    (x264's CRF at zero complexity-offset equals QP for typical content)."""
-    return int(round(min(max(crf, 0.0), 51.0)))
 
 
 def _to_i420(frame, fmt: str):

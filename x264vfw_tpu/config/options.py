@@ -97,7 +97,10 @@ OPTION_TABLE: dict[str, tuple] = {
     "rc-lookahead": ("rc_lookahead", _int, False),
     "qcomp": ("qcomp", _float, False),
     "stats": ("stats_file", _str, False),
-    "pass": ("pass_num", _int, False),
+    # --pass selects the stats-file workflow like the reference's pass
+    # selector (codec.c:1516-1541): 1 writes stats, 2/3 read them back
+    "pass": (("pass_num", "rc_mode"),
+             lambda v: (int(v), "pass1" if int(v) == 1 else "pass2"), False),
     "fast-firstpass": ("fast_firstpass", _bool, True),
     # parallelism
     "threads": ("threads", lambda v: 0 if v == "auto" else int(v), False),
@@ -140,7 +143,6 @@ ACCEPTED_IGNORED = {
     "weightb", "direct", "chroma-me", "nr", "fast-pskip",
     "sliced-threads", "lookahead-threads", "sync-lookahead",
     "slices", "deterministic", "cpu-independent",
-    "qpstep",
 }
 
 # options the reference forwards but we exclude by design (interlace etc.)

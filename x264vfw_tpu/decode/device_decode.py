@@ -137,8 +137,11 @@ def _mc_luma(luma_planes, mv_grid, ref_grid, mbh, mbw):
     R = luma_planes.shape[0]
     Hp, Wp = luma_planes.shape[2], luma_planes.shape[3]
     gh, gw = 16 * mbh, 16 * mbw
-    mvp = jnp.repeat(jnp.repeat(mv_grid, 4, 0), 4, 1)     # (gh, gw, 2)
-    refp = jnp.maximum(jnp.repeat(jnp.repeat(ref_grid, 4, 0), 4, 1), 0)
+    mvp = jnp.repeat(jnp.repeat(mv_grid.astype(jnp.int32), 4, 0), 4, 1)
+    # int32 up-cast before the plane-index arithmetic: the parser hands
+    # ref4 over as int8 and `refp * Hp` must not wrap (ref_idx >= 2 did)
+    refp = jnp.maximum(
+        jnp.repeat(jnp.repeat(ref_grid.astype(jnp.int32), 4, 0), 4, 1), 0)
     mvi = mvp >> 2
     fid = (mvp[..., 1] & 3) * 4 + (mvp[..., 0] & 3)
     yy = jnp.arange(gh)[:, None] + mvi[..., 1] + PAD
@@ -164,8 +167,12 @@ def _mc_chroma(ref_c, mv_grid, ref_grid, mbh, mbw):
     """
     R, Hcp, Wcp = ref_c.shape
     ch, cw = 8 * mbh, 8 * mbw
-    mvp = jnp.repeat(jnp.repeat(mv_grid, 2, 0), 2, 1)     # (ch, cw, 2)
-    refp = jnp.maximum(jnp.repeat(jnp.repeat(ref_grid, 2, 0), 2, 1), 0)
+    mvp = jnp.repeat(jnp.repeat(mv_grid.astype(jnp.int32), 2, 0), 2, 1)
+    # int32 up-cast: ref4 arrives int8 and `refp * Hcp` wraps at ref_idx 2
+    # (the cause of the round-3 bit-exactness failures on multi-ref x264
+    # streams — small chroma errors confined to ref>=2 blocks)
+    refp = jnp.maximum(
+        jnp.repeat(jnp.repeat(ref_grid.astype(jnp.int32), 2, 0), 2, 1), 0)
     dx = mvp[..., 0] & 7
     dy = mvp[..., 1] & 7
     cy = jnp.clip(jnp.arange(ch)[:, None] + (mvp[..., 1] >> 3) + PADC,
