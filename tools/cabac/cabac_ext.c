@@ -238,7 +238,7 @@ typedef struct {
     int32_t cmode[MAXMB_H * MAXMB_W];
 } Maps;
 
-static Maps g_maps;
+static _Thread_local Maps g_maps;
 
 /* clear only the region a slice actually uses (the static arrays are sized
  * for MAXMB; zeroing all of them is ~14 MB of memset per call) */

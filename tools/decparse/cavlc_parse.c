@@ -244,14 +244,14 @@ static void residual_block(BR *r, const uint16_t *luts, int nC, int maxc,
 /* --------------------------------------------------------- parser state */
 #define MAXW 512
 #define MAXH 512
-static uint8_t g_tc_luma[4 * MAXH * 4 * MAXW];
-static uint8_t g_tc_cu[2 * MAXH * 2 * MAXW];
-static uint8_t g_tc_cv[2 * MAXH * 2 * MAXW];
-static int8_t g_i4m[4 * MAXH * 4 * MAXW];     /* -1 = non-I4 */
-static uint8_t g_dec[MAXH * MAXW];            /* MB decoded */
-static int32_t g_mvx[4 * MAXH * 4 * MAXW];
-static int32_t g_mvy[4 * MAXH * 4 * MAXW];
-static int8_t g_ref[4 * MAXH * 4 * MAXW];     /* -1 intra, -2 undecoded */
+static _Thread_local uint8_t g_tc_luma[4 * MAXH * 4 * MAXW];
+static _Thread_local uint8_t g_tc_cu[2 * MAXH * 2 * MAXW];
+static _Thread_local uint8_t g_tc_cv[2 * MAXH * 2 * MAXW];
+static _Thread_local int8_t g_i4m[4 * MAXH * 4 * MAXW];     /* -1 = non-I4 */
+static _Thread_local uint8_t g_dec[MAXH * MAXW];            /* MB decoded */
+static _Thread_local int32_t g_mvx[4 * MAXH * 4 * MAXW];
+static _Thread_local int32_t g_mvy[4 * MAXH * 4 * MAXW];
+static _Thread_local int8_t g_ref[4 * MAXH * 4 * MAXW];     /* -1 intra, -2 undecoded */
 
 static const int BLKX[16] = {0,1,0,1,2,3,2,3,0,1,0,1,2,3,2,3};
 static const int BLKY[16] = {0,0,1,1,0,0,1,1,2,2,3,3,2,2,3,3};
@@ -452,7 +452,16 @@ long cavlc_parse_slice(
     int16_t *cac,                      /* (n,2,4,15) */
     int16_t *mv4,                      /* (n,16,2) raster 4x4 grid */
     int8_t *ref4,                      /* (n,16) raster, -1 intra */
-    int32_t *flags)                    /* (n,) bit0: has sub-8x8 parts */
+    int32_t *flags,                    /* (n,) bit0: has sub-8x8 parts */
+    /* optional RAW-syntax outputs (entropy transcode: the CABAC host
+     * coder re-codes the exact syntax elements, so it needs the values
+     * as parsed, not the resolved motion field).  All nullable. */
+    int16_t *mvdq,                     /* (n,4,2) quadrant-raster mvd */
+    int8_t *refq,                      /* (n,4) per-quadrant ref_idx */
+    int8_t *part,                      /* (n,) 0..3 P partition, -1 other */
+    uint8_t *i4prev,                   /* (n,16) prev_..._pred_mode_flag */
+    int8_t *i4rem,                     /* (n,16) rem mode, -1 when prev */
+    int8_t *qpd)                       /* (n,) raw mb_qp_delta */
 {
     if (mbh > MAXH || mbw > MAXW)
         return -6;
@@ -467,6 +476,8 @@ long cavlc_parse_slice(
     memset(g_tc_luma, 0, (size_t)(16 * n));
     memset(g_tc_cu, 0, (size_t)(4 * n));
     memset(g_tc_cv, 0, (size_t)(4 * n));
+    if (part)
+        memset(part, -1, (size_t)n);
     BR br, *r = &br;
     br_init(r, rbsp, nbytes, bitpos);
     int qp = qp_init;
@@ -523,12 +534,24 @@ long cavlc_parse_slice(
                 int ref = read_ref(r, nref);
                 int32_t pmv[2], mv[2];
                 mv_pred(c, mx, my, 0, 0, 4, 4, ref, pmv);
-                mv[0] = pmv[0] + br_se(r);
-                mv[1] = pmv[1] + br_se(r);
+                int dx = br_se(r), dy = br_se(r);
+                mv[0] = pmv[0] + dx;
+                mv[1] = pmv[1] + dy;
                 set_motion(c, mx, my, 0, 0, 4, 4, mv[0], mv[1], ref);
+                if (part)
+                    part[k] = 0;
+                if (mvdq) {
+                    mvdq[k * 8] = (int16_t)dx;
+                    mvdq[k * 8 + 1] = (int16_t)dy;
+                }
+                if (refq)
+                    for (int q = 0; q < 4; q++)
+                        refq[k * 4 + q] = (int8_t)ref;
             } else if (mbt == 1 || mbt == 2) {
                 kind = mbt == 1 ? 2 : 3;
                 int refs[2] = {read_ref(r, nref), read_ref(r, nref)};
+                if (part)
+                    part[k] = (int8_t)mbt;  /* 1 = 16x8, 2 = 8x16 */
                 for (int p = 0; p < 2; p++) {
                     int px = mbt == 2 ? p * 2 : 0;
                     int py = mbt == 1 ? p * 2 : 0;
@@ -536,10 +559,23 @@ long cavlc_parse_slice(
                     int ph = mbt == 1 ? 2 : 4;
                     int32_t pmv[2], mv[2];
                     mv_pred(c, mx, my, px, py, pw, ph, refs[p], pmv);
-                    mv[0] = pmv[0] + br_se(r);
-                    mv[1] = pmv[1] + br_se(r);
+                    int dx = br_se(r), dy = br_se(r);
+                    mv[0] = pmv[0] + dx;
+                    mv[1] = pmv[1] + dy;
                     set_motion(c, mx, my, px, py, pw, ph, mv[0], mv[1],
                                refs[p]);
+                    /* quadrant slot: (py/2)*2 + px/2 */
+                    int sl = (py >> 1) * 2 + (px >> 1);
+                    if (mvdq) {
+                        mvdq[k * 8 + 2 * sl] = (int16_t)dx;
+                        mvdq[k * 8 + 2 * sl + 1] = (int16_t)dy;
+                    }
+                    if (refq) {
+                        refq[k * 4 + sl] = (int8_t)refs[p];
+                        /* fill the partition's second quadrant too */
+                        int sl2 = mbt == 1 ? sl + 1 : sl + 2;
+                        refq[k * 4 + sl2] = (int8_t)refs[p];
+                    }
                 }
             } else {
                 kind = 4;
@@ -554,6 +590,8 @@ long cavlc_parse_slice(
                 if (mbt == 3)
                     for (int sb = 0; sb < 4; sb++)
                         refs[sb] = read_ref(r, nref);
+                if (part)
+                    part[k] = 3;
                 static const int SP[4][4][4] = {
                     {{0,0,2,2},{-1,0,0,0},{-1,0,0,0},{-1,0,0,0}},
                     {{0,0,2,1},{0,1,2,1},{-1,0,0,0},{-1,0,0,0}},
@@ -562,16 +600,23 @@ long cavlc_parse_slice(
                 static const int NP[4] = {1, 2, 2, 4};
                 for (int sb = 0; sb < 4; sb++) {
                     int sbx = (sb & 1) * 2, sby = (sb >> 1) * 2;
+                    if (refq)
+                        refq[k * 4 + sb] = (int8_t)refs[sb];
                     for (int pi = 0; pi < NP[subt[sb]]; pi++) {
                         const int *pp = SP[subt[sb]][pi];
                         int px = sbx + pp[0], py = sby + pp[1];
                         int pw = pp[2], ph = pp[3];
                         int32_t pmv[2], mv[2];
                         mv_pred(c, mx, my, px, py, pw, ph, refs[sb], pmv);
-                        mv[0] = pmv[0] + br_se(r);
-                        mv[1] = pmv[1] + br_se(r);
+                        int dx = br_se(r), dy = br_se(r);
+                        mv[0] = pmv[0] + dx;
+                        mv[1] = pmv[1] + dy;
                         set_motion(c, mx, my, px, py, pw, ph, mv[0], mv[1],
                                    refs[sb]);
+                        if (mvdq && subt[sb] == 0 && pi == 0) {
+                            mvdq[k * 8 + 2 * sb] = (int16_t)dx;
+                            mvdq[k * 8 + 2 * sb + 1] = (int16_t)dy;
+                        }
                     }
                 }
             }
@@ -590,8 +635,12 @@ long cavlc_parse_slice(
             int cl = cbp & 15, cc = cbp >> 4;
             cbp_luma[k] = cl;
             cbp_chroma[k] = cc;
-            if (cbp)
-                qp += br_se(r);
+            if (cbp) {
+                int d = br_se(r);
+                qp += d;
+                if (qpd)
+                    qpd[k] = (int8_t)d;
+            }
             qp_map[k] = qp;
             for (int blk = 0; blk < 16; blk++) {
                 int bx = BLKX[blk], by = BLKY[blk];
@@ -622,11 +671,17 @@ long cavlc_parse_slice(
                 for (int blk = 0; blk < 16; blk++) {
                     int pred = i4_pred_mode(c, mx, my, blk);
                     int m;
-                    if (br_u(r, 1))
+                    if (br_u(r, 1)) {
                         m = pred;
-                    else {
+                        if (i4prev)
+                            i4prev[k * 16 + blk] = 1;
+                        if (i4rem)
+                            i4rem[k * 16 + blk] = -1;
+                    } else {
                         int rem = (int)br_u(r, 3);
                         m = rem < pred ? rem : rem + 1;
+                        if (i4rem)
+                            i4rem[k * 16 + blk] = (int8_t)rem;
                     }
                     i4modes[k * 16 + blk] = (int8_t)m;
                     int gx = 4 * mx + BLKX[blk], gy = 4 * my + BLKY[blk];
@@ -640,8 +695,12 @@ long cavlc_parse_slice(
                 int cl = cbp & 15, cc = cbp >> 4;
                 cbp_luma[k] = cl;
                 cbp_chroma[k] = cc;
-                if (cbp)
-                    qp += br_se(r);
+                if (cbp) {
+                    int d = br_se(r);
+                    qp += d;
+                    if (qpd)
+                        qpd[k] = (int8_t)d;
+                }
                 qp_map[k] = qp;
                 for (int blk = 0; blk < 16; blk++) {
                     int bx = BLKX[blk], by = BLKY[blk];
@@ -665,7 +724,12 @@ long cavlc_parse_slice(
                 cbp_luma[k] = cl;
                 cbp_chroma[k] = cc;
                 cmode[k] = (int)br_ue(r);
-                qp += br_se(r);
+                {
+                    int d = br_se(r);
+                    qp += d;
+                    if (qpd)
+                        qpd[k] = (int8_t)d;
+                }
                 qp_map[k] = qp;
                 int nc = nc_luma(c, 4 * mx, 4 * my);
                 residual_block(r, luts, nc, 16, dc16 + k * 16);
@@ -690,6 +754,103 @@ long cavlc_parse_slice(
         k++;
         if (!inter && k < n && !br_more(r))
             return -5;
+    }
+    if (r->error)
+        return -5;
+    return k;
+}
+
+/* ----------------------------------------------------------------------
+ * B-slice raw-syntax parser (entropy transcode support).
+ *
+ * Scope = exactly the B syntax this framework's encoder emits
+ * (encode/device.py encode_b_frame): B_Skip / B_Direct_16x16 /
+ * B_{L0,L1,Bi}_16x16, one reference per list (no ref_idx bits), no
+ * partitions.  Motion is NOT resolved (the CABAC re-coder needs raw mvd
+ * only); residual nc contexts reuse the slice-global total_coeff maps.
+ * Returns n on success; -2 on unsupported mb_type, -5 on parse error.
+ */
+long cavlc_parse_b_slice(
+    const uint8_t *rbsp, long nbytes, long bitpos,
+    int mbh, int mbw, int qp_init,
+    const uint16_t *luts,
+    int8_t *mode,                      /* (n,) -1 skip, 0..3 otherwise */
+    int16_t *mvd0, int16_t *mvd1,      /* (n,2) raw mvd per list */
+    int32_t *cbp_luma, int32_t *cbp_chroma,
+    int16_t *lvl16,                    /* (n,16,16) block decode order */
+    int16_t *cdc,                      /* (n,2,4) */
+    int16_t *cac,                      /* (n,2,4,15) */
+    int8_t *qpd)                       /* (n,) raw mb_qp_delta */
+{
+    if (mbh > MAXH || mbw > MAXW)
+        return -6;
+    Ctx ctx = {mbh, mbw, 4 * mbw, 1};
+    Ctx *c = &ctx;
+    long n = (long)mbh * mbw;
+    memset(g_dec, 0, (size_t)n);
+    memset(g_tc_luma, 0, (size_t)(16 * n));
+    memset(g_tc_cu, 0, (size_t)(4 * n));
+    memset(g_tc_cv, 0, (size_t)(4 * n));
+    BR br, *r = &br;
+    br_init(r, rbsp, nbytes, bitpos);
+    int qp = qp_init;
+    long k = 0;
+    while (k < n) {
+        long run = br_ue(r);
+        if (r->error)
+            return -5;
+        while (run-- > 0 && k < n) {
+            mode[k] = -1;           /* B_Skip */
+            g_dec[k] = 1;
+            k++;
+        }
+        if (k >= n)
+            break;
+        if (!br_more(r))
+            break;
+        int mx = (int)(k % mbw), my = (int)(k / mbw);
+        unsigned mbt = br_ue(r);
+        if (r->error)
+            return -5;
+        if (mbt > 3)
+            return -2;              /* partitions / intra-in-B: fall back */
+        g_dec[k] = 1;
+        mode[k] = (int8_t)mbt;
+        if (mbt == 1 || mbt == 3) {
+            mvd0[k * 2] = (int16_t)br_se(r);
+            mvd0[k * 2 + 1] = (int16_t)br_se(r);
+        }
+        if (mbt == 2 || mbt == 3) {
+            mvd1[k * 2] = (int16_t)br_se(r);
+            mvd1[k * 2 + 1] = (int16_t)br_se(r);
+        }
+        unsigned code = br_ue(r);
+        if (code > 47 || r->error)
+            return -5;
+        int cbp = CBPP[code];
+        int cl = cbp & 15, cc = cbp >> 4;
+        cbp_luma[k] = cl;
+        cbp_chroma[k] = cc;
+        if (cbp) {
+            int d = br_se(r);
+            qp += d;
+            qpd[k] = (int8_t)d;
+        }
+        for (int blk = 0; blk < 16; blk++) {
+            int bx = BLKX[blk], by = BLKY[blk];
+            int gx = 4 * mx + bx, gy = 4 * my + by;
+            if (cl & (1 << (blk / 4))) {
+                int nc = nc_luma(c, gx, gy);
+                int16_t *dst = lvl16 + (k * 16 + blk) * 16;
+                residual_block(r, luts, nc, 16, dst);
+                g_tc_luma[gy * c->gw + gx] = (uint8_t)count_nz(dst, 16);
+            } else
+                g_tc_luma[gy * c->gw + gx] = 0;
+        }
+        chroma_residuals(r, luts, c, mx, my, cc, cdc + k * 8, cac + k * 120);
+        if (r->error)
+            return -5;
+        k++;
     }
     if (r->error)
         return -5;

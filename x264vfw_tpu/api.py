@@ -166,6 +166,14 @@ class CompressSession:
             self.mbtree = MBTree((width + 15) // 16, (height + 15) // 16,
                                  lookahead=min(p.rc_lookahead, 60),
                                  qcomp=p.qcomp)
+        # THE hot path: windowed batch pipeline (one encoder, every feature;
+        # the per-frame path remains for PSNR/SSIM telemetry, which needs
+        # per-frame recon pulls).  --threads 1 forces the per-frame path.
+        self._pipe = None
+        if not self._measure and p.threads != 1:
+            from .encode.pipeline import BatchPipeline
+            self._pipe = BatchPipeline(self.encoder, self.rc,
+                                       mbtree=self.mbtree, window=12)
         if output is not None:
             self.muxer = select_muxer(
                 output if isinstance(output, str) else "", container)
@@ -189,6 +197,16 @@ class CompressSession:
         if self.error:
             raise RuntimeError("encoder in error state")
         assert self.encoder is not None, "begin() not called"
+        if self._pipe is not None:
+            try:
+                y, u, v = _to_i420(frame, fmt)
+                outs = self._pipe.push(y, u, v)
+            except Exception:
+                self.error = True
+                raise
+            self.frame_count += 1
+            self._disp_idx += 1
+            return self._emit(outs, rc_done=True)
         qp_i = self.rc.qp_for_type("I")
         qp_p = self.rc.qp_for_type("P")
         qp_b = self.rc.qp_for_type("B")
@@ -212,22 +230,30 @@ class CompressSession:
         self.frame_count += 1
         return self._emit(outs, {"I": qp_i, "P": qp_p, "B": qp_b})
 
-    def _emit(self, outs, qps: dict | None = None) -> bytes:
+    def _emit(self, outs, qps: dict | None = None,
+              rc_done: bool = False) -> bytes:
         result = b""
-        for (au, pts, key) in outs:
-            ftype = "I" if key else ("B" if (au[4] & 0x60) == 0 else "P")
+        for item in outs:
+            if rc_done:
+                # pipeline items carry their type/QP; RC was already fed
+                au, pts, key, ftype, qp_used = item
+            else:
+                au, pts, key = item
+                ftype = "I" if key else ("B" if (au[4] & 0x60) == 0 else "P")
             if self.params.aud:
                 # access-unit delimiter, first NAL of the AU (§7.4.2.4);
                 # primary_pic_type 0=I, 1=I/P, 2=I/P/B
                 ppt = {"I": 0, "P": 1, "B": 2}[ftype]
                 au = (START_CODE_LONG + bytes([0x09, (ppt << 5) | 0x10])
                       + au)
-            # the QP the encoder was actually given for this AU (recomputing
-            # via rc.qp_for_type here would read post-update state after the
-            # first AU of a multi-AU emit and poison stats/VBV feedback)
-            qp_used = (qps[ftype] if qps is not None
-                       else self.rc.qp_for_type(ftype))
-            self.rc.update(ftype, qp_used, len(au) * 8)
+            if not rc_done:
+                # the QP the encoder was actually given for this AU
+                # (recomputing via rc.qp_for_type here would read
+                # post-update state after the first AU of a multi-AU emit
+                # and poison stats/VBV feedback)
+                qp_used = (qps[ftype] if qps is not None
+                           else self.rc.qp_for_type(ftype))
+                self.rc.update(ftype, qp_used, len(au) * 8)
             if self._measure:
                 self._frame_metrics(pts, ftype, qp_used, len(au) * 8)
             if pts > self._largest:
@@ -277,7 +303,9 @@ class CompressSession:
         """Flush delayed frames and close; returns summary stats (the
         log-callback stats role of the reference)."""
         tail = b""
-        if self.encoder is not None and not self.error:
+        if self._pipe is not None and not self.error:
+            tail += self._emit(self._pipe.flush(), rc_done=True)
+        elif self.encoder is not None and not self.error:
             if self.mbtree is not None:
                 for ((fy, fu, fv), off) in self.mbtree.flush():
                     qps = {t: self.rc.qp_for_type(t) for t in "IPB"}
@@ -325,7 +353,9 @@ class CompressSession:
     def frames_info(self) -> FramesInfo:
         look = (min(self.params.rc_lookahead, 60)
                 if self.params.mbtree and self.params.rc_lookahead > 0 else 0)
-        return FramesInfo(delay=min(self.params.bframes, 16) + look)
+        win = ((self._pipe.window - 1)
+               if getattr(self, "_pipe", None) is not None else 0)
+        return FramesInfo(delay=min(self.params.bframes, 16) + look + win)
 
 
 class DecompressSession:

@@ -140,8 +140,11 @@ class EncoderParams:
 
     # --- logging / debug ---
     log_level: int = 2       # none(-1)/error/warning/info/debug like x264vfw
-    psnr: bool = True
-    ssim: bool = True
+    # off by default like the x264 CLI (measurement forces per-frame recon
+    # pulls and drops the session to the per-frame path); enable with
+    # --psnr/--ssim
+    psnr: bool = False
+    ssim: bool = False
     no_asm: bool = False     # pallas interpret-mode analogue of --no-asm
 
     def copy(self) -> "EncoderParams":

@@ -360,15 +360,55 @@ def pack_phase(vals, lens, cap_words):
     return pack_slots(vals, lens, cap_words)
 
 
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
+def encode_bgop_slots(rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
+                      qps, qpcs, hdr_vals, hdr_lens, rng, subpel,
+                      me_backend="auto"):
+    """Batched B-frame phase 1: Gb independent B frames in one program.
+
+    B frames have no recon dependency on each other, so the scan carries
+    nothing — it exists to bound peak memory (one frame's ME intermediates
+    at a time) while still amortizing the dispatch.  Reference planes are
+    stacked per frame (Gb, H, W) uint8 (the anchors' recons), mvcols
+    (Gb, mbh, mbw, 2) the colocated anchor motion.
+    Returns (slot_vals (Gb, R, L), slot_lens (Gb, R, L)).
+    """
+    from .device import encode_b_frame_core
+    H, W = r0y.shape[-2:]
+    ys = H * W
+    cs = ys // 4
+    mbh, mbw = H // 16, W // 16
+
+    def step(_, xs):
+        row, a0y, a0u, a0v, a1y, a1u, a1v, mvc, hv, hl, qp, qpc = xs
+        sy = row[:ys].reshape(H, W).astype(jnp.int32)
+        su = row[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
+        sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
+        out = encode_b_frame_core(
+            sy, su, sv, a0y.astype(jnp.int32), a0u.astype(jnp.int32),
+            a0v.astype(jnp.int32), a1y.astype(jnp.int32),
+            a1u.astype(jnp.int32), a1v.astype(jnp.int32), mvc, qp, qpc,
+            rng, subpel, me_backend, want_recon=False)
+        v, l = _finalize_b_core(out, hv, hl, mbh, mbw)
+        return 0, (v, l)
+
+    _, (vs, ls) = jax.lax.scan(
+        step, 0, (rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
+                  hdr_vals, hdr_lens, qps, qpcs))
+    return vs, ls
+
+
 @partial(jax.jit, static_argnames=("rng", "subpel",
                                    "me_backend", "deblock", "dbA", "dbB",
                                    "aq_strength", "qpc_offset", "trellis",
-                                   "partitions"))
-def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
+                                   "partitions", "has_qp_off", "want_mv",
+                                   "want_recons"))
+def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qps, qpcs,
                       hdr_vals, hdr_lens, rng, subpel,
                       me_backend="auto", deblock=False, dbA=0, dbB=0,
                       aq_strength=0.0, qpc_offset=0, trellis=False,
-                      partitions=False):
+                      partitions=False, qp_offs=None, has_qp_off=False,
+                      want_mv=False, want_recons=False):
     """Batched P-frame encoding phase 1: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes
@@ -378,56 +418,92 @@ def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
     the scan stacks the slot arrays and the caller packs per frame at top
     level.
 
-    frames_yuv: (G, H*W*3//2) uint8; hdr_vals/lens: (G, MAX_HDR).
-    Returns (slot_vals (G, R, L), slot_lens (G, R, L), recon triple).
+    frames_yuv: (G, H*W*3//2) uint8; hdr_vals/lens: (G, MAX_HDR);
+    qps/qpcs: (G,) per-frame QP (rate control decides per frame);
+    qp_offs: (G, n) per-MB QP offsets (MB-tree) when has_qp_off.
+    ref planes may be a multi-reference stack (R, H, W): the scan then
+    carries the whole sliding DPB window (newest first).
+    Returns (slot_vals (G, R, L), slot_lens (G, R, L), recon planes
+    [, mv stack (G, mbh, mbw, 2) when want_mv]).
     """
     from .device import encode_p_frame_core
-    H, W = ref_y.shape
+    multi = ref_y.ndim == 3
+    H, W = ref_y.shape[-2:]
     ys = H * W
     cs = ys // 4
     mbh, mbw = H // 16, W // 16
+    nref = ref_y.shape[0] if multi else 1
 
     def step(ref, xs):
-        row, hv, hl = xs
+        if has_qp_off:
+            row, hv, hl, qp, qpc, qo = xs
+        else:
+            (row, hv, hl, qp, qpc), qo = xs, None
         sy = row[:ys].reshape(H, W).astype(jnp.int32)
         su = row[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = row[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
                                   me_backend, aq_strength=aq_strength,
                                   qpc_offset=qpc_offset, trellis=trellis,
-                                  partitions=partitions)
-        v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
-        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
-                                 qpc_offset=qpc_offset)
-        return new_ref, (v, l)
+                                  qp_off=qo, partitions=partitions)
+        v, l = _finalize_p_core(out, hv, hl, mbh, mbw, nref=nref)
+        rec = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
+                             qpc_offset=qpc_offset)
+        if multi:
+            # slide the DPB window: newest recon enters at ref_idx 0
+            new_ref = tuple(
+                jnp.concatenate([r[None], old[:-1]], axis=0)
+                for r, old in zip(rec, ref))
+        else:
+            new_ref = rec
+        outs = (v, l)
+        if want_mv:
+            outs += (out["mv"].reshape(mbh * mbw, 2),)  # (n,2) mvcol shape
+        if want_recons:
+            # per-frame recon stack (uint8: 4x smaller pull/HBM than int32)
+            # — the B mini-GOP batch reads anchors' recons as references
+            outs += tuple(p.astype(jnp.uint8) for p in rec)
+        return new_ref, outs
 
-    ref_fin, (vs, ls) = jax.lax.scan(
-        step, (ref_y, ref_u, ref_v), (frames_yuv, hdr_vals, hdr_lens))
-    return vs, ls, ref_fin[0], ref_fin[1], ref_fin[2]
+    xs = (frames_yuv, hdr_vals, hdr_lens, qps, qpcs)
+    if has_qp_off:
+        xs += (qp_offs,)
+    ref_fin, outs = jax.lax.scan(step, (ref_y, ref_u, ref_v), xs)
+    return (*outs[:2], ref_fin[0], ref_fin[1], ref_fin[2]) + tuple(outs[2:])
 
 
 def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                        hdr_vals, hdr_lens, rng, subpel, bucket_words,
                        me_backend="auto", deblock=False, dbA=0, dbB=0,
                        aq_strength=0.0, qpc_offset=0, trellis=False,
-                       partitions=False):
+                       partitions=False, qp_offs=None, want_mv=False,
+                       want_recons=False):
     """Batched P-frame encode + pack: phase-1 scan then per-frame top-level
     pack dispatches (see encode_pgop_slots for why packing is hoisted).
 
-    Returns (bytes (G, bucket*4), nbits (G,), recon triple of last frame).
+    qp/qpc may be scalars or (G,) arrays (per-frame rate control).
+    Returns (bytes (G, bucket*4), nbits (G,), recon planes
+    [, mv stack when want_mv][, per-frame uint8 recon stacks when
+    want_recons]).
     """
-    vs, ls, ry, ru, rv = encode_pgop_slots(
-        frames_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
+    G = frames_yuv.shape[0]
+    qps = jnp.broadcast_to(jnp.asarray(qp, jnp.int32), (G,))
+    qpcs = jnp.broadcast_to(jnp.asarray(qpc, jnp.int32), (G,))
+    res = encode_pgop_slots(
+        frames_yuv, ref_y, ref_u, ref_v, qps, qpcs, hdr_vals, hdr_lens,
         rng, subpel, me_backend, deblock, dbA, dbB,
-        aq_strength, qpc_offset, trellis, partitions)
-    G = vs.shape[0]
+        aq_strength, qpc_offset, trellis, partitions,
+        qp_offs=qp_offs, has_qp_off=qp_offs is not None, want_mv=want_mv,
+        want_recons=want_recons)
+    vs, ls = res[0], res[1]
+    rest = res[2:]
     datas = []
     nbits = []
     for k in range(G):
         d, nb = pack_phase(vs[k], ls[k], bucket_words)
         datas.append(d)
         nbits.append(nb)
-    return (jnp.stack(datas), jnp.stack(nbits), ry, ru, rv)
+    return (jnp.stack(datas), jnp.stack(nbits)) + tuple(rest)
 
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,

@@ -49,17 +49,14 @@ class SceneCut:
         self._ema: float | None = None
 
     def _inter_cost(self, cur: np.ndarray, prev: np.ndarray) -> float:
-        best = np.inf
+        """Min mean-SAD over the (2R+1)^2 global offsets, edge-padded
+        (one vectorized pass; the python offset loop was ~12 ms/frame
+        at 1080p on the session hot path)."""
         R = self.RANGE
-        for dy in range(-R, R + 1):
-            for dx in range(-R, R + 1):
-                a = cur[max(dy, 0):cur.shape[0] + min(dy, 0),
-                        max(dx, 0):cur.shape[1] + min(dx, 0)]
-                b = prev[max(-dy, 0):prev.shape[0] + min(-dy, 0),
-                         max(-dx, 0):prev.shape[1] + min(-dx, 0)]
-                if a.size:
-                    best = min(best, float(np.abs(a - b).mean()))
-        return best
+        pp = np.pad(prev, R, mode="edge")
+        win = np.lib.stride_tricks.sliding_window_view(pp, cur.shape)
+        diff = np.abs(win.reshape(-1, *cur.shape) - cur[None])
+        return float(diff.mean(axis=(1, 2)).min())
 
     def is_cut(self, y: np.ndarray) -> bool:
         """True when this frame starts a new scene (inter prediction from
@@ -115,18 +112,19 @@ class MBTree:
 
     # -- per-frame cost model (pooled) --
     def _mb_cells(self, a: np.ndarray) -> np.ndarray:
-        """(h8, w8) pooled plane -> (mbh, mbw) per-MB sums over 2x2 cells."""
+        """(..., h8, w8) pooled plane(s) -> (..., mbh, mbw) per-MB sums
+        over 2x2 cells (edge-replicated into partial MBs)."""
         mh, mw = self.mbh, self.mbw
-        out = np.zeros((mh, mw), np.float32)
-        c = a[:2 * mh, :2 * mw]
-        h2, w2 = c.shape[0] // 2 * 2, c.shape[1] // 2 * 2
-        s = c[:h2, :w2].reshape(h2 // 2, 2, w2 // 2, 2).sum(axis=(1, 3))
-        out[:s.shape[0], :s.shape[1]] = s
-        if s.shape[0] < mh:
-            out[s.shape[0]:] = out[s.shape[0] - 1]
-        if s.shape[1] < mw:
-            out[:, s.shape[1]:] = out[:, s.shape[1] - 1:s.shape[1]]
-        return out
+        c = a[..., :2 * mh, :2 * mw]
+        h2, w2 = c.shape[-2] // 2 * 2, c.shape[-1] // 2 * 2
+        s = (c[..., :h2, :w2]
+             .reshape(*c.shape[:-2], h2 // 2, 2, w2 // 2, 2)
+             .sum(axis=(-3, -1)))
+        ph, pw = mh - s.shape[-2], mw - s.shape[-1]
+        if ph or pw:
+            s = np.pad(s, [(0, 0)] * (s.ndim - 2) + [(0, ph), (0, pw)],
+                       mode="edge")
+        return s.astype(np.float32)
 
     def _costs(self, cur: np.ndarray, prev: np.ndarray | None):
         gx = np.abs(np.diff(cur, axis=1, append=cur[:, -1:]))
@@ -136,17 +134,16 @@ class MBTree:
             return intra, intra.copy(), np.zeros((self.mbh, self.mbw, 2),
                                                  np.int32)
         R = self.RANGE
-        h8, w8 = cur.shape
+        K = 2 * R + 1
         pp = np.pad(prev, R, mode="edge")
-        best = np.full((self.mbh, self.mbw), np.inf, np.float32)
-        bmv = np.zeros((self.mbh, self.mbw, 2), np.int32)
-        for dy in range(-R, R + 1):
-            for dx in range(-R, R + 1):
-                cand = pp[R + dy:R + dy + h8, R + dx:R + dx + w8]
-                sad = self._mb_cells(np.abs(cur - cand))
-                better = sad < best
-                best = np.where(better, sad, best)
-                bmv[better] = (dy, dx)
+        # all K*K candidate offsets at once (a python loop of 81 plane
+        # passes was ~30 ms/frame at 1080p — a real cap on the pipeline)
+        win = np.lib.stride_tricks.sliding_window_view(pp, cur.shape)
+        diff = np.abs(win - cur[None, None]).reshape(K * K, *cur.shape)
+        sads = self._mb_cells(diff)
+        k = np.argmin(sads, axis=0)
+        best = np.take_along_axis(sads, k[None], axis=0)[0]
+        bmv = np.stack([k // K - R, k % K - R], axis=-1).astype(np.int32)
         return intra, best, bmv
 
     # -- queue interface --

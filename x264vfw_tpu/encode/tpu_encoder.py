@@ -628,7 +628,7 @@ class TpuEncoder:
             self.qpc = int(tnp.chroma_qp(self.qp,
                                          self.pps.chroma_qp_index_offset))
         self.poc = poc
-        if cfg.cabac:
+        if cfg.cabac and (self.host_entropy or not self._transcode_ok()):
             return self._encode_b_cabac(y, u, v, ref0, ref1, mvcol)
         src = np.concatenate([
             np.ascontiguousarray(_pad(y, H, W), dtype=np.uint8).ravel(),
@@ -651,6 +651,8 @@ class TpuEncoder:
         bucket = min(bucket, cap_words)
         data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
         payload = self._pull_payload(data, nbits2)
+        if cfg.cabac:
+            payload = self._transcode(payload, hl, "B")
         self.frame_idx += 1
         return wrap_nal(0, NAL_SLICE, payload)
 
@@ -723,12 +725,18 @@ class TpuEncoder:
         self.frame_idx += 1
         return wrap_nal(0, NAL_SLICE, hdr + payload)
 
+    def _transcode_ok(self) -> bool:
+        from ..bitstream import cabac_transcode
+        return cabac_transcode.available()
+
     def encode_frame(self, y: np.ndarray, u: np.ndarray, v: np.ndarray,
                      qp: int | None = None,
                      force_idr: bool | None = None,
                      qp_off: np.ndarray | None = None) -> bytes:
         cfg = self.cfg
-        if cfg.cabac:
+        if cfg.cabac and (self.host_entropy or not self._transcode_ok()):
+            # fallback CABAC path: per-frame syntax-tensor pull + host coder
+            # (the hot path below re-codes the device CAVLC slice instead)
             return self._encode_frame_cabac(y, u, v, qp, force_idr=force_idr,
                                             qp_off=qp_off)
         H, W = self.mbh * 16, self.mbw * 16
@@ -822,6 +830,9 @@ class TpuEncoder:
             bucket = min(bucket, cap_words)
             data, nbits2 = device_finalize.pack_phase(sv_, sl_, bucket)
             payload = self._pull_payload(data, nbits2)
+            if cfg.cabac:
+                payload = self._transcode(payload, hl,
+                                          "I" if is_idr else "P")
             self.ref = (ry, ru, rv)
             if self.nref > 1:
                 if is_idr:
@@ -838,6 +849,22 @@ class TpuEncoder:
         if is_idr:
             self.idr_id = (self.idr_id + 1) % 65536
         return bs
+
+    # ------------------------------------------------------------------
+    def _transcode(self, payload: np.ndarray, hl, slice_type: str) -> bytes:
+        """Re-code a device-packed CAVLC slice as CABAC (the CABAC hot
+        path: two native C passes over bitstream-sized data instead of a
+        multi-MB syntax-tensor pull; bitstream/cabac_transcode.py)."""
+        from ..bitstream import cabac_transcode
+        hdr_bits = int(np.asarray(hl).sum())
+        body = cabac_transcode.transcode_slice(
+            np.asarray(payload), hdr_bits, slice_type, self.mbh, self.mbw,
+            self.qp, nref=getattr(self, "_cur_nref", 1))
+        if body is None:
+            raise RuntimeError(
+                "CABAC transcode rejected an own-encoder CAVLC slice "
+                f"({slice_type}); this is a bug")
+        return body
 
     # ------------------------------------------------------------------
     def _weight_analysis(self, y: np.ndarray):

@@ -250,6 +250,16 @@ def sad_partition_minima(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
     band_h = 16 + 2 * R
     bw = (W + 2 * R + 127) // 128 * 128
     L = (2 * mbw + 127) // 128 * 128
+    # scoped-VMEM budget: the per-invocation footprint is dominated by the
+    # (2*NRp, bw) int16 column-sum scratch; large W x large R (e.g. 1080p
+    # at merange 16) exceeds the 16 MB scoped limit, so split the frame
+    # into vertical strips with a 2R halo — per-MB results are invariant
+    # to the split (each MB's whole search window lives inside its strip)
+    est = (2 * NRp * bw * 2 + ((K - 1) // 8 * 8 + 24) * bw * 2
+           + 4 * NRp * L * 4 + 2 * band_h * bw * 2)
+    if est > 12 << 20 and mbw > 32:
+        return _sad_partition_minima_tiled(src_y, ref_pad, R, scales,
+                                           interpret)
     ref_w = jnp.pad(ref_pad, ((0, 0), (0, bw - (W + 2 * R))), mode="edge")
     bands = jnp.stack([
         jax.lax.dynamic_slice(ref_w, (i * 16, 0), (band_h, bw))
@@ -300,6 +310,90 @@ def sad_partition_minima(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
         "v168": v168, "k168": k168,
         "v816": out[:, 6, :q2].reshape(mbh, mbw, 2),
         "k816": out[:, 7, :q2].reshape(mbh, mbw, 2),
+        "v8": v8, "k8": k8,
+    }
+
+
+def _sad_partition_minima_tiled(src_y, ref_pad, R, scales, interpret):
+    """Width-tiled variant of sad_partition_minima (same results).
+
+    Strips of MB_T MBs with a 2R ref halo; grid (mbh, n_t).  Used when the
+    untiled per-row footprint would blow the scoped VMEM limit."""
+    H, W = src_y.shape
+    mbh, mbw = H // 16, W // 16
+    K = 2 * R + 1
+    Kp, _, NRp = _row_geometry(K)
+    band_h = 16 + 2 * R
+    MB_T = 32                                # 512-px strips
+    TW = MB_T * 16
+    n_t = (mbw + MB_T - 1) // MB_T
+    Wp = n_t * TW
+    tbw = (TW + 2 * R + 127) // 128 * 128
+    Lt = (2 * MB_T + 127) // 128 * 128
+    src_p = jnp.pad(src_y, ((0, 0), (0, Wp - W)), mode="edge")
+    ref_w = jnp.pad(ref_pad, ((0, 0), (0, (Wp + 2 * R + tbw) - (W + 2 * R))),
+                    mode="edge")
+    # (n_t, mbh, band_h, tbw) ref strips; (n_t, mbh, 16, TW) src strips
+    bands = jnp.stack([
+        jnp.stack([jax.lax.dynamic_slice(ref_w, (i * 16, t * TW),
+                                         (band_h, tbw))
+                   for i in range(mbh)])
+        for t in range(n_t)])
+    src_t = jnp.stack([
+        src_p[:, t * TW:(t + 1) * TW].reshape(mbh, 16, TW)
+        for t in range(n_t)])
+
+    r_oy = np.arange(NRp) // Kp
+    r_ox = np.arange(NRp) % Kp
+    valid = (r_ox < K) & (r_oy < K)
+    pen_r = np.abs(r_oy - R) + np.abs(r_ox - R)
+    pen_np = np.where(valid, pen_r, 1 << 28).astype(np.int32)
+    kmap_np = np.where(valid, r_oy * K + r_ox, 1 << 28).astype(np.int32)
+
+    def kern(src_ref, band_ref, pen_ref, kmap_ref, out_ref, cs_ref, b2_ref,
+             **kw):
+        _sad_argmin_kernel(src_ref.at[0, 0], band_ref.at[0], pen_ref,
+                           kmap_ref, out_ref.at[:, 0], cs_ref, b2_ref, **kw)
+
+    out = pl.pallas_call(
+        partial(kern, R=R, mbw=MB_T, scales=scales),
+        out_shape=jax.ShapeDtypeStruct((mbh, n_t, 16, Lt), jnp.int32),
+        grid=(mbh, n_t),
+        in_specs=[
+            pl.BlockSpec((1, 1, 16, TW), lambda i, t: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, band_h, tbw), lambda i, t: (t, i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NRp, Lt), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NRp, Lt), lambda i, t: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 16, Lt), lambda i, t: (i, t, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[pltpu.VMEM((2 * NRp, tbw), jnp.int16),
+                        pltpu.VMEM(((K - 1) // 8 * 8 + 24, tbw), jnp.int16)],
+        interpret=interpret,
+    )(src_t.astype(jnp.int16), bands.astype(jnp.int16),
+      jnp.asarray(np.broadcast_to(pen_np[:, None], (NRp, Lt)).copy()),
+      jnp.asarray(np.broadcast_to(kmap_np[:, None], (NRp, Lt)).copy()))
+
+    # reassemble lanes across strips, then crop the width padding
+    one = jnp.concatenate([out[:, t, :, :MB_T] for t in range(n_t)], axis=-1)
+    two = jnp.concatenate([out[:, t, :, :2 * MB_T] for t in range(n_t)],
+                          axis=-1)
+    q2 = 2 * mbw
+    v168 = jnp.stack([one[:, 2, :mbw], one[:, 4, :mbw]], axis=-1)
+    k168 = jnp.stack([one[:, 3, :mbw], one[:, 5, :mbw]], axis=-1)
+    v8 = jnp.stack([two[:, 8, :q2], two[:, 10, :q2]], axis=1
+                   ).reshape(2 * mbh, q2)
+    k8 = jnp.stack([two[:, 9, :q2], two[:, 11, :q2]], axis=1
+                   ).reshape(2 * mbh, q2)
+    return {
+        "v16": one[:, 0, :mbw], "k16": one[:, 1, :mbw],
+        "v168": v168, "k168": k168,
+        "v816": two[:, 6, :q2].reshape(mbh, mbw, 2),
+        "k816": two[:, 7, :q2].reshape(mbh, mbw, 2),
         "v8": v8, "k8": k8,
     }
 
