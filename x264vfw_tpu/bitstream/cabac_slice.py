@@ -26,9 +26,34 @@ CBF_OFF = {0: 0, 1: 4, 2: 8, 3: 12, 4: 16}       # + 85
 SIG_OFF = {0: 0, 1: 15, 2: 29, 3: 44, 4: 47}     # + 105 / + 166
 ABS_OFF = {0: 0, 1: 10, 2: 20, 3: 30, 4: 39}     # + 227
 
+# cat-5 (luma 8x8) position->ctx maps, frame-coded (Table 9-43);
+# significant_coeff at 402 + map, last_significant at 417 + map,
+# coeff_abs_level at 426; no coded_block_flag for cat 5
+SIG8_MAP = np.array([
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12],
+    dtype=np.int32)
+LAST8_MAP = np.array([
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8],
+    dtype=np.int32)
+
 # luma 4x4 block coding order -> raster (bx, by) within MB
 BLK_X = np.array([0, 1, 0, 1, 2, 3, 2, 3, 0, 1, 0, 1, 2, 3, 2, 3])
 BLK_Y = np.array([0, 0, 1, 1, 0, 0, 1, 1, 2, 2, 3, 3, 2, 2, 3, 3])
+
+# P sub_mb_type -> partition list (ox, oy, w, h) in 4x4 units within the
+# 8x8 sub-block (Table 7-17)
+_PSUB_PARTS = {
+    0: [(0, 0, 2, 2)],
+    1: [(0, 0, 2, 1), (0, 1, 2, 1)],
+    2: [(0, 0, 1, 2), (1, 0, 1, 2)],
+    3: [(0, 0, 1, 1), (1, 0, 1, 1), (0, 1, 1, 1), (1, 1, 1, 1)],
+}
 
 
 class _Writer:
@@ -107,12 +132,15 @@ class CabacSliceBase:
         self.coded = np.zeros((mbh, mbw), bool)
         self.cbp_luma = np.zeros((mbh, mbw), np.int32)
         self.cbp_chroma = np.zeros((mbh, mbw), np.int32)
-        # mvd/ref neighbour maps on the 8x8 PARTITION grid (the mvd
-        # ctxIdxInc reads the partition covering the neighbouring 4x4
-        # block; partitions here are 8x8-aligned)
-        self.mvd = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)   # list 0
-        self.mvd1 = np.zeros((2 * mbh, 2 * mbw, 2), np.int32)  # list 1
-        self.ref8 = np.zeros((2 * mbh, 2 * mbw), np.int32)
+        # mvd/ref neighbour maps: the mvd/ref ctxIdxInc reads the
+        # partition covering the neighbouring 4x4 block, so the maps are
+        # 4x4-block granularity (sub-8x8 partitions have distinct mvds;
+        # >=8x8 partitions write their full extent so neighbor reads are
+        # identical to the old 8x8-granular maps)
+        self.mvd = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)   # list 0
+        self.mvd1 = np.zeros((4 * mbh, 4 * mbw, 2), np.int32)  # list 1
+        self.ref8 = np.zeros((4 * mbh, 4 * mbw), np.int32)
+        self.ref81 = np.zeros((4 * mbh, 4 * mbw), np.int32)    # list 1
         self.direct = np.zeros((mbh, mbw), bool)           # B_Skip/B_Direct
         self.cbf4 = np.zeros((4 * mbh, 4 * mbw), np.int32)
         self.cbf_dc = np.zeros((mbh, mbw), np.int32)
@@ -122,20 +150,52 @@ class CabacSliceBase:
         self.cmode = np.zeros((mbh, mbw), np.int32)
         self.is_inxn = np.zeros((mbh, mbw), bool)
         self.is_intra = np.zeros((mbh, mbw), bool)
+        self.t8 = np.zeros((mbh, mbw), bool)   # transform_size_8x8_flag
         self.prev_qp_delta_nz = 0
 
+    def t8_flag(self, mx, my, val=None):
+        """transform_size_8x8_flag (ctx 399 + neighbor flags)."""
+        def cond(x, y):
+            if not self.avail(x, y) or not self.coded[y, x]:
+                return 0
+            return int(self.t8[y, x])
+        v = self.io.decision(399 + cond(mx - 1, my) + cond(mx, my - 1),
+                             val)
+        self.t8[my, mx] = bool(v)
+        return v
+
     def avail(self, mx, my):
-        return 0 <= mx < self.mbw and my >= 0
+        # neighbor availability is slice-scoped (§6.4.9): a fresh
+        # reader/writer is created per slice, so everything before
+        # first_mb belongs to another slice
+        return (0 <= mx < self.mbw and my >= 0
+                and my * self.mbw + mx >= getattr(self, "first_mb", 0))
 
     # ---------------- residual block ----------------
     def residual(self, cat, cbf_inc, coeffs=None, n=None):
-        """Writer: pass coeffs (scan order). Reader: pass n; returns array."""
+        """Writer: pass coeffs (scan order). Reader: pass n; returns array.
+
+        cat 5 (luma 8x8, High profile) has no coded_block_flag and uses
+        position-MAPPED significance contexts (Table 9-43)."""
         io = self.io
         write = coeffs is not None
         if write:
             n = len(coeffs)
-        cbf = io.decision(85 + CBF_OFF[cat] + cbf_inc,
-                          int((coeffs != 0).any()) if write else None)
+        if cat == 5:
+            cbf = 1
+            def sig_ctx(i):
+                return 402 + int(SIG8_MAP[i])
+            def last_ctx(i):
+                return 417 + int(LAST8_MAP[i])
+            abs_base = 426
+        else:
+            cbf = io.decision(85 + CBF_OFF[cat] + cbf_inc,
+                              int((coeffs != 0).any()) if write else None)
+            def sig_ctx(i):
+                return 105 + SIG_OFF[cat] + i
+            def last_ctx(i):
+                return 166 + SIG_OFF[cat] + i
+            abs_base = 227 + ABS_OFF[cat]
         out = np.zeros(n, np.int32)
         if not cbf:
             return (0, coeffs if write else out)
@@ -145,11 +205,11 @@ class CabacSliceBase:
         sig = np.zeros(n, bool)
         lastpos = n - 1
         for i in range(n - 1):
-            s = io.decision(105 + SIG_OFF[cat] + i,
+            s = io.decision(sig_ctx(i),
                             int(nz[i]) if write else None)
             sig[i] = bool(s)
             if s:
-                l_ = io.decision(166 + SIG_OFF[cat] + i,
+                l_ = io.decision(last_ctx(i),
                                  int(i == last) if write else None)
                 if l_:
                     lastpos = i
@@ -164,8 +224,8 @@ class CabacSliceBase:
         for i in range(lastpos, -1, -1):
             if not (nz[i] if write else sig[i]):
                 continue
-            c0 = 227 + ABS_OFF[cat] + (0 if num_gt1 else min(4, 1 + num_eq1))
-            c1 = 227 + ABS_OFF[cat] + 5 + min(4, num_gt1)
+            c0 = abs_base + (0 if num_gt1 else min(4, 1 + num_eq1))
+            c1 = abs_base + 5 + min(4, num_gt1)
             v = _ueg(self.io, [c0, c1], 0, 14,
                      value=(int(coeffs[i]) - (1 if coeffs[i] > 0 else -1))
                      if write else None, signed=False)
@@ -180,11 +240,13 @@ class CabacSliceBase:
         return (1, coeffs if write else out)
 
     # ---------------- cbf ctx increments (§9.3.3.1.1.9) ----------------
+    # unavailable neighbors (picture edge OR other slice) read as coded
+    # when the current MB is intra, uncoded otherwise
     def cbf_inc_luma4(self, mx, my, bx, by, intra_mb):
         gx, gy = 4 * mx + bx, 4 * my + by
 
         def cond(x, y):
-            if x < 0 or y < 0:
+            if x < 0 or y < 0 or not self.avail(x // 4, y // 4):
                 return 1 if intra_mb else 0
             return int(self.cbf4[y, x])
 
@@ -192,7 +254,7 @@ class CabacSliceBase:
 
     def cbf_inc_dc(self, mx, my, intra_mb):
         def cond(x, y):
-            if x < 0 or y < 0:
+            if x < 0 or y < 0 or not self.avail(x, y):
                 return 1 if intra_mb else 0
             if not self.is_i16[y, x]:
                 return 0
@@ -202,7 +264,7 @@ class CabacSliceBase:
 
     def cbf_inc_cdc(self, mx, my, pl, intra_mb):
         def cond(x, y):
-            if x < 0 or y < 0:
+            if x < 0 or y < 0 or not self.avail(x, y):
                 return 1 if intra_mb else 0
             return int(self.cbf_cdc[y, x, pl])
 
@@ -212,7 +274,7 @@ class CabacSliceBase:
         gx, gy = 2 * mx + (sb & 1), 2 * my + (sb >> 1)
 
         def cond(x, y):
-            if x < 0 or y < 0:
+            if x < 0 or y < 0 or not self.avail(x // 2, y // 2):
                 return 1 if intra_mb else 0
             return int(self.cbf_cac[y, x, pl])
 
@@ -236,7 +298,7 @@ class CabacSliceBase:
         mvd_f = self.mvd if lst == 0 else self.mvd1
 
         def absmvd(x, y):
-            if x < 0 or y < 0 or x >= 2 * self.mbw:
+            if x < 0 or y < 0 or x >= 4 * self.mbw:
                 return 0
             return abs(int(mvd_f[y, x, comp]))
 
@@ -247,16 +309,17 @@ class CabacSliceBase:
                  3, 9, value=val)
         return v
 
-    def ref_idx(self, qx, qy, val=None):
-        """ref_idx_l0 bins (9.3.3.1.1.6): unary, bin0 ctx 54 +
+    def ref_idx(self, qx, qy, val=None, lst=0):
+        """ref_idx_lX bins (9.3.3.1.1.6): unary, bin0 ctx 54 +
         condA + 2*condB (condTerm = neighbour partition refIdx > 0),
         later bins ctx 58/59."""
         io = self.io
+        ref_f = self.ref8 if lst == 0 else self.ref81
 
         def cond(x, y):
-            if x < 0 or y < 0 or x >= 2 * self.mbw:
+            if x < 0 or y < 0 or x >= 4 * self.mbw:
                 return 0
-            return 1 if self.ref8[y, x] > 0 else 0
+            return 1 if ref_f[y, x] > 0 else 0
 
         inc = cond(qx - 1, qy) + 2 * cond(qx, qy - 1)
         write = val is not None
@@ -331,6 +394,36 @@ class CabacSliceBase:
         if io.terminate(0 if val is not None else None):
             raise NotImplementedError("I_PCM")
         return ("i16",) + self._i16_type_bins(33, 34, 34, 35, 35, val)
+
+    def p_sub_type(self, val=None):
+        """P sub_mb_type bins (Table 9-38, ctx 21-23):
+        '1'->8x8, '00'->8x4, '011'->4x8, '010'->4x4."""
+        io = self.io
+        w = val is not None
+        if io.decision(21, (1 if val == 0 else 0) if w else None):
+            return 0
+        if not io.decision(22, (0 if val == 1 else 1) if w else None):
+            return 1
+        return 2 if io.decision(23, (1 if val == 2 else 0)
+                                if w else None) else 3
+
+    def b_sub_type(self, val=None):
+        """B sub_mb_type bins (Table 9-38, ctx 36-39)."""
+        io = self.io
+        w = val is not None
+        if not io.decision(36, (0 if val == 0 else 1) if w else None):
+            return 0
+        if not io.decision(37, (0 if val in (1, 2) else 1) if w else None):
+            return 1 + io.decision(39, (val - 1) if w else None)
+        if io.decision(38, (0 if 3 <= val <= 6 else 1) if w else None):
+            if io.decision(39, (1 if val >= 11 else 0) if w else None):
+                return 11 + io.decision(39, (val - 11) if w else None)
+            base = 7
+        else:
+            base = 3
+        hi = io.decision(39, ((val - base) >> 1) & 1 if w else None)
+        lo = io.decision(39, (val - base) & 1 if w else None)
+        return base + 2 * hi + lo
 
     def cbp(self, mx, my, cbp_l=None, cbp_c=None):
         io = self.io
@@ -504,15 +597,18 @@ class CabacSlice(CabacSliceBase):
                 io.decision(21, 1)       # sub_mb_type P_L0_8x8
         POS = {0: [(0, 0)], 1: [(0, 0), (0, 1)],
                2: [(0, 0), (1, 0)], 3: [(0, 0), (1, 0), (0, 1), (1, 1)]}
-        SIZ = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
-        qx0, qy0 = 2 * mx, 2 * my
+        SIZ = {0: (4, 4), 1: (4, 2), 2: (2, 4), 3: (2, 2)}
+        bx0, by0 = 4 * mx, 4 * my
         if nref > 1:
+            pw, ph = SIZ[part] if part != 3 else (2, 2)
             for (ox, oy) in POS[part]:
-                self.ref_idx(qx0 + ox, qy0 + oy, int(ref))
+                qx, qy = bx0 + 2 * ox, by0 + 2 * oy
+                self.ref_idx(qx, qy, int(ref))
+                self.ref8[qy:qy + ph, qx:qx + pw] = int(ref)
         for (ox, oy) in POS[part]:
             sl = oy * 2 + ox
             vx, vy = int(mv4[sl, 0]), int(mv4[sl, 1])
-            qx, qy = qx0 + ox, qy0 + oy
+            qx, qy = bx0 + 2 * ox, by0 + 2 * oy
             self.mvd_comp(qx, qy, 0, vx)
             self.mvd_comp(qx, qy, 1, vy)
             pw, ph = SIZ[part]
@@ -548,13 +644,13 @@ class CabacSlice(CabacSliceBase):
         self.b_mb_type(mx, my, mode)
         self.direct[my, mx] = mode == 0
         if mode in (1, 3):
-            self.mvd_comp(2 * mx, 2 * my, 0, int(mvd0[0]), lst=0)
-            self.mvd_comp(2 * mx, 2 * my, 1, int(mvd0[1]), lst=0)
-            self.mvd[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = mvd0
+            self.mvd_comp(4 * mx, 4 * my, 0, int(mvd0[0]), lst=0)
+            self.mvd_comp(4 * mx, 4 * my, 1, int(mvd0[1]), lst=0)
+            self.mvd[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = mvd0
         if mode in (2, 3):
-            self.mvd_comp(2 * mx, 2 * my, 0, int(mvd1[0]), lst=1)
-            self.mvd_comp(2 * mx, 2 * my, 1, int(mvd1[1]), lst=1)
-            self.mvd1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = mvd1
+            self.mvd_comp(4 * mx, 4 * my, 0, int(mvd1[0]), lst=1)
+            self.mvd_comp(4 * mx, 4 * my, 1, int(mvd1[1]), lst=1)
+            self.mvd1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = mvd1
         self.cbp(mx, my, cbp_l, cbp_c)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
@@ -671,53 +767,94 @@ class CabacSliceReader(CabacSliceBase):
         b2 = io.decision(16 if b1 == 0 else 17)
         # Table 9-37 strings 000/011/010/001 -> 16x16/16x8/8x16/P_8x8
         part = (0 if not b2 else 3) if b1 == 0 else (1 if b2 else 2)
+        subt = [0, 0, 0, 0]
         if part == 3:
-            for _ in range(4):
-                if not io.decision(21):      # only P_L0_8x8 subs supported
-                    raise NotImplementedError("sub_mb_type < 8x8 in CABAC")
+            subt = [self.p_sub_type() for _ in range(4)]
         nref = getattr(self, "num_ref_l0", 1)
         POS = {0: [(0, 0)], 1: [(0, 0), (0, 1)],
                2: [(0, 0), (1, 0)], 3: [(0, 0), (1, 0), (0, 1), (1, 1)]}
-        SIZ = {0: (2, 2), 1: (2, 1), 2: (1, 2), 3: (1, 1)}
-        qx0, qy0 = 2 * mx, 2 * my
+        SIZ = {0: (4, 4), 1: (4, 2), 2: (2, 4), 3: (2, 2)}
+        bx0, by0 = 4 * mx, 4 * my
         refs4 = np.zeros(4, np.int32)
         if nref > 1:
+            pw, ph = SIZ[part] if part != 3 else (2, 2)
             for (ox, oy) in POS[part]:
-                refs4[oy * 2 + ox] = self.ref_idx(qx0 + ox, qy0 + oy)
+                qx, qy = bx0 + 2 * ox, by0 + 2 * oy
+                refs4[oy * 2 + ox] = self.ref_idx(qx, qy)
+                self.ref8[qy:qy + ph, qx:qx + pw] = refs4[oy * 2 + ox]
         mvd4 = np.zeros((4, 2), np.int32)
-        for (ox, oy) in POS[part]:
-            sl = oy * 2 + ox
-            qx, qy = qx0 + ox, qy0 + oy
-            mvd4[sl, 0] = self.mvd_comp(qx, qy, 0)
-            mvd4[sl, 1] = self.mvd_comp(qx, qy, 1)
-            pw, ph = SIZ[part]
-            self.mvd[qy:qy + ph, qx:qx + pw] = mvd4[sl]
-            self.ref8[qy:qy + ph, qx:qx + pw] = refs4[sl]
+        mvd_sub = None
+        if part == 3 and any(subt):
+            # sub-8x8 partitions: per-part mvds at 4x4 ctx granularity
+            mvd_sub = [[] for _ in range(4)]
+            for sb in range(4):
+                sbx, sby = bx0 + 2 * (sb & 1), by0 + 2 * (sb >> 1)
+                self.ref8[sby:sby + 2, sbx:sbx + 2] = refs4[sb]
+                for (ox, oy, pw, ph) in _PSUB_PARTS[subt[sb]]:
+                    qx, qy = sbx + ox, sby + oy
+                    d = np.array([self.mvd_comp(qx, qy, 0),
+                                  self.mvd_comp(qx, qy, 1)], np.int32)
+                    mvd_sub[sb].append(d)
+                    self.mvd[qy:qy + ph, qx:qx + pw] = d
+            mvd4[:] = [m[0] for m in mvd_sub]
+        else:
+            for (ox, oy) in POS[part]:
+                sl = oy * 2 + ox
+                qx, qy = bx0 + 2 * ox, by0 + 2 * oy
+                mvd4[sl, 0] = self.mvd_comp(qx, qy, 0)
+                mvd4[sl, 1] = self.mvd_comp(qx, qy, 1)
+                pw, ph = SIZ[part]
+                self.mvd[qy:qy + ph, qx:qx + pw] = mvd4[sl]
+                self.ref8[qy:qy + ph, qx:qx + pw] = refs4[sl]
         mvd = mvd4[0]
         cbp_l, cbp_c = self.cbp(mx, my)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
         out = {"skip": False, "intra": False, "mvd": mvd,
                "part": part, "mvd4": mvd4, "refs4": refs4,
+               "subt": (subt if part == 3 and any(subt) else None),
+               "mvd_sub": mvd_sub,
                "cbp_l": cbp_l, "cbp_c": cbp_c,
                "levels": np.zeros((16, 16), np.int32),
                "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
                "ac_u": np.zeros((4, 15), np.int32),
                "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        can_t8 = part != 3 or all(st == 0 for st in subt)
+        self._inter_luma_tail(mx, my, cbp_l, cbp_c, out, can_t8)
+        return out
+
+    def _inter_luma_tail(self, mx, my, cbp_l, cbp_c, out, can_t8):
+        """Shared inter residual tail: optional transform_size_8x8_flag,
+        qp_delta, luma (4x4 or 8x8) + chroma residuals."""
+        t8 = False
+        if (cbp_l and getattr(self, "transform_8x8_mode", False)
+                and can_t8):
+            t8 = bool(self.t8_flag(mx, my))
+        out["t8"] = t8
         if cbp_l == 0 and cbp_c == 0:
             self.prev_qp_delta_nz = 0
-            return out
+            return
         out["qpd"] = self.qp_delta()
-        for blk in range(16):
-            if not (cbp_l >> (blk // 4)) & 1:
-                continue
-            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
-            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
-            cbf, coeffs = self.residual(2, inc, n=16)
-            out["levels"][blk] = coeffs
-            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
+        if t8:
+            out["levels8"] = np.zeros((4, 64), np.int32)
+            for b8 in range(4):
+                if not (cbp_l >> b8) & 1:
+                    continue
+                _, coeffs = self.residual(5, 0, n=64)
+                out["levels8"][b8] = coeffs
+                bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+                self.cbf4[4 * my + by:4 * my + by + 2,
+                          4 * mx + bx:4 * mx + bx + 2] = int(coeffs.any())
+        else:
+            for blk in range(16):
+                if not (cbp_l >> (blk // 4)) & 1:
+                    continue
+                bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
+                inc = self.cbf_inc_luma4(mx, my, bx, by, False)
+                cbf, coeffs = self.residual(2, inc, n=16)
+                out["levels"][blk] = coeffs
+                self.cbf4[4 * my + by, 4 * mx + bx] = cbf
         self._read_chroma(mx, my, cbp_c, False, out)
-        return out
 
     def read_b_mb(self, mx, my):
         """Returns dict for one B MB (16x16 modes + direct/skip; intra)."""
@@ -734,7 +871,7 @@ class CabacSliceReader(CabacSliceBase):
             out["skip"] = False
             return out
         if t > 3:
-            raise NotImplementedError(f"B mb_type {t} (partitions) in CABAC")
+            return self._read_b_parts(mx, my, t)
         self.direct[my, mx] = t == 0
         out = {"skip": False, "intra": False, "mode": t,
                "mvd0": np.zeros(2, np.int32), "mvd1": np.zeros(2, np.int32),
@@ -742,31 +879,119 @@ class CabacSliceReader(CabacSliceBase):
                "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
                "ac_u": np.zeros((4, 15), np.int32),
                "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        out["ref0"] = out["ref1"] = 0
+        nref = (getattr(self, "num_ref_l0", 1), getattr(self, "num_ref_l1", 1))
+        if t in (1, 3) and nref[0] > 1:
+            out["ref0"] = self.ref_idx(4 * mx, 4 * my, lst=0)
+            self.ref8[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = out["ref0"]
+        if t in (2, 3) and nref[1] > 1:
+            out["ref1"] = self.ref_idx(4 * mx, 4 * my, lst=1)
+            self.ref81[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = out["ref1"]
         if t in (1, 3):
-            out["mvd0"] = np.array([self.mvd_comp(2 * mx, 2 * my, 0, lst=0),
-                                    self.mvd_comp(2 * mx, 2 * my, 1, lst=0)], np.int32)
-            self.mvd[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = out["mvd0"]
+            out["mvd0"] = np.array([self.mvd_comp(4 * mx, 4 * my, 0, lst=0),
+                                    self.mvd_comp(4 * mx, 4 * my, 1, lst=0)], np.int32)
+            self.mvd[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = out["mvd0"]
         if t in (2, 3):
-            out["mvd1"] = np.array([self.mvd_comp(2 * mx, 2 * my, 0, lst=1),
-                                    self.mvd_comp(2 * mx, 2 * my, 1, lst=1)], np.int32)
-            self.mvd1[2 * my:2 * my + 2, 2 * mx:2 * mx + 2] = out["mvd1"]
+            out["mvd1"] = np.array([self.mvd_comp(4 * mx, 4 * my, 0, lst=1),
+                                    self.mvd_comp(4 * mx, 4 * my, 1, lst=1)], np.int32)
+            self.mvd1[4 * my:4 * my + 4, 4 * mx:4 * mx + 4] = out["mvd1"]
         cbp_l, cbp_c = self.cbp(mx, my)
         self.cbp_luma[my, mx] = cbp_l
         self.cbp_chroma[my, mx] = cbp_c
         out["cbp_l"], out["cbp_c"] = cbp_l, cbp_c
-        if cbp_l == 0 and cbp_c == 0:
-            self.prev_qp_delta_nz = 0
-            return out
-        out["qpd"] = self.qp_delta()
-        for blk in range(16):
-            if not (cbp_l >> (blk // 4)) & 1:
-                continue
-            bx, by = int(BLK_X[blk]), int(BLK_Y[blk])
-            inc = self.cbf_inc_luma4(mx, my, bx, by, False)
-            cbf, coeffs = self.residual(2, inc, n=16)
-            out["levels"][blk] = coeffs
-            self.cbf4[4 * my + by, 4 * mx + bx] = cbf
-        self._read_chroma(mx, my, cbp_c, False, out)
+        # 16x16 modes (t <= 3): 8x8 transform always permitted —
+        # B_Direct_16x16 needs direct_8x8_inference, which x264 sets
+        self._inter_luma_tail(mx, my, cbp_l, cbp_c, out, True)
+        return out
+
+    # Table 7-14 list usage for two-partition B types 4..21 (same data as
+    # the host decoder's _B2_COMBO; spec-table constants)
+    _B2_COMBO = {
+        4: ((1, 0), (1, 0)), 5: ((1, 0), (1, 0)),
+        6: ((0, 1), (0, 1)), 7: ((0, 1), (0, 1)),
+        8: ((1, 0), (0, 1)), 9: ((1, 0), (0, 1)),
+        10: ((0, 1), (1, 0)), 11: ((0, 1), (1, 0)),
+        12: ((1, 0), (1, 1)), 13: ((1, 0), (1, 1)),
+        14: ((0, 1), (1, 1)), 15: ((0, 1), (1, 1)),
+        16: ((1, 1), (1, 0)), 17: ((1, 1), (1, 0)),
+        18: ((1, 1), (0, 1)), 19: ((1, 1), (0, 1)),
+        20: ((1, 1), (1, 1)), 21: ((1, 1), (1, 1)),
+    }
+    _BSUB_LISTS = {1: (1, 0), 2: (0, 1), 3: (1, 1)}
+
+    def _read_b_parts(self, mx, my, t):
+        """Partitioned B MB syntax: two-partition types 4..21 and B_8x8
+        (22, 8x8 subs only — x264 never emits smaller B sub-parts)."""
+        nref = (getattr(self, "num_ref_l0", 1), getattr(self, "num_ref_l1", 1))
+        bx0, by0 = 4 * mx, 4 * my
+        out = {"skip": False, "intra": False, "mode": t,
+               "levels": np.zeros((16, 16), np.int32),
+               "dc_u": np.zeros(4, np.int32), "dc_v": np.zeros(4, np.int32),
+               "ac_u": np.zeros((4, 15), np.int32),
+               "ac_v": np.zeros((4, 15), np.int32), "qpd": 0}
+        if t == 22:
+            subt = [self.b_sub_type() for _ in range(4)]
+            if any(1 <= s <= 12 and s > 3 for s in subt):
+                raise NotImplementedError(
+                    f"B sub_mb_type {subt} below 8x8 in CABAC")
+            refs = [[0, 0] for _ in range(4)]
+            for x in (0, 1):
+                for sb in range(4):
+                    if subt[sb] != 0 and self._BSUB_LISTS[subt[sb]][x] \
+                            and nref[x] > 1:
+                        qx, qy = bx0 + 2 * (sb & 1), by0 + 2 * (sb >> 1)
+                        refs[sb][x] = self.ref_idx(qx, qy, lst=x)
+                        rf = self.ref8 if x == 0 else self.ref81
+                        rf[qy:qy + 2, qx:qx + 2] = refs[sb][x]
+            mvds = [[None] * 4, [None] * 4]
+            for x in (0, 1):
+                mvd_f = self.mvd if x == 0 else self.mvd1
+                for sb in range(4):
+                    if subt[sb] == 0 or not self._BSUB_LISTS[subt[sb]][x]:
+                        continue
+                    qx, qy = bx0 + 2 * (sb & 1), by0 + 2 * (sb >> 1)
+                    d = np.array([self.mvd_comp(qx, qy, 0, lst=x),
+                                  self.mvd_comp(qx, qy, 1, lst=x)], np.int32)
+                    mvds[x][sb] = d
+                    mvd_f[qy:qy + 2, qx:qx + 2] = d
+            out["subt"] = subt
+            out["refs"] = refs
+            out["mvds"] = mvds
+        else:
+            combo = self._B2_COMBO[t]
+            vert = t & 1                     # odd -> 8x16
+            # partition extents on the 4x4 grid
+            exts = ([(bx0, by0, 2, 4), (bx0 + 2, by0, 2, 4)] if vert
+                    else [(bx0, by0, 4, 2), (bx0, by0 + 2, 4, 2)])
+            refs = [[0, 0], [0, 0]]
+            for x in (0, 1):
+                rf = self.ref8 if x == 0 else self.ref81
+                for p in (0, 1):
+                    if combo[p][x] and nref[x] > 1:
+                        qx, qy, qw, qh = exts[p]
+                        refs[p][x] = self.ref_idx(qx, qy, lst=x)
+                        rf[qy:qy + qh, qx:qx + qw] = refs[p][x]
+            mvds = [[None, None], [None, None]]
+            for x in (0, 1):
+                mvd_f = self.mvd if x == 0 else self.mvd1
+                for p in (0, 1):
+                    if not combo[p][x]:
+                        continue
+                    qx, qy, qw, qh = exts[p]
+                    d = np.array([self.mvd_comp(qx, qy, 0, lst=x),
+                                  self.mvd_comp(qx, qy, 1, lst=x)], np.int32)
+                    mvds[x][p] = d
+                    mvd_f[qy:qy + qh, qx:qx + qw] = d
+            out["combo"] = combo
+            out["refs2"] = refs
+            out["mvds2"] = mvds
+        cbp_l, cbp_c = self.cbp(mx, my)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        out["cbp_l"], out["cbp_c"] = cbp_l, cbp_c
+        # t==22 reaches here with 8x8-only subs (smaller subs raise
+        # upstream), so the 8x8 transform is always permitted
+        self._inter_luma_tail(mx, my, cbp_l, cbp_c, out, True)
         return out
 
     def read_i16_mb_body(self, mx, my, ac_flag, cbp_c):
@@ -798,6 +1023,9 @@ class CabacSliceReader(CabacSliceBase):
         self.is_intra[my, mx] = True
         if t[0] == "i4":
             self.is_inxn[my, mx] = True
+            if getattr(self, "transform_8x8_mode", False) \
+                    and self.t8_flag(mx, my):
+                return self.read_i8_mb_body(mx, my)
             return self.read_i4_mb_body(mx, my)
         ac, cbc, pred = t[1:]
         self.is_i16[my, mx] = True
@@ -805,6 +1033,36 @@ class CabacSliceReader(CabacSliceBase):
         self.cbp_chroma[my, mx] = cbc
         out = self.read_i16_mb_body(mx, my, ac, cbc)
         out.update(kind="i16", ac_flag=ac, cbp_c=cbc, pred=pred)
+        return out
+
+    def read_i8_mb_body(self, mx, my):
+        """I_NxN with transform_size_8x8_flag == 1: 4 mode pairs + cat-5
+        residual per coded 8x8 block."""
+        out = {"kind": "i8",
+               "modes_bins8": [self.i4_pred_bins() for _ in range(4)]}
+        out["cmode"] = self.chroma_pred_mode(mx, my)
+        cbp_l, cbp_c = self.cbp(mx, my)
+        self.cbp_luma[my, mx] = cbp_l
+        self.cbp_chroma[my, mx] = cbp_c
+        out.update(cbp_l=cbp_l, cbp_c=cbp_c, qpd=0,
+                   levels8=np.zeros((4, 64), np.int32),
+                   dc_u=np.zeros(4, np.int32), dc_v=np.zeros(4, np.int32),
+                   ac_u=np.zeros((4, 15), np.int32),
+                   ac_v=np.zeros((4, 15), np.int32))
+        if cbp_l == 0 and cbp_c == 0:
+            self.prev_qp_delta_nz = 0
+            return out
+        out["qpd"] = self.qp_delta()
+        for b8 in range(4):
+            if not (cbp_l >> b8) & 1:
+                continue
+            _, coeffs = self.residual(5, 0, n=64)
+            out["levels8"][b8] = coeffs
+            # neighbor cbf contexts read the covering 8x8's coded flag
+            bx, by = (b8 & 1) * 2, (b8 >> 1) * 2
+            self.cbf4[4 * my + by:4 * my + by + 2,
+                      4 * mx + bx:4 * mx + bx + 2] = int(coeffs.any())
+        self._read_chroma(mx, my, cbp_c, True, out)
         return out
 
     def read_i4_mb_body(self, mx, my):

@@ -45,11 +45,16 @@ class SliceHeader:
     slice_alpha_c0_offset_div2: int = 0
     slice_beta_offset_div2: int = 0
     # pred_weight_table (§7.3.3.2), present in P slices when the PPS sets
-    # weighted_pred_flag.  luma_weights_l0[i] is (w, o) or None (defaults);
-    # chroma weights are signalled absent (flag 0) in this implementation.
+    # weighted_pred_flag (and in B slices when weighted_bipred_idc == 1).
+    # luma_weights_lX[i] is (w, o) or None (defaults); chroma_weights_lX[i]
+    # is ((wCb, oCb), (wCr, oCr)) or None.  The encoder write side emits
+    # luma-only L0 tables; the parse side accepts the full syntax.
     luma_log2_weight_denom: int = 6
     chroma_log2_weight_denom: int = 0
     luma_weights_l0: list = field(default_factory=list)
+    luma_weights_l1: list = field(default_factory=list)
+    chroma_weights_l0: list = field(default_factory=list)
+    chroma_weights_l1: list = field(default_factory=list)
 
     @property
     def type(self) -> int:
@@ -141,15 +146,26 @@ class SliceHeader:
         self.luma_log2_weight_denom = r.ue()
         if sps.chroma_format_idc != 0:
             self.chroma_log2_weight_denom = r.ue()
-        self.luma_weights_l0 = []
-        for _ in range(self.num_ref_idx_l0_active_minus1 + 1):
-            if r.u(1):
-                self.luma_weights_l0.append((r.se(), r.se()))
-            else:
-                self.luma_weights_l0.append(None)
-            if sps.chroma_format_idc != 0:
+
+        def one_list(count: int):
+            lw, cw = [], []
+            for _ in range(count):
                 if r.u(1):
-                    raise NotImplementedError("explicit chroma weights")
+                    lw.append((r.se(), r.se()))
+                else:
+                    lw.append(None)
+                if sps.chroma_format_idc != 0:
+                    if r.u(1):
+                        cw.append(((r.se(), r.se()), (r.se(), r.se())))
+                    else:
+                        cw.append(None)
+            return lw, cw
+
+        self.luma_weights_l0, self.chroma_weights_l0 = one_list(
+            self.num_ref_idx_l0_active_minus1 + 1)
+        if self.is_b():
+            self.luma_weights_l1, self.chroma_weights_l1 = one_list(
+                self.num_ref_idx_l1_active_minus1 + 1)
 
     # -- parse --
     @classmethod
@@ -195,7 +211,7 @@ class SliceHeader:
         if pps.weighted_pred_flag and h.is_p():
             h._parse_pred_weight_table(r, sps)
         if pps.weighted_bipred_idc == 1 and h.is_b():
-            raise NotImplementedError("explicit weighted biprediction")
+            h._parse_pred_weight_table(r, sps)
         if nal_ref_idc != 0:
             if idr:
                 h.no_output_of_prior_pics_flag = r.u(1)

@@ -429,32 +429,13 @@ def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
     via FFmpeg); here the host parses entropy in C and the device does the
     reconstruction math.
     """
-    from . import native_parse
-    from .decoder import Frame
-
-    if pps.entropy_coding_mode_flag or not (h.is_p() or h.is_i()):
+    p = parse_slice_syntax(top, rbsp, bitpos, sps, pps, h, nal_type,
+                           len(top.dpb))
+    if p is None:
         return None
-    if h.first_mb_in_slice != 0 or pps.constrained_intra_pred_flag:
-        return None
-    if (pps.weighted_pred_flag and h.is_p()
-            and any(w is not None for w in h.luma_weights_l0)):
-        return None
-    if h.ref_pic_list_mod_l0 or h.mmco_ops:
-        return None
-    if not native_parse.available():
-        return None
-
+    syn = p["syn"]
     mbh, mbw = sps.mb_height, sps.mb_width
-    nref = (h.num_ref_idx_l0_active_minus1 + 1) if h.is_p() else 1
-    refs = list(top.dpb[:nref]) if h.is_p() else []
-    if h.is_p() and len(refs) < nref:
-        return None
-    qp_init = pps.pic_init_qp_minus26 + 26 + h.slice_qp_delta
-    syn = native_parse.parse_slice(
-        np.asarray(rbsp, np.uint8), bitpos, 0 if h.is_p() else 2,
-        mbh, mbw, qp_init, nref, bool(pps.transform_8x8_mode_flag))
-    if syn is None:
-        return None
+    refs = list(top.dpb[:p["nref"]]) if h.is_p() else []
 
     # reference plane stacks (cached per reference frame)
     if refs:
@@ -481,7 +462,6 @@ def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
     idx = np.full(max(ib, 1), -1, np.int32)
     idx[:intra_list.size] = intra_list
 
-    deblock_on = h.disable_deblocking_filter_idc != 1
     y, u, v = decode_frame_core(
         jnp.asarray(kinds), jnp.asarray(syn["qp_map"]),
         jnp.asarray(syn["i16mode"]), jnp.asarray(syn["cmode"]),
@@ -492,29 +472,203 @@ def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
         jnp.asarray(syn["ref4"]), jnp.asarray(idx[:max(ib, 1)]),
         luma_planes, refs_u, refs_v,
         mbh=mbh, mbw=mbw, cqpo=pps.chroma_qp_index_offset,
-        offA=h.slice_alpha_c0_offset_div2 * 2,
-        offB=h.slice_beta_offset_div2 * 2,
-        deblock=deblock_on, ib=ib)
+        offA=p["offA"], offB=p["offB"], deblock=p["deblock"], ib=ib)
 
-    # host-side motion/type maps (B-direct colocated source + debug)
+    fr = _syntax_frame(syn, mbh, mbw, h, nal_type, refs)
+    fr.y = np.asarray(y)
+    fr.u = np.asarray(u)
+    fr.v = np.asarray(v)
+    return fr
+
+
+# ------------------------------------------------------------ GOP batching
+def _frame_core_from_planes(mb_kind, qp_map, i16mode, cmode, i4modes,
+                            dc16, ac15, lvl16, cdc, cac, mv4, ref4,
+                            intra_idx, luma_planes, refs_u, refs_v,
+                            mbh, mbw, cqpo, offA, offB, deblock, ib):
+    """Un-jitted body of decode_frame_core (shared by the GOP scan)."""
+    return decode_frame_core.__wrapped__(
+        mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15, lvl16,
+        cdc, cac, mv4, ref4, intra_idx, luma_planes, refs_u, refs_v,
+        mbh=mbh, mbw=mbw, cqpo=cqpo, offA=offA, offB=offB,
+        deblock=deblock, ib=ib)
+
+
+@partial(jax.jit, static_argnames=("mbh", "mbw", "cqpo", "offA", "offB",
+                                   "deblock", "ib", "nref"))
+def decode_gop_core(mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15,
+                    lvl16, cdc, cac, mv4, ref4, intra_idx, is_idr,
+                    dpb_luma, dpb_u, dpb_v,
+                    mbh: int, mbw: int, cqpo: int, offA: int, offB: int,
+                    deblock: bool, ib: int, nref: int):
+    """Decode G consecutive frames in ONE dispatch (the decode analogue of
+    the encoder's GOP scan): a lax.scan carries a rolling DPB of PREPARED
+    MC planes; each step reconstructs one frame, preps its planes on
+    device, and pushes it to the front of the DPB.
+
+    Syntax tensors carry a leading G axis.  is_idr (G,) int32 resets the
+    DPB slot usage (the scan simply rolls; intra frames never read refs).
+    Returns (G, 16mbh, 16mbw) y and the chroma pair.
+    """
+    def step(carry, xs):
+        dl, du, dv = carry
+        (kind, qp, i16m, cm, i4m, d16, a15, l16, cd, ca, mv, rf, ii) = xs
+        y, u, v = _frame_core_from_planes(
+            kind, qp, i16m, cm, i4m, d16, a15, l16, cd, ca, mv, rf, ii,
+            dl, du, dv, mbh, mbw, cqpo, offA, offB, deblock, ib)
+        nl, nu, nv = prep_ref_planes.__wrapped__(y, u, v)
+        dl = jnp.concatenate([nl[None], dl[:-1]])
+        du = jnp.concatenate([nu[None], du[:-1]])
+        dv = jnp.concatenate([nv[None], dv[:-1]])
+        return (dl, du, dv), (y.astype(jnp.uint8), u.astype(jnp.uint8),
+                              v.astype(jnp.uint8))
+
+    xs = (mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15, lvl16,
+          cdc, cac, mv4, ref4, intra_idx)
+    (_, _, _), (ys, us, vs) = jax.lax.scan(
+        step, (dpb_luma, dpb_u, dpb_v), xs)
+    return ys, us, vs
+
+
+def parse_slice_syntax(top, rbsp, bitpos, sps, pps, h, nal_type,
+                       dpb_depth: int):
+    """Phase 1 of the device fast path: eligibility checks + native C
+    entropy parse.  Returns a dict (syntax + metadata) or None."""
+    from . import native_parse
+
+    if pps.entropy_coding_mode_flag or not (h.is_p() or h.is_i()):
+        return None
+    if h.first_mb_in_slice != 0 or pps.constrained_intra_pred_flag:
+        return None
+    if (pps.weighted_pred_flag and h.is_p()
+            and any(w is not None for w in h.luma_weights_l0)):
+        return None
+    if h.ref_pic_list_mod_l0 or h.mmco_ops:
+        return None
+    if not native_parse.available():
+        return None
+    mbh, mbw = sps.mb_height, sps.mb_width
+    nref = (h.num_ref_idx_l0_active_minus1 + 1) if h.is_p() else 1
+    if h.is_p() and dpb_depth < nref:
+        return None
+    qp_init = pps.pic_init_qp_minus26 + 26 + h.slice_qp_delta
+    syn = native_parse.parse_slice(
+        np.asarray(rbsp, np.uint8), bitpos, 0 if h.is_p() else 2,
+        mbh, mbw, qp_init, nref, bool(pps.transform_8x8_mode_flag))
+    if syn is None:
+        return None
+    return {"syn": syn, "h": h, "nal_type": nal_type, "nref": nref,
+            "deblock": h.disable_deblocking_filter_idc != 1,
+            "offA": h.slice_alpha_c0_offset_div2 * 2,
+            "offB": h.slice_beta_offset_div2 * 2}
+
+
+def _syntax_frame(syn, mbh, mbw, h, nal_type, refs):
+    """Host-side Frame assembly from parsed syntax + decoded planes go in
+    later; shared by the single and batched paths."""
+    from .decoder import Frame
+    n = mbh * mbw
     mv_grid = syn["mv4"].reshape(mbh, mbw, 4, 4, 2).transpose(
         0, 2, 1, 3, 4).reshape(4 * mbh, 4 * mbw, 2)
     ref_grid = syn["ref4"].reshape(mbh, mbw, 4, 4).transpose(
         0, 2, 1, 3).reshape(4 * mbh, 4 * mbw)
     mb_types = np.empty(n, np.int32)
     k = syn["mb_kind"]
-    mb_types[k == 0] = 1000                               # P_Skip marker
+    mb_types[k == 0] = 1000
     for kk, mt in ((1, 100), (2, 101), (3, 102), (4, 103)):
         mb_types[k == kk] = mt
     i16sel = k == 5
     mb_types[i16sel] = (1 + syn["i16mode"][i16sel]
                         + 4 * syn["cbp_chroma"][i16sel]
                         + 12 * (syn["cbp_luma"][i16sel] != 0))
-    mb_types[k == 6] = 0                                  # I_NxN
-    fr = Frame(np.asarray(y), np.asarray(u), np.asarray(v),
+    mb_types[k == 6] = 0
+    refid0 = np.full(ref_grid.shape, -1, np.int64)
+    if refs:
+        ids = np.array([id(f) % (1 << 62) for f in refs], np.int64)
+        sel = ref_grid >= 0
+        refid0[sel] = ids[np.clip(ref_grid[sel], 0, len(refs) - 1)]
+    fr = Frame(None, None, None,
                frame_num=h.frame_num, is_idr=nal_type == 5,
                mb_types=mb_types.reshape(mbh, mbw),
                qps=syn["qp_map"].reshape(mbh, mbw).copy(),
-               mvs=mv_grid.copy(), refs=ref_grid.copy())
+               mvs=mv_grid.copy(), refs=ref_grid.copy(), refid0=refid0)
     fr.syntax = None
     return fr
+
+
+def decode_gop_device(top, parsed: list, sps, pps):
+    """Decode a run of eligible pictures in one device dispatch.
+
+    parsed: list of parse_slice_syntax dicts (decode order; the first
+    frame may be an IDR).  Uses top.dpb for the initial references.
+    Returns a list of Frames (planes filled)."""
+    mbh, mbw = sps.mb_height, sps.mb_width
+    G = len(parsed)
+    n = mbh * mbw
+    nref = max(max(p["nref"] for p in parsed), 1)
+    dpb0 = list(top.dpb[:nref])
+
+    def stack(key, dtype):
+        return jnp.asarray(np.stack([np.asarray(p["syn"][key], dtype)
+                                     for p in parsed]))
+
+    kinds = np.stack([p["syn"]["mb_kind"] for p in parsed])
+    counts = [int((p["syn"]["mb_kind"] >= 5).sum()) for p in parsed]
+    ib = _bucket(max(counts), n) if max(counts) else 0
+    idx = np.full((G, max(ib, 1)), -1, np.int32)
+    for g, p in enumerate(parsed):
+        il = np.flatnonzero(p["syn"]["mb_kind"] >= 5).astype(np.int32)
+        idx[g, :il.size] = il
+    is_idr = np.array([p["nal_type"] == 5 for p in parsed], np.int32)
+
+    # initial prepared-plane DPB (replicate when shallow; intra-only
+    # GOPs never read it)
+    Hp, Wp = 16 * mbh + 2 * PAD, 16 * mbw + 2 * PAD
+    if dpb0:
+        devs = []
+        for f in dpb0:
+            if getattr(f, "_dev_ref", None) is None:
+                f._dev_ref = prep_ref_planes(
+                    jnp.asarray(f.y), jnp.asarray(f.u), jnp.asarray(f.v))
+            devs.append(f._dev_ref)
+        while len(devs) < nref:
+            devs.append(devs[-1])
+        dl = jnp.stack([d[0] for d in devs])
+        du = jnp.stack([d[1] for d in devs])
+        dv = jnp.stack([d[2] for d in devs])
+    else:
+        dl = jnp.zeros((nref, 4, Hp, Wp), jnp.int16)
+        du = jnp.zeros((nref, 8 * mbh + 2 * PADC, 8 * mbw + 2 * PADC),
+                       jnp.int16)
+        dv = du
+
+    p0 = parsed[0]
+    ys, us, vs = decode_gop_core(
+        jnp.asarray(kinds), stack("qp_map", np.int32),
+        stack("i16mode", np.int32), stack("cmode", np.int32),
+        stack("i4modes", np.int8), stack("dc16", np.int16),
+        stack("ac15", np.int16), stack("lvl16", np.int16),
+        jnp.asarray(np.stack([p["syn"]["cdc"].reshape(n, 2, 2, 2)
+                              for p in parsed])),
+        stack("cac", np.int16), stack("mv4", np.int16),
+        stack("ref4", np.int8), jnp.asarray(idx[:, :max(ib, 1)]),
+        jnp.asarray(is_idr), dl, du, dv,
+        mbh=mbh, mbw=mbw, cqpo=pps.chroma_qp_index_offset,
+        offA=p0["offA"], offB=p0["offB"], deblock=p0["deblock"],
+        ib=ib, nref=nref)
+    ys = np.asarray(ys)
+    us = np.asarray(us)
+    vs = np.asarray(vs)
+
+    frames = []
+    refs = list(dpb0)
+    for g, p in enumerate(parsed):
+        if p["nal_type"] == 5:   # IDR: reference set resets
+            refs = []
+        fr = _syntax_frame(p["syn"], mbh, mbw, p["h"], p["nal_type"], refs)
+        fr.y = ys[g].astype(np.int32)
+        fr.u = us[g].astype(np.int32)
+        fr.v = vs[g].astype(np.int32)
+        frames.append(fr)
+        refs = ([fr] + refs)[:nref]
+    return frames

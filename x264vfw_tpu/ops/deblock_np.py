@@ -135,6 +135,21 @@ def deblock_frame(sd) -> None:
 
     refpic = getattr(sd, "refpic", None)
     mv1 = getattr(sd, "mv1", None)
+    # High-profile 8x8 transform: internal luma edges 1/3 are not
+    # filtered, and the coded-block bS condition applies to the covering
+    # 8x8 block (§8.7.2.1)
+    t8map = getattr(sd, "t8x8", None)
+    t8c = getattr(sd, "t8_coded", None)
+
+    def coded4(bx, by):
+        if (t8map is not None and t8map[by // 4, bx // 4]
+                and t8c is not None):
+            return bool(t8c[by // 2, bx // 2])
+        return sd.tc_luma[by, bx] > 0
+
+    def t8_skip(mx, my, edge):
+        return (edge in (1, 3) and t8map is not None
+                and t8map[my, mx])
 
     def motion_of(bx, by):
         """[(pic_id, mv)] for each list the block uses."""
@@ -165,7 +180,7 @@ def deblock_frame(sd) -> None:
         mb_edge = edge == 0
         if is_intra(mx, my) or is_intra(pmx, pmy):
             return 4 if mb_edge else 3
-        if sd.tc_luma[bqy, bqx] > 0 or sd.tc_luma[bpy, bpx] > 0:
+        if coded4(bqx, bqy) or coded4(bpx, bpy):
             return 2
         # §8.7.2.1 inter/inter: different ref-picture sets, different mv
         # counts, or an mv gap >= 4 quarter-pels for the matching picture
@@ -194,6 +209,8 @@ def deblock_frame(sd) -> None:
             # ---- vertical edges (luma) ----
             for edge in range(4):
                 if edge == 0 and mx == 0:
+                    continue
+                if t8_skip(mx, my, edge):
                     continue
                 x = mx * 16 + edge * 4
                 qp_p = int(sd.qp_map[my, mx - 1]) if edge == 0 else qp_q
@@ -247,6 +264,8 @@ def deblock_frame(sd) -> None:
             # ---- horizontal edges (luma) ----
             for edge in range(4):
                 if edge == 0 and my == 0:
+                    continue
+                if t8_skip(mx, my, edge):
                     continue
                 y = my * 16 + edge * 4
                 qp_p = int(sd.qp_map[my - 1, mx]) if edge == 0 else qp_q

@@ -225,3 +225,169 @@ def pred4x4(mode: int, top: np.ndarray | None, topright: np.ndarray | None,
                     out[y, x] = l[3]
         return out.astype(np.int32)
     raise ValueError(mode)
+
+
+def _pref(arr, tl, j):
+    """Reference sample with index -1 meaning the top-left p'[-1,-1]."""
+    return tl if j < 0 else arr[j]
+
+
+def _filter_ref8x8(top: np.ndarray | None, left: np.ndarray | None,
+                   topleft: int | None):
+    """Intra_8x8 reference sample filtering (§8.3.2.2.1).
+
+    top: length-16 (top + top-right, caller already substituted an
+    unavailable top-right by replicating top[7]); left: length-8;
+    topleft: sample or None.  Returns (top', left', topleft')."""
+    ft = fl = ftl = None
+    if top is not None:
+        t = top.astype(np.int64)
+        ft = np.empty(16, np.int64)
+        if topleft is not None:
+            ft[0] = (topleft + 2 * t[0] + t[1] + 2) >> 2
+        else:
+            ft[0] = (3 * t[0] + t[1] + 2) >> 2
+        ft[1:15] = (t[:14] + 2 * t[1:15] + t[2:16] + 2) >> 2
+        ft[15] = (t[14] + 3 * t[15] + 2) >> 2
+    if left is not None:
+        l_ = left.astype(np.int64)
+        fl = np.empty(8, np.int64)
+        if topleft is not None:
+            fl[0] = (topleft + 2 * l_[0] + l_[1] + 2) >> 2
+        else:
+            fl[0] = (3 * l_[0] + l_[1] + 2) >> 2
+        fl[1:7] = (l_[:6] + 2 * l_[1:7] + l_[2:8] + 2) >> 2
+        fl[7] = (l_[6] + 3 * l_[7] + 2) >> 2
+    if topleft is not None:
+        tl = int(topleft)
+        if top is not None and left is not None:
+            ftl = (int(top[0]) + 2 * tl + int(left[0]) + 2) >> 2
+        elif top is not None:
+            ftl = (3 * tl + int(top[0]) + 2) >> 2
+        elif left is not None:
+            ftl = (3 * tl + int(left[0]) + 2) >> 2
+        else:
+            ftl = tl
+    return ft, fl, ftl
+
+
+def pred8x8(mode: int, top: np.ndarray | None, topright: np.ndarray | None,
+            left: np.ndarray | None, topleft: int | None) -> np.ndarray:
+    """Intra_8x8 luma prediction (§8.3.2.2).  Same 9 modes as Intra_4x4
+    but on filtered reference samples.  top/topright length-8, left
+    length-8, all UNfiltered; substitution for an unavailable top-right
+    (replicate top[7]) happens here."""
+    if top is not None:
+        tr = (topright if topright is not None
+              else np.full(8, top[7], dtype=np.int64))
+        raw_t = np.concatenate([np.asarray(top, np.int64),
+                                np.asarray(tr, np.int64)])
+    else:
+        raw_t = None
+    t, l, tl = _filter_ref8x8(raw_t, left, topleft)
+    out = np.zeros((8, 8), dtype=np.int64)
+
+    if mode == I4_V:
+        return np.broadcast_to(t[:8].reshape(1, 8), (8, 8)).astype(np.int32)
+    if mode == I4_H:
+        return np.broadcast_to(l.reshape(8, 1), (8, 8)).astype(np.int32)
+    if mode == I4_DC:
+        if t is not None and l is not None:
+            dc = (int(t[:8].sum()) + int(l.sum()) + 8) >> 4
+        elif t is not None:
+            dc = (int(t[:8].sum()) + 4) >> 3
+        elif l is not None:
+            dc = (int(l.sum()) + 4) >> 3
+        else:
+            dc = 128
+        return np.full((8, 8), dc, dtype=np.int32)
+    if mode == I4_DDL:
+        for y in range(8):
+            for x in range(8):
+                if x == 7 and y == 7:
+                    out[y, x] = (t[14] + 3 * t[15] + 2) >> 2
+                else:
+                    out[y, x] = (t[x + y] + 2 * t[x + y + 1]
+                                 + t[x + y + 2] + 2) >> 2
+        return out.astype(np.int32)
+    if mode == I4_DDR:
+        for y in range(8):
+            for x in range(8):
+                if x > y:
+                    out[y, x] = (_pref(t, tl, x - y - 2)
+                                 + 2 * _pref(t, tl, x - y - 1)
+                                 + t[x - y] + 2) >> 2
+                elif x < y:
+                    out[y, x] = (_pref(l, tl, y - x - 2)
+                                 + 2 * _pref(l, tl, y - x - 1)
+                                 + l[y - x] + 2) >> 2
+                else:
+                    out[y, x] = (t[0] + 2 * tl + l[0] + 2) >> 2
+        return out.astype(np.int32)
+    # index -1 refers to the (filtered) top-left sample p'[-1,-1]
+    def pt(j):
+        return tl if j < 0 else t[j]
+
+    def pl(j):
+        return tl if j < 0 else l[j]
+
+    if mode == I4_VR:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * x - y
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (pt(x - (y >> 1) - 1) + pt(x - (y >> 1))
+                                 + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (pt(x - (y >> 1) - 2)
+                                 + 2 * pt(x - (y >> 1) - 1)
+                                 + pt(x - (y >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    out[y, x] = (pl(y - 2 * x - 1) + 2 * pl(y - 2 * x - 2)
+                                 + pl(y - 2 * x - 3) + 2) >> 2
+        return out.astype(np.int32)
+    if mode == I4_HD:
+        for y in range(8):
+            for x in range(8):
+                z = 2 * y - x
+                if z >= 0 and z % 2 == 0:
+                    out[y, x] = (pl(y - (x >> 1) - 1) + pl(y - (x >> 1))
+                                 + 1) >> 1
+                elif z >= 0:
+                    out[y, x] = (pl(y - (x >> 1) - 2)
+                                 + 2 * pl(y - (x >> 1) - 1)
+                                 + pl(y - (x >> 1)) + 2) >> 2
+                elif z == -1:
+                    out[y, x] = (l[0] + 2 * tl + t[0] + 2) >> 2
+                else:
+                    out[y, x] = (pt(x - 2 * y - 1) + 2 * pt(x - 2 * y - 2)
+                                 + pt(x - 2 * y - 3) + 2) >> 2
+        return out.astype(np.int32)
+    if mode == I4_VL:
+        for y in range(8):
+            for x in range(8):
+                if y % 2 == 0:
+                    out[y, x] = (t[x + (y >> 1)] + t[x + (y >> 1) + 1]
+                                 + 1) >> 1
+                else:
+                    out[y, x] = (t[x + (y >> 1)] + 2 * t[x + (y >> 1) + 1]
+                                 + t[x + (y >> 1) + 2] + 2) >> 2
+        return out.astype(np.int32)
+    if mode == I4_HU:
+        for y in range(8):
+            for x in range(8):
+                z = x + 2 * y
+                if z < 13 and z % 2 == 0:
+                    out[y, x] = (l[y + (x >> 1)] + l[y + (x >> 1) + 1]
+                                 + 1) >> 1
+                elif z < 13:
+                    out[y, x] = (l[y + (x >> 1)] + 2 * l[y + (x >> 1) + 1]
+                                 + l[y + (x >> 1) + 2] + 2) >> 2
+                elif z == 13:
+                    out[y, x] = (l[6] + 3 * l[7] + 2) >> 2
+                else:
+                    out[y, x] = l[7]
+        return out.astype(np.int32)
+    raise ValueError(mode)

@@ -270,3 +270,95 @@ def zigzag_unscan(scanned: np.ndarray) -> np.ndarray:
     out = np.zeros_like(scanned)
     out[..., ZIGZAG_4x4] = scanned
     return out.reshape(*scanned.shape[:-1], 4, 4)
+
+
+# --- 8x8 transform (High profile, §8.5.12.3/8.5.13) ---
+
+# dequant scale values per qp%6 (6 distinct values; position class below)
+_DEQUANT8_INIT = np.array([
+    [20, 18, 32, 19, 25, 24],
+    [22, 19, 35, 21, 28, 26],
+    [26, 23, 42, 24, 33, 31],
+    [28, 25, 45, 26, 35, 33],
+    [32, 28, 51, 30, 40, 38],
+    [36, 32, 58, 34, 46, 43],
+], dtype=np.int64)
+
+# position -> class for the 8x8 weight matrix: class of raster position
+# i (0..63) is _D8_SCAN[((i >> 1) & 12) | (i & 3)]
+_D8_SCAN = np.array([0, 3, 4, 3, 3, 1, 5, 1, 4, 5, 2, 5, 3, 1, 5, 1],
+                    dtype=np.int64)
+_D8_CLASS = _D8_SCAN[((np.arange(64) >> 1) & 12) | (np.arange(64) & 3)]
+
+# (6, 8, 8) LevelScale8x8 = weightScale(=16, flat lists) x normAdjust8x8
+DEQUANT8_TABLE = (_DEQUANT8_INIT[:, _D8_CLASS] * 16).reshape(6, 8, 8)
+
+
+def dequant8x8(coef: np.ndarray, qp: np.ndarray | int) -> np.ndarray:
+    """8x8 dequant with flat scaling lists (§8.5.13.1).
+
+    coef: (..., 8, 8) levels; qp scalar or broadcastable.
+    """
+    qp = np.asarray(qp, dtype=np.int32)
+    ls = DEQUANT8_TABLE[qp % 6].astype(np.int64)
+    c = coef.astype(np.int64)
+    div = (qp // 6).astype(np.int64)
+    if np.ndim(div):
+        div_ = div[..., None, None]
+        hi = (c * ls) << np.maximum(div_ - 6, 0)
+        sh = np.maximum(6 - div_, 0)
+        lo = (c * ls + (np.int64(1) << np.maximum(5 - div_, 0))) >> sh
+        return np.where(div_ >= 6, hi, lo).astype(np.int32)
+    dv = int(div)
+    if dv >= 6:
+        return ((c * ls) << (dv - 6)).astype(np.int32)
+    return ((c * ls + (1 << (5 - dv))) >> (6 - dv)).astype(np.int32)
+
+
+def _idct8_1d(p, axis_last: bool):
+    """One 8-point inverse stage over the last (row) or second-to-last
+    (column) axis; p: (..., 8, 8) int64."""
+    ix = (lambda k: p[..., :, k]) if axis_last else (lambda k: p[..., k, :])
+    p0, p1, p2, p3 = ix(0), ix(1), ix(2), ix(3)
+    p4, p5, p6, p7 = ix(4), ix(5), ix(6), ix(7)
+    a0 = p0 + p4
+    a2 = p0 - p4
+    a4 = (p2 >> 1) - p6
+    a6 = (p6 >> 1) + p2
+    b0 = a0 + a6
+    b2 = a2 + a4
+    b4 = a2 - a4
+    b6 = a0 - a6
+    a1 = -p3 + p5 - p7 - (p7 >> 1)
+    a3 = p1 + p7 - p3 - (p3 >> 1)
+    a5 = -p1 + p7 + p5 + (p5 >> 1)
+    a7 = p3 + p5 + p1 + (p1 >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    outs = [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+    ax = -1 if axis_last else -2
+    return np.stack(outs, axis=ax)
+
+
+def idct8x8_core(d: np.ndarray) -> np.ndarray:
+    """Inverse 8x8 transform (§8.5.12.3): rows, then columns, (x+32)>>6."""
+    d = d.astype(np.int64)
+    f = _idct8_1d(d, axis_last=True)    # horizontal (each row)
+    r = _idct8_1d(f, axis_last=False)   # vertical (each column)
+    return ((r + 32) >> 6).astype(np.int32)
+
+
+def zigzag8x8_unscan(scanned: np.ndarray) -> np.ndarray:
+    """(..., 64) scan order -> (..., 8, 8) raster."""
+    out = np.zeros(scanned.shape[:-1] + (64,), dtype=scanned.dtype)
+    out[..., ZIGZAG_8x8] = scanned
+    return out.reshape(scanned.shape[:-1] + (8, 8))
+
+
+def zigzag8x8_scan(blocks: np.ndarray) -> np.ndarray:
+    """(..., 8, 8) raster -> (..., 64) scan order."""
+    flat = blocks.reshape(blocks.shape[:-2] + (64,))
+    return flat[..., ZIGZAG_8x8]
