@@ -1,26 +1,23 @@
-"""Benchmark: 1080p encode throughput per TPU chip (BASELINE.json config).
+"""Benchmark: the five BASELINE.json configs, measured on the product API.
 
-Measures the full encoder at medium-like settings (deblock + adaptive
-quantization + trellis on; see notes below on CABAC) and prints ONE JSON
-line.  Reported numbers:
+Every number is produced by the same code paths a user runs
+(CompressSession / H264Decoder / transcode_clip), each labeled with its
+true feature set — plus `device_fps`, the compute-limited capacity of the
+batched CAVLC device pipeline (frames pre-staged on device, dispatches
+chained through the recon so the measurement cannot overlap itself).
 
-  value / device_fps : compute-limited fps of the batched device pipeline
-      (frames resident on device; dispatches chained through the recon so
-      the measurement cannot overlap itself).  This is the per-chip capacity
-      a production host (PCIe ingest) sees.
-  e2e_fps   : end-to-end fps including host packing + ingest over THIS
-      harness's tunnel link (bandwidth-bound; ingest_link_MBps quantifies it)
-      and payload pull.
-  cabac_fps : per-frame path with the default CABAC entropy (device syntax
-      tensors -> native C host coder), including the syntax pull.
-  stage_ms  : per-stage device timings of one 1080p P frame.
-
-vs_baseline is device_fps over the 300 fps/chip north-star (BASELINE.md).
+Output: ONE JSON line.
+  value / vs_baseline : 1080p session throughput at the DEFAULT config
+      (CABAC + B-frames + ref 3 + mbtree lookahead, the x264-medium
+      analogue) against the 300 fps/chip north star (BASELINE.md).
+  configs             : per-config {name, fps, kbps, config} entries.
 """
 
 from __future__ import annotations
 
 import json
+import os
+import tempfile
 import time
 
 import numpy as np
@@ -40,16 +37,41 @@ def make_clip(w, h, n, seed=0):
     return frames
 
 
+def session_run(w, h, frames, n, params=None, cmdline="", output=None,
+                container=None, warm=None):
+    """Encode n frames through CompressSession; returns (fps, kbps, bytes).
+    warm: frames encoded before timing (compile + pipeline fill)."""
+    from x264vfw_tpu.api import CompressSession
+    from x264vfw_tpu.config.params import EncoderParams
+
+    p = params.copy() if params is not None else EncoderParams()
+    sess = CompressSession(p, extra_cmdline=cmdline)
+    sess.begin(w, h, output=output, container=container)
+    nf = len(frames)
+    warm = warm if warm is not None else max(2 * 12, 24)
+    total = 0
+    for i in range(warm):
+        total += len(sess.compress(frames[i % nf], "i420"))
+    t0 = time.perf_counter()
+    for i in range(n):
+        total += len(sess.compress(frames[(warm + i) % nf], "i420"))
+    dt = time.perf_counter() - t0
+    stats = sess.end()
+    total += len(stats.get("tail", b""))
+    fps = n / dt
+    kbps = total * 8 * 25 / (warm + n) / 1000.0
+    return fps, kbps, total
+
+
 def main():
     from x264vfw_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
     import jax
     import jax.numpy as jnp
 
-    # tunnel watchdog: a dead TPU tunnel hangs inside device init or the
-    # first transfer with no exception (observed round 1 and round 2); probe
-    # it on a side thread so the bench reports an honest error JSON instead
-    # of timing out silently in the driver.
+    # tunnel watchdog: a dead TPU tunnel hangs inside device init with no
+    # exception (observed rounds 1-2); probe on a side thread for an
+    # honest error JSON instead of a silent driver timeout.
     import threading
     probe_ok = threading.Event()
 
@@ -62,150 +84,153 @@ def main():
 
     th = threading.Thread(target=_probe, daemon=True)
     th.start()
-    th.join(timeout=600)  # cold device init alone has been measured at ~185s
+    th.join(timeout=600)
     if not probe_ok.is_set():
         print(json.dumps({
             "metric": "1080p_encode_fps_per_chip", "value": 0.0,
             "unit": "fps", "vs_baseline": 0.0,
-            "error": "TPU tunnel unresponsive (device probe hung >600s); "
-                     "re-run on a healthy chip"}))
+            "error": "TPU tunnel unresponsive (device probe hung >600s)"}))
         return
+
+    from x264vfw_tpu.config.params import EncoderParams
+
+    configs = []
+
+    # ---- config 1: 720p ultrafast, CRF 23, CAVLC + P only, raw .264 ----
+    fr720 = make_clip(1280, 720, 4, seed=1)
+    with tempfile.TemporaryDirectory() as td:
+        fps, kbps, _ = session_run(
+            1280, 720, fr720, 96,
+            cmdline="--preset ultrafast --crf 23",
+            output=os.path.join(td, "c1.264"))
+    configs.append({"name": "720p_ultrafast_crf23_raw",
+                    "fps": round(fps, 2), "kbps": round(kbps),
+                    "config": "preset ultrafast (CAVLC, P-only, no deblock),"
+                              " CRF 23, raw Annex-B"})
+
+    # ---- config 2: 720p CABAC + B + deblock, MKV mux ----
+    with tempfile.TemporaryDirectory() as td:
+        fps, kbps, _ = session_run(
+            1280, 720, fr720, 96, cmdline="--crf 23",
+            output=os.path.join(td, "c2.mkv"))
+    configs.append({"name": "720p_cabac_b_deblock_mkv",
+                    "fps": round(fps, 2), "kbps": round(kbps),
+                    "config": "default params: CABAC + B-frames + ref 3 + "
+                              "deblock + mbtree, CRF 23, MKV"})
+
+    # ---- config 3: 1080p medium two-pass (subpel ME + trellis + AQ) ----
+    fr1080 = make_clip(1920, 1080, 4)
+    with tempfile.TemporaryDirectory() as td:
+        stats = os.path.join(td, "x264vfw.stats")
+        p1 = EncoderParams()
+        # pass 1 must cover every frame pass 2 will encode (24 warm + 48)
+        session_run(1920, 1080, fr1080, 72,
+                    params=p1, cmdline=f"--pass 1 --bitrate 6000 "
+                    f"--stats {stats}", warm=24)
+        fps, kbps, _ = session_run(
+            1920, 1080, fr1080, 48,
+            cmdline=f"--pass 2 --bitrate 6000 --stats {stats}")
+    configs.append({"name": "1080p_default_2pass",
+                    "fps": round(fps, 2), "kbps": round(kbps),
+                    "config": "default (CABAC+B+ref3+trellis+AQ+mbtree), "
+                              "ABR 6000kbps closed-loop pass 2"})
+    pass2_fps = fps
+
+    # ---- headline: 1080p default config, one-pass CRF ----
+    fps, kbps, _ = session_run(1920, 1080, fr1080, 48, cmdline="--crf 23")
+    headline = fps
+    configs.append({"name": "1080p_default_crf",
+                    "fps": round(fps, 2), "kbps": round(kbps),
+                    "config": "default params (CABAC + B + ref 3 + mbtree), "
+                              "CRF 23, session API"})
+
+    # ---- device capacity: batched CAVLC device pipeline (no ingest) ----
     from x264vfw_tpu.encode.ref_encoder import EncoderConfig
     from x264vfw_tpu.encode.tpu_encoder import TpuEncoder
     from x264vfw_tpu.encode import device_finalize as F
-
-    W, H = 1920, 1080
-    n_frames = 48
-    frames = make_clip(W, H, 4)
-    G = 12  # frames per device dispatch (batch mode amortizes host latency)
-
-    cfg = EncoderConfig(width=W, height=H, qp=26, keyint=250, search_range=8,
-                        deblock=True, aq_strength=1.0, trellis=True,
-                        partitions=True)
+    G = 12
+    cfg = EncoderConfig(width=1920, height=1080, qp=26, keyint=250,
+                        search_range=8, deblock=True, aq_strength=1.0,
+                        trellis=True, partitions=True)
     enc = TpuEncoder(cfg)
-    # warmup: compile I + batched P pipelines at the timed shapes
-    enc.encode_gop_batch([frames[i % len(frames)] for i in range(G + 1)])
-    enc.encode_gop_batch([frames[i % len(frames)] for i in range(G)])
-
-    # ---- e2e: host packing + tunnel ingest + device + payload pull ----
-    t0 = time.perf_counter()
-    total_bytes = 0
-    for i in range(0, n_frames, G):
-        batch = [frames[(i + k) % len(frames)] for k in range(min(G, n_frames - i))]
-        total_bytes += sum(len(a) for a in enc.encode_gop_batch(batch))
-    dt = time.perf_counter() - t0
-    e2e_fps = n_frames / dt
-    kbps = total_bytes * 8 * 25 / n_frames / 1000.0
-
-    # ---- device-limited: rows pre-staged on device, recon chains the
-    # dispatches; only the final bit counts are pulled ----
-    rows_dev = jnp.asarray(enc.pack_batch_rows(
-        [frames[k % len(frames)] for k in range(G)]))
+    enc.encode_gop_batch([fr1080[i % 4] for i in range(G + 1)])
+    rows_dev = jnp.asarray(enc.pack_batch_rows([fr1080[k % 4] for k in range(G)]))
     hvs = np.zeros((G, F.MAX_HDR), np.uint32)
     hls = np.zeros((G, F.MAX_HDR), np.int32)
-    hvs[:, 0], hls[:, 0] = 1, 8  # stand-in header codes (timing only)
+    hvs[:, 0], hls[:, 0] = 1, 8
     args = (jnp.asarray(hvs), jnp.asarray(hls))
     bucket = getattr(enc, "_bucket_words", 1 << 13)
 
     def run_batch(ref):
         return F.encode_pgop_packed(
-            rows_dev, *ref, enc.qp, enc.qpc, *args,
-            cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
-            cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-            cfg.aq_strength, enc.pps.chroma_qp_index_offset, cfg.trellis,
-            enc.partitions)
+            rows_dev, *ref, enc.qp, enc.qpc, *args, cfg.search_range,
+            cfg.subpel, bucket, cfg.me_backend, cfg.deblock,
+            cfg.deblock_alpha, cfg.deblock_beta, cfg.aq_strength,
+            enc.pps.chroma_qp_index_offset, cfg.trellis, enc.partitions)
 
-    ref = enc.ref
-    out = run_batch(ref)
-    ref2 = out[2:5]
+    out = run_batch(enc.ref)
     np.asarray(out[1])
-    reps = 4
+    acc = out[2:5]
     t0 = time.perf_counter()
-    acc = ref2
-    for _ in range(reps):
+    for _ in range(4):
         out = run_batch(acc)
         acc = out[2:5]
     np.asarray(out[1])
-    device_fps = reps * G / (time.perf_counter() - t0)
+    device_fps = 4 * G / (time.perf_counter() - t0)
 
-    # ---- per-stage timings of one P frame (device-chained: the carry is a
-    # device scalar perturbing the input, pulled once after the loop) ----
-    stage_ms = {}
-    ry, ru, rv = enc.ref
-
-    def timed(label, step, init, n=8):
-        c = step(init)
-        np.asarray(c)
-        t0 = time.perf_counter()
-        for _ in range(n):
-            c = step(c)
-        np.asarray(c)
-        stage_ms[label] = round((time.perf_counter() - t0) / n * 1000, 2)
-
-    src_row = jnp.asarray(enc.pack_batch_rows([frames[1]])[0])
-    slots = jax.jit(lambda c, s: F.encode_p_slots(
-        (s + (c * 0).astype(jnp.uint8)), ry, ru, rv, enc.qp, enc.qpc,
-        args[0][0], args[1][0], cfg.search_range, cfg.subpel,
-        cfg.me_backend, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
-        cfg.aq_strength, enc.pps.chroma_qp_index_offset, cfg.trellis)[2])
-    timed("p_slots", lambda c: slots(c, src_row), jnp.int32(0))
-    v, l, nb, *_ = F.encode_p_slots(
-        src_row, ry, ru, rv, enc.qp, enc.qpc, args[0][0], args[1][0],
-        cfg.search_range, cfg.subpel, cfg.me_backend, cfg.deblock,
-        cfg.deblock_alpha, cfg.deblock_beta, cfg.aq_strength,
-        enc.pps.chroma_qp_index_offset, cfg.trellis)
-    pk = jax.jit(lambda c, v_, l_: F.pack_phase(
-        v_ + (c * 0).astype(jnp.uint32), l_, bucket)[1])
-    timed("pack", lambda c: pk(c, v, l).astype(jnp.uint32), jnp.uint32(0))
-
-    # ---- CABAC path (default entropy): per-frame, device + host coder ----
-    cfg_c = EncoderConfig(width=W, height=H, qp=26, keyint=250,
-                          search_range=8, cabac=True, deblock=True,
-                          aq_strength=1.0, trellis=True)
-    enc_c = TpuEncoder(cfg_c)
-    enc_c.encode_frame(*frames[0])
-    enc_c.encode_frame(*frames[1])
-    nC = 8
-    t0 = time.perf_counter()
-    for i in range(nC):
-        enc_c.encode_frame(*frames[(i + 2) % len(frames)])
-    cabac_fps = nC / (time.perf_counter() - t0)
-
-    # ---- decode fast path (BASELINE config 4): native C entropy parse +
-    # one-dispatch device recon (decode/device_decode.py) ----
+    # ---- config 4: 1080p decode (device fast path) ----
     from x264vfw_tpu.decode.decoder import H264Decoder
-    cfg_d = EncoderConfig(width=W, height=H, qp=26, keyint=250,
+    cfg_d = EncoderConfig(width=1920, height=1080, qp=26, keyint=250,
                           search_range=8, deblock=True)
     enc_d = TpuEncoder(cfg_d)
     annexb = enc_d.headers()
-    n_dec = 12
-    for i in range(n_dec):
-        annexb += enc_d.encode_frame(*frames[i % len(frames)])
+    for i in range(12):
+        annexb += enc_d.encode_frame(*fr1080[i % 4])
     H264Decoder(use_device=True).decode(annexb)   # warm (compile)
     t0 = time.perf_counter()
     dec = H264Decoder(use_device=True)
     out_frames = dec.decode(annexb)
     decode_fps = len(out_frames) / (time.perf_counter() - t0)
+    configs.append({"name": "1080p_decode_device",
+                    "fps": round(decode_fps, 2),
+                    "config": "CAVLC P stream, native C entropy parse + "
+                              "device recon (decode/device_decode.py)"})
 
-    # ingest link probe (raw 1080p frame = 3.11 MB)
-    probe = np.zeros(16 << 20, np.uint8)
-    tb = time.perf_counter()
-    np.asarray(jnp.asarray(probe))[:1]
-    link_mbps = 16.0 / (time.perf_counter() - tb)
+    # ---- config 5: 4K batch transcode (decode -> scale -> re-encode) ----
+    from x264vfw_tpu.parallel.transcode import transcode
+    fr4k = make_clip(3840, 2160, 2, seed=3)
+    cfg_4k = EncoderConfig(width=3840, height=2160, qp=30, keyint=250,
+                           search_range=8)
+    enc4k = TpuEncoder(cfg_4k)
+    src = enc4k.headers()
+    n4k = 8
+    for i in range(n4k):
+        src += enc4k.encode_frame(*fr4k[i % 2])
+    try:
+        transcode(src[:len(src)], 1920, 1080)          # warm (compile)
+        t0 = time.perf_counter()
+        transcode(src, 1920, 1080)
+        tc_fps = n4k / (time.perf_counter() - t0)
+        configs.append({"name": "4k_transcode_to_1080p",
+                        "fps": round(tc_fps, 2),
+                        "config": "4K CAVLC decode -> MXU scaler -> 1080p "
+                                  "re-encode (parallel/transcode.py)"})
+    except Exception as e:  # pragma: no cover - keep the bench honest
+        configs.append({"name": "4k_transcode_to_1080p", "fps": 0.0,
+                        "error": str(e)[:120]})
 
     print(json.dumps({
         "metric": "1080p_encode_fps_per_chip",
-        "value": round(device_fps, 2),
+        "value": round(headline, 2),
         "unit": "fps",
-        "vs_baseline": round(device_fps / 300.0, 4),
-        "e2e_fps": round(e2e_fps, 2),
-        "cabac_fps": round(cabac_fps, 2),
-        "stage_ms": stage_ms,
-        "config": "cavlc-device-entropy deblock+aq+trellis+partitions qp26 merange8 G12",
-        "decode_fps": round(decode_fps, 2),
-        "ingest_link_MBps": round(link_mbps, 1),
-        "ingest_bound_fps": round(link_mbps / 3.11, 1),
-        "kbps": round(kbps, 0),
+        "vs_baseline": round(headline / 300.0, 4),
+        "device_fps": round(device_fps, 2),
+        "device_fps_config": "batched CAVLC device pipeline, deblock+aq+"
+                             "trellis+partitions qp26 merange8 G12, frames "
+                             "pre-staged on device (capacity, not product "
+                             "path)",
+        "pass2_fps": round(pass2_fps, 2),
+        "configs": configs,
     }))
 
 

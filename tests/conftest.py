@@ -50,3 +50,44 @@ import pytest  # noqa: E402
 def _clear_jax_caches_per_module():
     yield
     jax.clear_caches()
+
+
+# ----------------------------------------------------------------------
+# Quick tier (`pytest -m quick`): one or two smoke tests per subsystem so
+# a sub-10-minute run still exercises every layer; the full suite remains
+# the merge gate.  Selection is by nodeid substring so the source files
+# stay marker-free.
+_QUICK_PATTERNS = (
+    # host-side subsystems (no XLA compile: seconds each)
+    "test_bitstream.py::test_nal_wrap_split",
+    "test_bitstream.py::test_expgolomb_roundtrip",
+    "test_cavlc.py::test_residual_roundtrip_ac15",
+    "test_cabac.py::test_decoder_matches_ffmpeg_on_x264_cabac_inter",
+    "test_transform.py::test_idct_matches",
+    "test_csp.py::test_rgb_roundtrip",
+    "test_decoder_vs_ffmpeg.py::test_stock_medium",
+    "test_decoder_vs_ffmpeg.py::test_b8x8_subpartitions",
+    "test_decoder_vs_ffmpeg.py::test_high_i8x8_cabac",
+    "test_decoder_vs_ffmpeg.py::test_weightp_explicit_fade",
+    "test_decoder_vs_ffmpeg.py::test_multi_slice_cavlc",
+    "test_config.py::test_preset_ladder_monotone_effort",
+    "test_ratecontrol.py::test_crf_monotone_rate",
+    "test_muxers.py::test_container_roundtrip",
+    "test_params.py::",
+    # device paths: ONE small fused-program compile (XLA:CPU compiles of
+    # the large pipelines belong to the full suite; a sub-10-minute tier
+    # cannot afford them)
+    "test_tpu_encoder.py::test_i_frame_only",
+    "test_device_pack.py::test_pack_slots_random",
+)
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "quick: fast cross-subsystem smoke tier (<10 min)")
+
+
+def pytest_collection_modifyitems(config, items):
+    for item in items:
+        if any(pat in item.nodeid for pat in _QUICK_PATTERNS):
+            item.add_marker(pytest.mark.quick)
