@@ -48,7 +48,9 @@ def session_run(w, h, frames, n, params=None, cmdline="", output=None,
     sess = CompressSession(p, extra_cmdline=cmdline)
     sess.begin(w, h, output=output, container=container)
     nf = len(frames)
-    warm = warm if warm is not None else max(2 * 12, 24)
+    # steady state needs the mbtree lookahead (40) AND both batch windows
+    # (2x12) filled before timing starts
+    warm = warm if warm is not None else 84
     total = 0
     for i in range(warm):
         total += len(sess.compress(frames[i % nf], "i420"))
@@ -123,10 +125,10 @@ def main():
     with tempfile.TemporaryDirectory() as td:
         stats = os.path.join(td, "x264vfw.stats")
         p1 = EncoderParams()
-        # pass 1 must cover every frame pass 2 will encode (24 warm + 48)
-        session_run(1920, 1080, fr1080, 72,
+        # pass 1 must cover every frame pass 2 will encode (84 warm + 48)
+        session_run(1920, 1080, fr1080, 132,
                     params=p1, cmdline=f"--pass 1 --bitrate 6000 "
-                    f"--stats {stats}", warm=24)
+                    f"--stats {stats}", warm=0)
         fps, kbps, _ = session_run(
             1920, 1080, fr1080, 48,
             cmdline=f"--pass 2 --bitrate 6000 --stats {stats}")

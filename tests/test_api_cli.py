@@ -58,10 +58,12 @@ def test_session_mp4_and_extra_cmdline(tmp_path):
 def test_decompress_session():
     w, h, n = 64, 48, 3
     clip = oracle.make_test_clip(w, h, n, seed=5)
-    # bframes=0 + no lookahead: the 1:1 compress->decompress loop below
-    # assumes no reordering/buffering delay on either side
+    # zero-latency configuration (the --tune zerolatency signature:
+    # bframes=0, no mbtree, sync_lookahead=0): the 1:1
+    # compress->decompress loop below requires the per-frame path's
+    # no-delay contract — batching windows are for throughput configs
     sess = CompressSession(EncoderParams(rc_mode="cqp", qp=24, bframes=0,
-                                         mbtree=False))
+                                         mbtree=False, sync_lookahead=0))
     sess.begin(w, h)
     fsz, csz = w * h, w * h // 4
     dsess = DecompressSession()

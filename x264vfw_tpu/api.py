@@ -168,9 +168,16 @@ class CompressSession:
                                  qcomp=p.qcomp)
         # THE hot path: windowed batch pipeline (one encoder, every feature;
         # the per-frame path remains for PSNR/SSIM telemetry, which needs
-        # per-frame recon pulls).  --threads 1 forces the per-frame path.
+        # per-frame recon pulls).  --threads 1 forces the per-frame path,
+        # and a zero-latency configuration (--tune zerolatency: no B, no
+        # lookahead, no mbtree) keeps the per-frame path's 1:1
+        # compress->output contract instead of batching windows.
         self._pipe = None
-        if not self._measure and p.threads != 1:
+        # --tune zerolatency sets sync_lookahead=0 (default -1); plain
+        # throughput presets like ultrafast keep batching
+        zero_latency = (p.bframes == 0 and not p.mbtree
+                        and p.sync_lookahead == 0)
+        if not self._measure and p.threads != 1 and not zero_latency:
             from .encode.pipeline import BatchPipeline
             self._pipe = BatchPipeline(self.encoder, self.rc,
                                        mbtree=self.mbtree, window=12)
@@ -353,7 +360,9 @@ class CompressSession:
     def frames_info(self) -> FramesInfo:
         look = (min(self.params.rc_lookahead, 60)
                 if self.params.mbtree and self.params.rc_lookahead > 0 else 0)
-        win = ((self._pipe.window - 1)
+        # double-buffered windows: a frame can wait one full window in the
+        # batch queue plus one window in flight before its AU is emitted
+        win = ((2 * self._pipe.window - 1)
                if getattr(self, "_pipe", None) is not None else 0)
         return FramesInfo(delay=min(self.params.bframes, 16) + look + win)
 

@@ -18,8 +18,18 @@ host<->device latency over the window, with:
     over the window's AUs with a thread pool (the C passes release the
     GIL).
 
-Output AUs are returned in decode order as (annexb, display_idx, is_idr),
-the same contract as TpuEncoder.push_frame.
+Windows are DOUBLE-BUFFERED: dispatching window N+1's device programs
+returns immediately (JAX async dispatch), and the host then finalizes
+window N — pulls its payloads, runs the entropy transcode, feeds rate
+control — while the device chews on N+1.  Device compute + ingest of one
+window therefore overlaps host entropy of the previous one.  The cost is
+one window of extra output latency (reported via frames_info().delay) and
+one window of RC-feedback lag (QPs for window N+1 are chosen before
+window N's actual sizes are known — the same lag an x264 threaded
+lookahead accepts).
+
+Output AUs are returned in decode order as (annexb, display_idx, is_idr,
+ftype, qp), the same contract as TpuEncoder.push_frame plus RC bookkeeping.
 """
 
 from __future__ import annotations
@@ -29,11 +39,106 @@ from concurrent.futures import ThreadPoolExecutor
 import jax.numpy as jnp
 import numpy as np
 
-from ..bitstream.mb_syntax import SLICE_B, SLICE_I, SLICE_P
-from ..bitstream.nal import NAL_SLICE, NAL_SLICE_IDR, wrap_nal
+from ..bitstream.mb_syntax import SLICE_B, SLICE_P
+from ..bitstream.nal import NAL_SLICE, wrap_nal
 from ..ops import transform_np as tnp
 from . import device_finalize as F
-from .tpu_encoder import TpuEncoder, _pad
+from .tpu_encoder import TpuEncoder
+
+
+class _Lazy:
+    """A deferred AU: (group, index).  group.materialize() produces the
+    whole batch's bytes with one device pull + pooled entropy pass."""
+
+    __slots__ = ("group", "idx")
+
+    def __init__(self, group, idx):
+        self.group = group
+        self.idx = idx
+
+    def get(self) -> bytes:
+        return self.group.materialize()[self.idx]
+
+
+class _PGroup:
+    """Deferred P batch: device payload handles + an overflow re-dispatch
+    closure (packing reruns are bucket-only; recons are unchanged)."""
+
+    def __init__(self, pipe, datas, nbits, redispatch, hdr_bits, qps,
+                 bucket, cap_words, nref=1):
+        self.pipe = pipe
+        self.nref = nref
+        self.datas = datas
+        self.nbits = nbits
+        self.redispatch = redispatch
+        self.hdr_bits = hdr_bits
+        self.qps = qps
+        self.bucket = bucket
+        self.cap_words = cap_words
+        self._aus = None
+
+    def materialize(self):
+        if self._aus is not None:
+            return self._aus
+        nb = np.asarray(self.nbits)
+        need_words = (int(nb.max()) + 31) // 32 + 2
+        if need_words > self.bucket and self.bucket < self.cap_words:
+            bucket = min(1 << need_words.bit_length(), self.cap_words)
+            self.datas, self.nbits = self.redispatch(bucket)
+            self.bucket = bucket
+            self.pipe.enc._bucket_words = max(
+                getattr(self.pipe.enc, "_bucket_words", 0), bucket)
+            nb = np.asarray(self.nbits)
+        payload = np.asarray(self.datas)
+        slices = []
+        for g in range(payload.shape[0]):
+            nbytes = (int(nb[g]) + 7) // 8
+            if nbytes > self.bucket * 4:
+                raise RuntimeError("batch pack overflow")
+            slices.append(payload[g, :nbytes])
+        self._aus = self.pipe._wrap_all(slices, self.hdr_bits, "P",
+                                        NAL_SLICE, self.qps, 3,
+                                        nref=self.nref)
+        return self._aus
+
+
+class _BGroup:
+    """Deferred B batch: per-B packed device arrays + slot handles for the
+    rare bucket-overflow re-pack."""
+
+    def __init__(self, pipe, vs, ls, datas, nbits, hdr_bits, qps, bucket,
+                 cap_words):
+        self.pipe = pipe
+        self.vs = vs
+        self.ls = ls
+        self.datas = datas
+        self.nbits = nbits
+        self.hdr_bits = hdr_bits
+        self.qps = qps
+        self.bucket = bucket
+        self.cap_words = cap_words
+        self._aus = None
+
+    def materialize(self):
+        if self._aus is not None:
+            return self._aus
+        # ONE stacked pull for the window's B payloads + bit counts (each
+        # host<->device round-trip costs ~100 ms of tunnel latency)
+        alld = np.asarray(jnp.stack(self.datas))
+        nbs = [int(x) for x in np.asarray(jnp.stack(self.nbits))]
+        slices = []
+        for g in range(len(nbs)):
+            need = (nbs[g] + 31) // 32 + 2
+            if need > self.bucket:     # rare overflow: re-pack just this one
+                big = min(1 << need.bit_length(), self.cap_words)
+                d, nbg = F.pack_phase(self.vs[g], self.ls[g], big)
+                nbs[g] = int(nbg)
+                slices.append(np.asarray(d)[: (nbs[g] + 7) // 8])
+            else:
+                slices.append(alld[g, : (nbs[g] + 7) // 8])
+        self._aus = self.pipe._wrap_all(slices, self.hdr_bits, "B",
+                                        NAL_SLICE, self.qps, 0)
+        return self._aus
 
 
 class BatchPipeline:
@@ -46,10 +151,10 @@ class BatchPipeline:
         self._pool = ThreadPoolExecutor(max_workers=4)
         self._disp = 0
         self._pending_b: list = []
+        self._inflight: list = []  # previous window's (possibly lazy) items
 
     # ------------------------------------------------------------- input
     def push(self, y, u, v) -> list:
-        d = self._disp
         self._disp += 1
         ready = []
         if self.mbtree is not None:
@@ -60,14 +165,31 @@ class BatchPipeline:
         for item in ready:
             self.q.append(item)
         if len(self.q) >= self.window:
-            return self._run(final=False)
+            dispatched = self._run(final=False)
+            done, self._inflight = self._inflight, dispatched
+            return self._finalize(done)
         return []
 
     def flush(self) -> list:
         if self.mbtree is not None:
             for ((fy, fu, fv), off) in self.mbtree.flush():
                 self.q.append((fy, fu, fv, off))
-        return self._run(final=True)
+        out = self._finalize(self._inflight)
+        self._inflight = []
+        out += self._finalize(self._run(final=True))
+        return out
+
+    # ---------------------------------------------------------- finalize
+    def _finalize(self, items: list) -> list:
+        """Materialize deferred AUs (device pulls + entropy) and feed rate
+        control with the actual sizes, in decode order."""
+        out = []
+        for (au, d, key, ftype, qp) in items:
+            if isinstance(au, _Lazy):
+                au = au.get()
+            self.rc.update(ftype, qp, len(au) * 8)
+            out.append((au, d, key, ftype, qp))
+        return out
 
     # -------------------------------------------------------------- core
     def _run(self, final: bool) -> list:
@@ -77,10 +199,10 @@ class BatchPipeline:
         frames = self.q
         self.q = []
         if not frames:
-            return out
+            return self._drain_pending() if final else out
 
         # host lookahead over the window: IDR decisions + weightp analysis
-        plan = []  # (y, u, v, off, is_idr, wp)
+        plan = []  # (y, u, v, off, d, is_idr, wp)
         for (y, u, v, off) in frames:
             d = enc.display_idx
             enc.display_idx += 1
@@ -100,12 +222,11 @@ class BatchPipeline:
         while i < len(plan):
             y, u, v, off, d, is_idr, wp = plan[i]
             if is_idr:
-                out += self._drain_pending(final=False)
+                out += self._drain_pending()
                 enc.poc_base = d
                 enc.poc = 0
                 qp_i = self.rc.qp_for_type("I")
                 au = enc.encode_frame(y, u, v, qp=qp_i, force_idr=True)
-                self._feedback("I", qp_i, au)
                 out.append((au, d, True, "I", qp_i))
                 i += 1
                 continue
@@ -116,22 +237,18 @@ class BatchPipeline:
             out += self._encode_run(plan[i:j], final and j == len(plan))
             i = j
         if final:
-            out += self._drain_pending(final=True)
+            out += self._drain_pending()
         return out
 
-    def _feedback(self, ftype: str, qp: int, au: bytes) -> None:
-        self.rc.update(ftype, qp, len(au) * 8)
-
-    def _drain_pending(self, final: bool) -> list:
+    def _drain_pending(self) -> list:
         """B frames still waiting for a forward anchor get a P chain."""
         enc = self.enc
         out = []
-        for (py, pu, pv, off, pd) in getattr(self, "_pending_b", []):
+        for (py, pu, pv, off, pd) in self._pending_b:
             enc.poc = 2 * (pd - enc.poc_base)
             qp_p = self.rc.qp_for_type("P")
             au = enc.encode_frame(py, pu, pv, qp=qp_p, force_idr=False,
                                   qp_off=off)
-            self._feedback("P", qp_p, au)
             out.append((au, pd, False, "P", qp_p))
         self._pending_b = []
         return out
@@ -144,12 +261,15 @@ class BatchPipeline:
         cfg = enc.cfg
         bf = cfg.bframes
         out: list = []
-        pending = getattr(self, "_pending_b", [])
+        pending = self._pending_b
         self._pending_b = []
 
         if bf == 0:
             items = [(y, u, v, off, d) for (y, u, v, off, d, _, wp) in run]
-            return self._p_batch_emit(items)
+            qp_p = self.rc.qp_for_type("P")
+            aus, _, _ = self._p_batch(items, [qp_p] * len(items))
+            return [(au, it[4], False, "P", qp_p)
+                    for (au, it) in zip(aus, items)]
 
         # mini-GOP scheduling: anchor after every bf buffered B candidates
         groups = []      # (anchor_item, [b_items])
@@ -162,7 +282,7 @@ class BatchPipeline:
         self._pending_b = pending
         if not groups:
             if is_tail:
-                out += self._drain_pending(final=True)
+                out += self._drain_pending()
             return out
 
         anchors = [g[0] for g in groups]
@@ -196,34 +316,21 @@ class BatchPipeline:
         # emit in decode order: anchor, then its B group
         bi = 0
         for gi, (anchor, bs) in enumerate(groups):
-            au = aus_p[gi]
-            self._feedback("P", qp_p, au)
-            out.append((au, anchor[4], False, "P", qp_p))
+            out.append((aus_p[gi], anchor[4], False, "P", qp_p))
             for (by, bu, bv, boff, bd) in bs:
-                au = aus_b[bi]
+                out.append((aus_b[bi], bd, False, "B", qp_b))
                 bi += 1
-                self._feedback("B", qp_b, au)
-                out.append((au, bd, False, "B", qp_b))
         if is_tail:
-            out += self._drain_pending(final=True)
-        return out
-
-    def _p_batch_emit(self, items: list) -> list:
-        """bframes=0: batch a P run and emit with RC feedback."""
-        qp_p = self.rc.qp_for_type("P")
-        aus, _, _ = self._p_batch(items, [qp_p] * len(items))
-        out = []
-        for (au, (y, u, v, off, d)) in zip(aus, items):
-            self._feedback("P", qp_p, au)
-            out.append((au, d, False, "P", qp_p))
+            out += self._drain_pending()
         return out
 
     def _p_batch(self, items: list, qps: list, want_bextras: bool = False):
-        """Encode a list of P display frames in batched dispatches.
+        """Dispatch a list of P display frames as one batched device
+        program; payload AUs come back as _Lazy handles.
 
-        items: (y, u, v, qp_off, d).  Returns (aus, recon_stacks, mv_list)
-        where recon_stacks/mv_list are per-frame device arrays (only when
-        want_bextras)."""
+        items: (y, u, v, qp_off, d).  Returns (aus, recon_stacks, mv_list
+        [, fn_after]) where recon_stacks/mv_list are device arrays (only
+        when want_bextras)."""
         enc = self.enc
         cfg = enc.cfg
         H, W = enc.mbh * 16, enc.mbw * 16
@@ -285,24 +392,23 @@ class BatchPipeline:
                          for pl in range(3))
         else:
             refs = enc.ref
-        bucket = min(getattr(enc, "_bucket_words", 1 << 13), cap_words)
-        while True:
-            res = F.encode_pgop_packed(
-                rows, *refs, jnp.asarray(np.asarray(qps, np.int32)),
-                jnp.asarray(qpcs), jnp.asarray(hvs), jnp.asarray(hls),
+        qps_d = jnp.asarray(np.asarray(qps, np.int32))
+        qpcs_d = jnp.asarray(qpcs)
+        hvs_d = jnp.asarray(hvs)
+        hls_d = jnp.asarray(hls)
+        offs_d = None if qp_offs is None else jnp.asarray(qp_offs)
+
+        def dispatch(bucket):
+            return F.encode_pgop_packed(
+                rows, *refs, qps_d, qpcs_d, hvs_d, hls_d,
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, enc.pps.chroma_qp_index_offset,
-                cfg.trellis, enc.partitions,
-                None if qp_offs is None else jnp.asarray(qp_offs),
+                cfg.trellis, enc.partitions, offs_d,
                 want_mv=want_bextras, want_recons=want_bextras)
-            datas, nbits = res[0], res[1]
-            nb = np.asarray(nbits)
-            need_words = (int(nb.max()) + 31) // 32 + 2
-            if need_words <= bucket or bucket >= cap_words:
-                break
-            bucket = min(1 << need_words.bit_length(), cap_words)
-        enc._bucket_words = bucket
+
+        bucket = min(getattr(enc, "_bucket_words", 1 << 13), cap_words)
+        res = dispatch(bucket)
         rfin = res[2:5]
         if enc.nref > 1:
             enc.dpb = [tuple(r[i] for r in rfin)
@@ -310,26 +416,24 @@ class BatchPipeline:
             enc.ref = enc.dpb[0]
         else:
             enc.ref = tuple(rfin)
-        k = 5
         if want_bextras:
-            mvs = res[k]
-            recon_stacks = res[k + 1:k + 4]
+            mvs = res[5]
+            recon_stacks = res[6:9]
             mv_list += [mvs[g] for g in range(G)]
-        payload_bytes = np.asarray(datas)
-        slices = []
-        for g in range(G):
-            nbytes = (int(nb[g]) + 7) // 8
-            if nbytes > bucket * 4:
-                raise RuntimeError("batch pack overflow")
-            slices.append(payload_bytes[g, :nbytes])
-        aus += self._wrap_all(slices, hdr_bits, "P", NAL_SLICE, qps, 3)
+
+        group = _PGroup(self, res[0], res[1],
+                        lambda b: dispatch(b)[:2], hdr_bits,
+                        list(qps), bucket, cap_words,
+                        nref=getattr(enc, "_cur_nref", 1))
+        aus += [_Lazy(group, g) for g in range(G)]
         if want_bextras:
             return aus, recon_stacks, mv_list, fn_after
         return aus, recon_stacks, mv_list
 
     def _b_batch(self, b_items: list, b_hdrs: list, qp_b: int,
                  qpc_b: int) -> list:
-        """Encode every B frame of the window in one batched program."""
+        """Dispatch every B frame of the window in one batched program;
+        AUs come back as _Lazy handles."""
         enc = self.enc
         cfg = enc.cfg
         H, W = enc.mbh * 16, enc.mbw * 16
@@ -360,27 +464,14 @@ class BatchPipeline:
             d, nbg = F.pack_phase(vs[g], ls[g], bucket)
             datas.append(d)
             nbits.append(nbg)
-        # ONE stacked pull for the window's B payloads + bit counts: each
-        # host<->device round-trip costs ~100ms of tunnel latency, so per-B
-        # pulls dominated the window time (profiled round 4)
-        alld = np.asarray(jnp.stack(datas))
-        nbs = [int(x) for x in np.asarray(jnp.stack(nbits))]
-        slices = []
-        for g in range(Gb):
-            need = (nbs[g] + 31) // 32 + 2
-            if need > bucket:          # rare overflow: re-pack just this one
-                big = min(1 << need.bit_length(), cap_words)
-                d, nbg = F.pack_phase(vs[g], ls[g], big)
-                nbs[g] = int(nbg)
-                slices.append(np.asarray(d)[: (nbs[g] + 7) // 8])
-            else:
-                slices.append(alld[g, : (nbs[g] + 7) // 8])
-        return self._wrap_all(slices, hdr_bits, "B", NAL_SLICE,
-                              [qp_b] * Gb, 0)
+        group = _BGroup(self, vs, ls, datas, nbits, hdr_bits,
+                        [qp_b] * Gb, bucket, cap_words)
+        return [_Lazy(group, g) for g in range(Gb)]
 
     # ------------------------------------------------------- entropy out
     def _wrap_all(self, payloads: list, hdr_bits, slice_type: str,
-                  nal_type: int, qps: list, nal_ref_idc: int) -> list:
+                  nal_type: int, qps: list, nal_ref_idc: int,
+                  nref: int = 1) -> list:
         """Wrap payload slices into AUs; CABAC mode transcodes each slice
         in a worker pool (the native C passes release the GIL)."""
         enc = self.enc
@@ -392,7 +483,7 @@ class BatchPipeline:
             p, hb, qp = args
             body = cabac_transcode.transcode_slice(
                 p, int(hb), slice_type, enc.mbh, enc.mbw, int(qp),
-                nref=getattr(enc, "_cur_nref", 1))
+                nref=nref)
             if body is None:
                 raise RuntimeError(
                     f"CABAC transcode rejected an own {slice_type} slice")

@@ -250,14 +250,16 @@ def sad_partition_minima(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
     band_h = 16 + 2 * R
     bw = (W + 2 * R + 127) // 128 * 128
     L = (2 * mbw + 127) // 128 * 128
-    # scoped-VMEM budget: the per-invocation footprint is dominated by the
-    # (2*NRp, bw) int16 column-sum scratch; large W x large R (e.g. 1080p
-    # at merange 16) exceeds the 16 MB scoped limit, so split the frame
-    # into vertical strips with a 2R halo — per-MB results are invariant
-    # to the split (each MB's whole search window lives inside its strip)
+    # scoped-VMEM budget: the (2*NRp, bw) int16 column-sum scratch plus —
+    # under the GOP scans — the ENTIRE output tensor, which this libtpu
+    # stack-allocates in VMEM (observed at 4K/merange 8 and 1080p/merange
+    # 16: >16 MB scoped limit).  Split wide frames into vertical strips
+    # with a 2R halo — per-MB results are invariant to the split (each
+    # MB's whole search window lives inside its strip).
     est = (2 * NRp * bw * 2 + ((K - 1) // 8 * 8 + 24) * bw * 2
-           + 4 * NRp * L * 4 + 2 * band_h * bw * 2)
-    if est > 12 << 20 and mbw > 32:
+           + 4 * NRp * L * 4 + 2 * band_h * bw * 2
+           + mbh * 16 * L * 4)
+    if est > 11 << 20 and mbw > 32:
         return _sad_partition_minima_tiled(src_y, ref_pad, R, scales,
                                            interpret)
     ref_w = jnp.pad(ref_pad, ((0, 0), (0, bw - (W + 2 * R))), mode="edge")
