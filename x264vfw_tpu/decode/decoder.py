@@ -135,6 +135,11 @@ class H264Decoder:
 
     # -------------------------------------------------- batched fast path
     _BATCH_G = 8
+    # batching wins where per-dispatch latency dominates; at 1080p the
+    # gather-based MC compute dominates instead and the scan's rolling
+    # DPB carry makes batches a net loss (measured 0.46 vs 0.79 fps), so
+    # large frames stay on the per-picture dispatch
+    _BATCH_MAX_MBS = 5120
 
     def _try_decode_batch(self, nals: list, start: int) -> int:
         """Batch consecutive device-eligible pictures into ONE dispatch
@@ -146,6 +151,16 @@ class H264Decoder:
         depth = len(self.dpb)
         key0 = None
         j = start
+        first = nals[start]
+        try:
+            hp0 = BitReader(first.rbsp)
+            hp0.ue(); hp0.ue()
+            pps0 = self.pps[hp0.ue()]
+            sps0 = self.sps[pps0.seq_parameter_set_id]
+        except Exception:
+            return 0
+        if sps0.mb_width * sps0.mb_height > self._BATCH_MAX_MBS:
+            return 0
         while j < len(nals) and len(parsed) < self._BATCH_G:
             nal = nals[j]
             if nal.nal_unit_type not in (NAL_SLICE, NAL_SLICE_IDR):
