@@ -91,8 +91,12 @@ def main():
         print(json.dumps({
             "metric": "1080p_encode_fps_per_chip", "value": 0.0,
             "unit": "fps", "vs_baseline": 0.0,
-            "error": "TPU tunnel unresponsive (device probe hung >600s)"}))
-        return
+            "error": "TPU tunnel unresponsive (device probe hung >600s)"}),
+            flush=True)
+        # the probe thread is wedged inside the device client; normal
+        # interpreter teardown aborts on it (r4: rc 134 after the JSON was
+        # already printed) — skip destructors entirely
+        os._exit(0)
 
     from x264vfw_tpu.config.params import EncoderParams
 
@@ -237,4 +241,18 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # always leave ONE parseable JSON line
+        import traceback
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "1080p_encode_fps_per_chip", "value": 0.0,
+            "unit": "fps", "vs_baseline": 0.0,
+            "error": f"{type(e).__name__}: {e}"[:200]}), flush=True)
+        os._exit(0)
+    # a wedged tunnel can also leave background threads that abort normal
+    # teardown — flush and exit hard on success too
+    import sys
+    sys.stdout.flush()
+    os._exit(0)

@@ -141,8 +141,8 @@ ACCEPTED_IGNORED = {
     "b-adapt", "b-pyramid", "open-gop", "intra-refresh",
     "mixed-refs", "8x8dct", "psy-rd",
     "weightb", "direct", "chroma-me", "nr", "fast-pskip",
-    "sliced-threads", "lookahead-threads", "sync-lookahead",
-    "slices", "deterministic", "cpu-independent",
+    "sliced-threads", "lookahead-threads",
+    "deterministic", "cpu-independent",
 }
 
 # options the reference forwards but we exclude by design (interlace etc.)

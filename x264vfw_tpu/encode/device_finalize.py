@@ -497,13 +497,22 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
         want_recons=want_recons)
     vs, ls = res[0], res[1]
     rest = res[2:]
-    datas = []
-    nbits = []
-    for k in range(G):
-        d, nb = pack_phase(vs[k], ls[k], bucket_words)
-        datas.append(d)
-        nbits.append(nb)
-    return (jnp.stack(datas), jnp.stack(nbits)) + tuple(rest)
+    datas, nbits = pack_batch(vs, ls, bucket_words)
+    return (datas, nbits) + tuple(rest)
+
+
+@partial(jax.jit, static_argnames=("cap_words",))
+def pack_batch(vs, ls, cap_words: int):
+    """Pack a (G, R, L) slot batch in ONE dispatch.
+
+    The G packs are UNROLLED inside one jit: as separate dispatches each
+    pack pays ~3 ms of per-dispatch overhead on top of its ~4 ms compute
+    (measured at 1080p G=12), and a vmapped form is 3x worse still (the
+    batched searchsorted lowers to a pathological gather)."""
+    G = vs.shape[0]
+    outs = [pack_slots(vs[k], ls[k], cap_words) for k in range(G)]
+    return (jnp.stack([o[0] for o in outs]),
+            jnp.stack([o[1] for o in outs]))
 
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,

@@ -21,6 +21,7 @@ sequential dynamic stores).  Output: (bytes uint8 (cap,), total_bits).
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 
@@ -36,6 +37,39 @@ def _cumsum_2level(a2d: jnp.ndarray):
     return (rows + off[:, None]).reshape(-1)
 
 
+_WR = 64        # fast-path bound: words spanned by one row (2048 bits)
+
+
+def _boundary_pos(rows_ends, row_bits, rstart, w_hi, cap_words: int):
+    """pos[q] = #slots with w_hi <= q for q in [0, cap], hierarchically.
+
+    The flat searchsorted over the ~7M-slot w_hi array costs ~5 ms/frame at
+    1080p (23 gather rounds over a 28 MB array); this computes the same
+    boundaries from the ROW structure: a dense per-row count of slot
+    end-bits per word (rows span <= _WR words) + a small searchsorted over
+    the R row ends.  Rows are fixed-width (L slots), so the global slot
+    position is r*L + local count.  Slots that differ from the flat answer
+    (zero-length slots exactly on a row/word boundary) contribute 0 to the
+    packed words, so the csum differences are unchanged.
+
+    Falls back to the flat searchsorted when any row exceeds the _WR-word
+    span (pathological MBs; lax.cond keeps it off the hot path).
+    """
+    R, L = rows_ends.shape
+    # phase-shifted local end-bits: row r's slot j ends at local bit
+    # rows_ends[r, j] measured from the row's containing word boundary
+    eshift = rows_ends + (rstart & 31)[:, None]
+    thr = 32 * (jnp.arange(_WR, dtype=jnp.int32) + 1)
+    pos_local = (eshift[:, None, :] <= thr[None, :, None]).sum(
+        axis=-1, dtype=jnp.int32)                        # (R, _WR)
+    rend = rstart + row_bits
+    q = jnp.arange(cap_words + 1, dtype=jnp.int32)
+    bq = 32 * (q + 1)
+    r_q = jnp.clip(jnp.searchsorted(rend, bq, side="left"), 0, R - 1)
+    wl = jnp.clip(q - (jnp.take(rstart, r_q) >> 5), 0, _WR - 1)
+    return r_q * L + pos_local[r_q, wl]
+
+
 def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     """vals: (N,) or (R, L) uint32 (<=31 significant bits); lens matching
     int32 (0..46).  2D inputs pack rows in row-major stream order.
@@ -48,7 +82,11 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
 
     shape2d = vals.shape if vals.ndim == 2 else None
     if shape2d is not None:
-        ends = _cumsum_2level(lens)
+        rows_ends = jnp.cumsum(lens, axis=-1, dtype=jnp.int32)
+        row_bits = rows_ends[:, -1]
+        rstart = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                                  jnp.cumsum(row_bits, dtype=jnp.int32)[:-1]])
+        ends = (rows_ends + rstart[:, None]).reshape(-1)
         vals = vals.reshape(-1)
     else:
         ends = jnp.cumsum(lens)                    # inclusive end-bit
@@ -64,17 +102,25 @@ def pack_slots(vals: jnp.ndarray, lens: jnp.ndarray, cap_words: int):
     # shift out entirely (r < len only when the slot spans the boundary)
     vb = (vals >> (31 - r).astype(jnp.uint32)) >> 1
 
-    # word w's value = csum[last slot with w_hi <= w]; one searchsorted over
-    # [0, cap] serves both the w_hi sum and the (w_hi - 1) spill sum (the
+    # word w's value = csum[last slot with w_hi <= w]; the boundary array
+    # pos serves both the w_hi sum and the (w_hi - 1) spill sum (the
     # spill's boundary at word w is the w_hi boundary at w + 1)
     if shape2d is not None:
         csum_a = _cumsum_2level(va.reshape(shape2d))
         csum_b = _cumsum_2level(vb.reshape(shape2d))
+        pos = jax.lax.cond(
+            row_bits.max() <= 32 * (_WR - 2),
+            lambda: _boundary_pos(rows_ends, row_bits, rstart, w_hi,
+                                  cap_words),
+            lambda: jnp.searchsorted(
+                w_hi, jnp.arange(cap_words + 1, dtype=w_hi.dtype),
+                side="right").astype(jnp.int32))
     else:
         csum_a = jnp.cumsum(va, dtype=jnp.uint32)
         csum_b = jnp.cumsum(vb, dtype=jnp.uint32)
-    pos = jnp.searchsorted(w_hi, jnp.arange(cap_words + 1, dtype=w_hi.dtype),
-                           side="right")
+        pos = jnp.searchsorted(w_hi,
+                               jnp.arange(cap_words + 1, dtype=w_hi.dtype),
+                               side="right")
 
     def at(csum, p):
         S = jnp.where(p > 0, csum[jnp.maximum(p - 1, 0)], 0).astype(jnp.uint32)

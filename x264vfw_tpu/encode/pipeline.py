@@ -124,8 +124,8 @@ class _BGroup:
             return self._aus
         # ONE stacked pull for the window's B payloads + bit counts (each
         # host<->device round-trip costs ~100 ms of tunnel latency)
-        alld = np.asarray(jnp.stack(self.datas))
-        nbs = [int(x) for x in np.asarray(jnp.stack(self.nbits))]
+        alld = np.asarray(self.datas)
+        nbs = [int(x) for x in np.asarray(self.nbits)]
         slices = []
         for g in range(len(nbs)):
             need = (nbs[g] + 31) // 32 + 2
@@ -458,12 +458,7 @@ class BatchPipeline:
             jnp.asarray(hvs), jnp.asarray(hls),
             cfg.search_range, cfg.subpel, cfg.me_backend)
         bucket = min(getattr(enc, "_bucket_words", 1 << 13), cap_words)
-        datas = []
-        nbits = []
-        for g in range(Gb):
-            d, nbg = F.pack_phase(vs[g], ls[g], bucket)
-            datas.append(d)
-            nbits.append(nbg)
+        datas, nbits = F.pack_batch(vs, ls, bucket)
         group = _BGroup(self, vs, ls, datas, nbits, hdr_bits,
                         [qp_b] * Gb, bucket, cap_words)
         return [_Lazy(group, g) for g in range(Gb)]

@@ -56,16 +56,26 @@ def _deltas():
     return [(tx, ty) for ty in range(-2, 3) for tx in range(-2, 3)]
 
 
+# (plane, o = ox+1) alignment variants actually reachable from the 25
+# qpel candidates' operands (enumerated from _qpel_operands over the
+# [-2,2]^2 grid) — building all 12 would double the alignment work
+_VARIANTS = ((0, 1), (1, 0), (1, 1), (2, 1), (3, 0), (3, 1))
+_VIDX = {po: i for i, po in enumerate(_VARIANTS)}
+_NVAR = len(_VARIANTS)
+_PLANE_OS = {p: tuple(o for (pp, o) in _VARIANTS if pp == p)
+             for p in range(4)}
+
+
 def _cand(alg_ref, b: int, op1, op2, Wp: int):
     """Candidate prediction (8, Wp) i32 from the aligned-plane scratch.
 
-    alg slot layout: rows [(b*12 + p*3 + o+1) * 16, +10) hold plane p of
-    half b at horizontal operand offset o, rows oy-1..oy+9, cols x =
-    0..Wp — each variant is exactly aligned per column, so a read never
-    shifts columns."""
+    alg slot layout: rows [(b*_NVAR + _VIDX[p, ox+1]) * 16, +10) hold
+    plane p of half b at horizontal operand offset ox, rows oy-1..oy+9,
+    cols x = 0..Wp — each variant is exactly aligned per column, so a
+    read never shifts columns."""
     def read(op):
         p_, ox_, oy_ = op
-        base = (b * 12 + p_ * 3 + ox_ + 1) * 16
+        base = (b * _NVAR + _VIDX[(p_, ox_ + 1)]) * 16
         return alg_ref[base + 1 + oy_: base + 9 + oy_, 0:Wp].astype(jnp.int32)
 
     a = read(op1)
@@ -121,8 +131,10 @@ def _memc_kernel(src_ref, band_ref, maps_ref, hck_ref, pred_ref, mv_ref,
         oyj = mja[2 + b:3 + b, :]
         t0 = 8 * b + 3
         for p in range(4):
-            for o in range(3):
-                hacc_ref[o * HS:o * HS + NA, 0:Wp] = jnp.zeros((NA, Wp), i32)
+            os_ = _PLANE_OS[p]
+            for oi in range(len(os_)):
+                hacc_ref[oi * HS:oi * HS + NA, 0:Wp] = jnp.zeros((NA, Wp),
+                                                                 i32)
             for s in range(-R, R + 1):
                 c0 = R + 3 + s                 # variant o reads cols o..o+Wp
                 if p == 0:
@@ -134,15 +146,15 @@ def _memc_kernel(src_ref, band_ref, maps_ref, hck_ref, pred_ref, mv_ref,
                 else:
                     sl = js_ref[t0 - 2:t0 - 2 + NA, c0 - 2:c0 - 2 + Wp + 2]
                 m = (oxj == s)
-                for o in range(3):
-                    hacc_ref[o * HS:o * HS + NA, 0:Wp] = (
-                        hacc_ref[o * HS:o * HS + NA, 0:Wp]
+                for oi, o in enumerate(os_):
+                    hacc_ref[oi * HS:oi * HS + NA, 0:Wp] = (
+                        hacc_ref[oi * HS:oi * HS + NA, 0:Wp]
                         + jnp.where(m, sl[:, o:o + Wp].astype(i32), 0))
-            for o in range(3):
-                base = (b * 12 + p * 3 + o) * 16
+            for oi, o in enumerate(os_):
+                base = (b * _NVAR + _VIDX[(p, o)]) * 16
                 alg_ref[base:base + 10, 0:Wp] = jnp.zeros((10, Wp), i16)
                 for s in range(-R, R + 1):
-                    r0 = o * HS + s + R
+                    r0 = oi * HS + s + R
                     alg_ref[base:base + 10, 0:Wp] = (
                         alg_ref[base:base + 10, 0:Wp].astype(i32)
                         + jnp.where(oyj == s, hacc_ref[r0:r0 + 10, 0:Wp], 0)
@@ -321,8 +333,8 @@ def partition_refine_mc(src16: jnp.ndarray, ref_pad: jnp.ndarray,
             pltpu.VMEM((BH, BW), jnp.int16),      # b plane
             pltpu.VMEM((BH, BW), jnp.int16),      # h plane
             pltpu.VMEM((BH, BW), jnp.int16),      # j plane
-            pltpu.VMEM((3 * HS, BW), jnp.int32),  # h-pass acc (3 variants)
-            pltpu.VMEM((24 * 16, BW), jnp.int16),  # aligned planes (24 slots)
+            pltpu.VMEM((2 * HS, BW), jnp.int32),  # h-pass acc (<=2 variants)
+            pltpu.VMEM((12 * 16, BW), jnp.int16),  # aligned planes (12 slots)
             pltpu.VMEM((64, Wp), jnp.int32),      # refine SAD row sums
         ],
         interpret=interpret,

@@ -177,8 +177,16 @@ def _sad_argmin_kernel(src_ref, band_ref, pen_ref, kmap_ref, out_ref,
     iw = jax.lax.broadcasted_iota(jnp.int32, (bw, L), 0)
     im = jax.lax.broadcasted_iota(jnp.int32, (bw, L), 1)
     E8 = ((iw >> 3) == im).astype(jnp.bfloat16)
-    E16 = ((iw >> 4) == im).astype(jnp.bfloat16)
     BIG = jnp.int32(1 << 28)
+    # 16-wide sums are lane-pair adds of the 8-wide results (at EVEN
+    # lanes; odd lanes carry garbage the host never reads) — half the
+    # matmul flops of a separate E16 reduction
+    lane = jax.lax.broadcasted_iota(jnp.int32, (CH, L), 1)
+    even = (lane & 1) == 0
+
+    def pairsum(x):
+        return jnp.where(even, x + pltpu.roll(x, L - 1, axis=1),
+                         x + pltpu.roll(x, 1, axis=1))
 
     def chunk_body(i, carry):
         c = i * CH
@@ -187,16 +195,14 @@ def _sad_argmin_kernel(src_ref, band_ref, pen_ref, kmap_ref, out_ref,
             cs = cs_ref[pl.ds(base + c, CH), :].astype(jnp.int32)
             lo = (cs & 0xFF).astype(jnp.bfloat16)
             hi = ((cs >> 8) & 0xFF).astype(jnp.bfloat16)
+            return (jnp.dot(lo, E8, preferred_element_type=f32)
+                    + 256.0 * jnp.dot(hi, E8, preferred_element_type=f32)
+                    ).astype(jnp.int32)
 
-            def dot2(E):
-                return (jnp.dot(lo, E, preferred_element_type=f32)
-                        + 256.0 * jnp.dot(hi, E,
-                                          preferred_element_type=f32)
-                        ).astype(jnp.int32)
-            return dot2(E8), dot2(E16)
-
-        qt8, qt16 = q_pair(0)           # top-half sums, 8- and 16-wide
-        qb8, qb16 = q_pair(NRp)         # bottom-half sums
+        qt8 = q_pair(0)                 # top-half sums, 8-wide
+        qb8 = q_pair(NRp)               # bottom-half sums
+        qt16 = pairsum(qt8)             # 16-wide at even lanes
+        qb16 = pairsum(qb8)
         # pen/kmap rows for padding (ox >= K or beyond K*Kp) are BIG on the
         # host, so scratch garbage there can never win the argmin
         pen = pen_ref[pl.ds(c, CH), :]
@@ -301,14 +307,15 @@ def sad_partition_minima(src_y: jnp.ndarray, ref_pad: jnp.ndarray, R: int,
       jnp.asarray(np.broadcast_to(kmap_np[:, None], (NRp, L)).copy()))
 
     q2 = 2 * mbw
-    v168 = jnp.stack([out[:, 2, :mbw], out[:, 4, :mbw]], axis=-1)
-    k168 = jnp.stack([out[:, 3, :mbw], out[:, 5, :mbw]], axis=-1)
+    ev = slice(0, q2, 2)           # 16-wide planes live at even lanes
+    v168 = jnp.stack([out[:, 2, ev], out[:, 4, ev]], axis=-1)
+    k168 = jnp.stack([out[:, 3, ev], out[:, 5, ev]], axis=-1)
     v8 = jnp.stack([out[:, 8, :q2], out[:, 10, :q2]], axis=1
                    ).reshape(2 * mbh, q2)
     k8 = jnp.stack([out[:, 9, :q2], out[:, 11, :q2]], axis=1
                    ).reshape(2 * mbh, q2)
     return {
-        "v16": out[:, 0, :mbw], "k16": out[:, 1, :mbw],
+        "v16": out[:, 0, ev], "k16": out[:, 1, ev],
         "v168": v168, "k168": k168,
         "v816": out[:, 6, :q2].reshape(mbh, mbw, 2),
         "k816": out[:, 7, :q2].reshape(mbh, mbw, 2),
@@ -381,7 +388,9 @@ def _sad_partition_minima_tiled(src_y, ref_pad, R, scales, interpret):
       jnp.asarray(np.broadcast_to(kmap_np[:, None], (NRp, Lt)).copy()))
 
     # reassemble lanes across strips, then crop the width padding
-    one = jnp.concatenate([out[:, t, :, :MB_T] for t in range(n_t)], axis=-1)
+    # (16-wide planes live at even lanes within each strip)
+    one = jnp.concatenate([out[:, t, :, 0:2 * MB_T:2] for t in range(n_t)],
+                          axis=-1)
     two = jnp.concatenate([out[:, t, :, :2 * MB_T] for t in range(n_t)],
                           axis=-1)
     q2 = 2 * mbw
