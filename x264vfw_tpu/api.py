@@ -378,7 +378,13 @@ class DecompressSession:
     """decompress_* lifecycle: native decoder + output conversion.
 
     Missing/delayed output is masked with a black frame like the reference
-    (codec.c:2250-2256)."""
+    (codec.c:2250-2256).  Output format conversion (the reference's
+    swscale stage, codec.c:2075-2152) and avcC/length-prefixed input
+    framing (codec.c:2032-2044, 2190-2221) live at this layer."""
+
+    #: output formats decompress() can emit (the reference's
+    #: choose_output_csp surface, codec.c:269-302)
+    OUTPUT_FORMATS = ("i420", "yv12", "nv12", "nv21", "rgb24", "bgr24")
 
     def __init__(self, use_device: bool = True) -> None:
         self._use_device = use_device
@@ -386,11 +392,29 @@ class DecompressSession:
         self._consumed = 0
         self._reorder: list = []
 
-    def begin(self, width: int = 0, height: int = 0) -> None:
+    def begin(self, width: int = 0, height: int = 0, fmt: str = "i420",
+              extradata: bytes | None = None,
+              out_width: int = 0, out_height: int = 0) -> None:
+        """fmt: output pixel format (OUTPUT_FORMATS).  extradata: avcC
+        record — switches AU input framing to length-prefixed (MP4/MKV
+        sample data) and primes the decoder with its SPS/PPS.  out_width/
+        out_height: optional output scaling (MXU resampler), default the
+        coded size."""
+        fmt = fmt.lower()
+        if fmt not in self.OUTPUT_FORMATS:
+            raise ValueError(f"unsupported output format {fmt!r}")
         self.decoder = H264Decoder(use_device=self._use_device)
         self._consumed = 0
         self._reorder = []
         self._wh = (width, height)
+        self._fmt = fmt
+        self._out_wh = (out_width, out_height)
+        self._nls = 0
+        if extradata:
+            from .bitstream.avcc import parse_avcc
+            sps_l, pps_l, self._nls = parse_avcc(extradata)
+            prime = b"".join(START_CODE_LONG + n for n in sps_l + pps_l)
+            self.decoder.decode(prime)
 
     def _pop_display(self):
         """Emit the earliest frame in display order (IDR epoch, POC)."""
@@ -398,15 +422,74 @@ class DecompressSession:
                 key=lambda k: (getattr(self._reorder[k], "idr_epoch", 0),
                                self._reorder[k].poc))
         f = self._reorder.pop(i)
-        return (np.asarray(f.y, np.uint8), np.asarray(f.u, np.uint8),
-                np.asarray(f.v, np.uint8))
+        return self._convert(np.asarray(f.y, np.uint8),
+                             np.asarray(f.u, np.uint8),
+                             np.asarray(f.v, np.uint8))
+
+    def _vui_matrix(self, w: int) -> tuple:
+        """(matrix, fullrange) from the stream's VUI like the reference's
+        sws setup (codec.c:2113-2140); untagged streams guess by size."""
+        sps = next(iter(self.decoder.sps.values()), None)
+        mc = getattr(sps, "matrix_coefficients", 2) if sps else 2
+        fr = bool(getattr(sps, "video_full_range_flag", 0)) if sps else False
+        matrix = {1: "bt709", 4: "bt601", 5: "bt601", 6: "bt601",
+                  9: "bt2020", 10: "bt2020"}.get(mc)
+        if matrix is None:
+            matrix = "bt709" if w >= 1280 else "bt601"
+        return matrix, fr
+
+    def _convert(self, y, u, v):
+        """I420 planes -> the session's output format/size."""
+        ow, oh = self._out_wh
+        if ow and oh and (ow, oh) != (y.shape[1], y.shape[0]):
+            from .ops.scale import scale_i420
+            y, u, v = scale_i420(y, u, v, ow, oh)
+            y = np.asarray(y, np.uint8)
+            u = np.asarray(u, np.uint8)
+            v = np.asarray(v, np.uint8)
+        fmt = getattr(self, "_fmt", "i420")
+        if fmt == "i420":
+            return y, u, v
+        from .ops import csp
+        if fmt == "yv12":
+            return y, v, u
+        if fmt in ("nv12", "nv21"):
+            yy, uv = csp.i420_to_nv12(y, u if fmt == "nv12" else v,
+                                      v if fmt == "nv12" else u)
+            return np.asarray(yy, np.uint8), np.asarray(uv, np.uint8)
+        matrix, fr = self._vui_matrix(y.shape[1])
+        rgb = np.asarray(csp.i420_to_rgb(y, u, v, matrix=matrix,
+                                         fullrange=fr), np.uint8)
+        if fmt == "bgr24":
+            rgb = rgb[..., ::-1]
+        return rgb
+
+    def _to_annexb(self, au: bytes) -> bytes:
+        """Length-prefixed AU -> Annex-B (the reference rewrites in place,
+        codec.c:2190-2221).  Annex-B input passes through untouched."""
+        if not self._nls or au[:3] == b"\x00\x00\x01" \
+                or au[:4] == b"\x00\x00\x00\x01":
+            return au
+        out = bytearray()
+        pos = 0
+        n = self._nls
+        while pos + n <= len(au):
+            ln = int.from_bytes(au[pos:pos + n], "big")
+            pos += n
+            if ln == 0 or pos + ln > len(au):
+                break
+            out += START_CODE_LONG + au[pos:pos + ln]
+            pos += ln
+        return bytes(out)
 
     def decompress(self, au: bytes):
-        """Feed one access unit; returns (y, u, v) in DISPLAY order, or a
-        black frame if nothing is ready yet (delayed-frame masking like the
-        reference, codec.c:2250-2256).  Feed b"" to drain at end of stream."""
+        """Feed one access unit; returns the frame in DISPLAY order in the
+        session's output format ((y, u, v) planes, (y, uv) for NV12/NV21,
+        or an (H, W, 3) array for RGB), or a black frame if nothing is
+        ready yet (delayed-frame masking like the reference,
+        codec.c:2250-2256).  Feed b"" to drain at end of stream."""
         if au:
-            frames = self.decoder.decode(au)
+            frames = self.decoder.decode(self._to_annexb(au))
             self._reorder += frames[self._consumed:]
             self._consumed = len(frames)
         # reordering window: streams without B emit immediately; POC-type-0
@@ -421,9 +504,10 @@ class DecompressSession:
         w, h = self._wh
         if not w:
             return None
-        return (np.full((h, w), 16, np.uint8),
-                np.full((h // 2, w // 2), 128, np.uint8),
-                np.full((h // 2, w // 2), 128, np.uint8))
+        return self._convert(
+            np.full((h, w), 16, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8),
+            np.full((h // 2, w // 2), 128, np.uint8))
 
     def end(self) -> None:
         self._reorder = []
