@@ -35,18 +35,22 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
                              me_backend: str = "auto", deblock: bool = False,
                              dbA: int = 0, dbB: int = 0, qpc_offset: int = 0,
                              aq_strength: float = 0.0, trellis: bool = False,
-                             partitions: bool = False, i4x4: bool = False):
+                             partitions: bool = False, i4x4: bool = False,
+                             qp_p=None, qpc_p=None):
     """One GOP -> packed slice payload bytes, fully on device.
 
     frames_yuv: (G, H*W*3//2) uint8; frame 0 is the IDR, rest are P.
     hdr_vals/hdr_lens: (G, MAX_HDR) slice-header codeword slots (host-built,
-    frame-varying: frame_num/idr_pic_id).
+    frame-varying: frame_num/idr_pic_id).  qp/qpc apply to the IDR;
+    qp_p/qpc_p (default the same) to the P frames.
 
     Returns (data (G, bucket_words*4) uint8, nbits (G,) int32).
     """
     ys = H * W
     cs = ys // 4
     mbh, mbw = H // 16, W // 16
+    if qp_p is None:
+        qp_p, qpc_p = qp, qpc
 
     def unpack(row):
         sy = row[:ys].reshape(H, W).astype(jnp.int32)
@@ -64,14 +68,14 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
     def step(ref, xs):
         row, hv, hl = xs
         sy, su, sv = unpack(row)
-        out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
+        out = encode_p_frame_core(sy, su, sv, *ref, qp_p, qpc_p, rng, subpel,
                                   me_backend, qpc_offset=qpc_offset,
                                   aq_strength=aq_strength, trellis=trellis,
                                   partitions=partitions)
         v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
         data, nbits = pack_slots(v, l, bucket_words)
-        new_ref = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
-                                 qpc_offset=qpc_offset)
+        new_ref = _maybe_deblock(out, qp_p, mbh, mbw, False, deblock, dbA,
+                                 dbB, qpc_offset=qpc_offset)
         return new_ref, (data, nbits)
 
     _, (datas, nbits) = jax.lax.scan(
@@ -89,11 +93,12 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
 def _sharded_gop_program(gops, qp, qpc, hdr_vals, hdr_lens, H, W, rng,
                          bucket_words, subpel, me_backend, deblock, dbA,
                          dbB, qpc_offset, aq_strength=0.0, trellis=False,
-                         partitions=False, i4x4=False):
+                         partitions=False, i4x4=False, qp_p=None,
+                         qpc_p=None):
     fn = jax.vmap(lambda g, hv, hl: encode_gop_packed_device(
         g, qp, qpc, H, W, hv, hl, rng, bucket_words, subpel, me_backend,
         deblock, dbA, dbB, qpc_offset, aq_strength, trellis, partitions,
-        i4x4))
+        i4x4, qp_p=qp_p, qpc_p=qpc_p))
     data, nbits = fn(gops, hdr_vals, hdr_lens)
     # global rate statistic: one scalar allreduce across the mesh — the
     # distributed rate controller's input (real entropy bits, not a proxy)
@@ -111,7 +116,9 @@ def encode_gops_sharded_packed(gops: np.ndarray, qp: int, qpc: int,
                                dbB: int = 0, qpc_offset: int = 0,
                                aq_strength: float = 0.0,
                                trellis: bool = False,
-                               partitions: bool = False, i4x4: bool = False):
+                               partitions: bool = False, i4x4: bool = False,
+                               qp_p: int | None = None,
+                               qpc_p: int | None = None):
     """Shard (n_gops, G, H*W*3//2) uint8 GOPs over the mesh 'dp' axis and
     encode each to packed slice payloads on its own device.
 
@@ -132,8 +139,147 @@ def encode_gops_sharded_packed(gops: np.ndarray, qp: int, qpc: int,
         data, nbits, total = _sharded_gop_program(
             gops_d, qp, qpc, hv_d, hl_d, H, W, rng, bucket_words, subpel,
             me_backend, deblock, dbA, dbB, qpc_offset,
-            float(aq_strength), trellis, partitions, i4x4)
+            float(aq_strength), trellis, partitions, i4x4,
+            qp_p=qp_p, qpc_p=qpc_p)
     return np.asarray(data), np.asarray(nbits), int(total)
+
+
+class GopShardPipeline:
+    """Session hot path for --threads N > 1 on a multi-device mesh: GOP
+    data parallelism behind the same push/flush contract as
+    encode.pipeline.BatchPipeline (the reference exposes threading as a
+    session knob, codec.c:933-943).
+
+    Buffers display-order frames into n_dev closed GOPs, encodes them with
+    one sharded device program (encode_gops_sharded_packed), and emits
+    decode-order AUs.  The sharded feature set is bframes=0 / ref=1 /
+    weightp=0 / no lookahead — the session warns and downgrades before
+    constructing this pipeline.  Rate control is fed per-AU with real
+    sizes; QP is chosen once per batch (the psum'd bit total is the
+    cross-device rate statistic).
+    """
+
+    def __init__(self, enc, rc, mesh: Mesh | None = None,
+                 gop_len: int | None = None):
+        self.enc = enc                    # header/SPS/PPS machinery + state
+        self.rc = rc
+        if mesh is None:
+            devs = np.array(jax.devices())
+            mesh = Mesh(devs, axis_names=("dp",))
+        self.mesh = mesh
+        self.n_dev = int(np.prod(mesh.devices.shape))
+        # GOP-parallel latency is n_dev * gop_len frames: cap the shard
+        # GOP so the pipeline stays usable at long --keyint
+        self.G = gop_len or min(enc.cfg.keyint, 32)
+        self.buf: list = []
+        self._disp = 0
+
+    def push(self, y, u, v) -> list:
+        self.buf.append((y, u, v))
+        if len(self.buf) >= self.n_dev * self.G:
+            return self._run()
+        return []
+
+    def flush(self) -> list:
+        out = []
+        while self.buf:
+            out += self._run()
+        return out
+
+    def _run(self) -> list:
+        from ..bitstream.mb_syntax import SLICE_I, SLICE_P
+        from ..bitstream.nal import NAL_SLICE, NAL_SLICE_IDR, wrap_nal
+        from ..encode.tpu_encoder import _pad
+
+        henc = self.enc
+        cfg = henc.cfg
+        G = self.G
+        frames = self.buf[:self.n_dev * G]
+        self.buf = self.buf[len(frames):]
+        n = len(frames)
+        n_gops = (n + G - 1) // G
+        n_gops_padded = ((n_gops + self.n_dev - 1)
+                         // self.n_dev) * self.n_dev
+        H, W = henc.mbh * 16, henc.mbw * 16
+        qp = int(min(max(self.rc.qp_for_type("I"), 1), 51))
+        qp_p = int(min(max(self.rc.qp_for_type("P"), 1), 51))
+        off = henc.pps.chroma_qp_index_offset
+        qpc = int(tnp_chroma_qp(qp, off))
+        qpc_p = int(tnp_chroma_qp(qp_p, off))
+
+        rows = np.zeros((n_gops_padded, G, H * W * 3 // 2), np.uint8)
+        for g in range(n_gops):
+            for k in range(G):
+                y, u, v = frames[min(g * G + k, n - 1)]
+                rows[g, k] = np.concatenate([
+                    np.ascontiguousarray(_pad(y, H, W),
+                                         dtype=np.uint8).ravel(),
+                    np.ascontiguousarray(_pad(u, H // 2, W // 2),
+                                         dtype=np.uint8).ravel(),
+                    np.ascontiguousarray(_pad(v, H // 2, W // 2),
+                                         dtype=np.uint8).ravel()])
+
+        hdr_vals = np.zeros((n_gops_padded, G, MAX_HDR), np.uint32)
+        hdr_lens = np.zeros((n_gops_padded, G, MAX_HDR), np.int32)
+        from ..bitstream.nal import NAL_SLICE as _NS, NAL_SLICE_IDR as _NSI
+        idr0 = henc.idr_id
+        for g in range(n_gops):
+            henc.idr_id = (idr0 + g) % 65536
+            for k in range(G):
+                henc.qp = qp if k == 0 else qp_p
+                henc.frame_num = k % (
+                    1 << (henc.sps.log2_max_frame_num_minus4 + 4))
+                hw = henc._slice_header_codes(
+                    SLICE_I if k == 0 else SLICE_P,
+                    _NSI if k == 0 else _NS)
+                hv, hl = hw.to_slots(pad_to=MAX_HDR)
+                hdr_vals[g, k] = hv.astype(np.uint32)
+                hdr_lens[g, k] = hl.astype(np.int32)
+        henc.idr_id = (idr0 + n_gops) % 65536
+
+        data, nbits, _total = encode_gops_sharded_packed(
+            rows, qp, qpc, H, W, hdr_vals, hdr_lens, mesh=self.mesh,
+            rng=cfg.search_range, subpel=cfg.subpel,
+            me_backend=cfg.me_backend, deblock=cfg.deblock,
+            dbA=cfg.deblock_alpha, dbB=cfg.deblock_beta,
+            qpc_offset=henc.pps.chroma_qp_index_offset,
+            aq_strength=cfg.aq_strength, trellis=cfg.trellis,
+            partitions=bool(cfg.partitions), i4x4=cfg.i4x4,
+            qp_p=qp_p, qpc_p=qpc_p)
+
+        tx = None
+        if cfg.cabac:
+            from ..bitstream import cabac_transcode
+            tx = cabac_transcode.transcode_slice
+
+        out = []
+        for g in range(n_gops):
+            for k in range(G):
+                if g * G + k >= n:
+                    break
+                payload = data[g, k, :(int(nbits[g, k]) + 7) // 8]
+                ftype = "I" if k == 0 else "P"
+                qp_used = qp if k == 0 else qp_p
+                if tx is not None:
+                    hb = int(hdr_lens[g, k].sum())
+                    body = tx(payload, hb, ftype, henc.mbh,
+                              henc.mbw, qp_used, nref=1)
+                    if body is None:
+                        raise RuntimeError("CABAC transcode rejected a "
+                                           "sharded-GOP slice")
+                    payload = body
+                au = wrap_nal(3, _NSI if k == 0 else _NS, bytes(payload))
+                if k == 0:
+                    au = henc.headers() + au
+                self.rc.update(ftype, qp_used, len(au) * 8)
+                out.append((au, self._disp, k == 0, ftype, qp_used))
+                self._disp += 1
+        return out
+
+
+def tnp_chroma_qp(qp, off):
+    from ..ops import transform_np as tnp
+    return tnp.chroma_qp(qp, off)
 
 
 def encode_clip_gop_parallel(frames: list, cfg, mesh: Mesh | None = None,
