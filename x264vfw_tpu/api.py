@@ -356,8 +356,9 @@ class CompressSession:
                         fy, fu, fv, qp_i=qps["I"], qp_p=qps["P"],
                         qp_b=qps["B"], qp_off=off), qps)
             qp_p = self.rc.qp_for_type("P")
-            tail += self._emit(self.encoder.flush(qp_p=qp_p),
-                               {"I": qp_p, "P": qp_p, "B": qp_p})
+            qp_b = self.rc.qp_for_type("B")
+            tail += self._emit(self.encoder.flush(qp_p=qp_p, qp_b=qp_b),
+                               {"I": qp_p, "P": qp_p, "B": qp_b})
         if self.muxer is not None:
             self.muxer.close_file(self._largest, self._second)
             self.muxer = None
