@@ -234,6 +234,7 @@ typedef struct {
     uint8_t is_i16[MAXMB_H * MAXMB_W];
     uint8_t is_inxn[MAXMB_H * MAXMB_W];
     uint8_t cbf_cdc[MAXMB_H * MAXMB_W * 2];
+    uint8_t t8m[MAXMB_H * MAXMB_W];
     uint8_t cbf_cac[2 * MAXMB_H * 2 * MAXMB_W * 2];
     int32_t cmode[MAXMB_H * MAXMB_W];
 } Maps;
@@ -261,6 +262,7 @@ static void maps_clear(Maps *m, int mbh, int mbw)
     memset(m->is_i16, 0, (size_t)n);
     memset(m->is_inxn, 0, (size_t)n);
     memset(m->cbf_cdc, 0, (size_t)(2 * n));
+    memset(m->t8m, 0, (size_t)n);
     memset(m->cbf_cac, 0, (size_t)(8 * n));
     memset(m->cmode, 0, (size_t)n * sizeof(int32_t));
 }
@@ -273,6 +275,20 @@ static const int CBF_OFF[5] = {0, 4, 8, 12, 16};
 static const int SIG_OFF[5] = {0, 15, 29, 44, 47};
 static const int ABS_OFF[5] = {0, 10, 20, 30, 39};
 
+/* cat-5 (luma 8x8) position->ctx maps, frame-coded (Table 9-43):
+ * significant at 402 + map, last at 417 + map, abs at 426; no cbf
+ * (mirrors bitstream/cabac_slice.py SIG8_MAP/LAST8_MAP) */
+static const uint8_t SIG8C[63] = {
+    0, 1, 2, 3, 4, 5, 5, 4, 4, 3, 3, 4, 4, 4, 5, 5,
+    4, 4, 4, 4, 3, 3, 6, 7, 7, 7, 8, 9, 10, 9, 8, 7,
+    7, 6, 11, 12, 13, 11, 6, 7, 8, 9, 14, 10, 9, 8, 6, 11,
+    12, 13, 11, 6, 9, 14, 10, 9, 11, 12, 13, 11, 14, 10, 12};
+static const uint8_t LAST8C[63] = {
+    0, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1, 1,
+    2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2, 2,
+    3, 3, 3, 3, 3, 3, 3, 3, 4, 4, 4, 4, 4, 4, 4, 4,
+    5, 5, 5, 5, 6, 6, 6, 6, 7, 7, 7, 7, 8, 8, 8};
+
 static int residual(Cabac *c, int cat, int cbf_inc, const int32_t *coeffs,
                     int n)
 {
@@ -280,26 +296,34 @@ static int residual(Cabac *c, int cat, int cbf_inc, const int32_t *coeffs,
     for (int i = 0; i < n; i++)
         if (coeffs[i])
             last = i;
-    decision(c, 85 + CBF_OFF[cat] + cbf_inc, last >= 0);
-    if (last < 0)
-        return 0;
+    if (cat == 5) {
+        if (last < 0)
+            return 0;              /* caller guarantees cbp bit => nz */
+    } else {
+        decision(c, 85 + CBF_OFF[cat] + cbf_inc, last >= 0);
+        if (last < 0)
+            return 0;
+    }
     for (int i = 0; i < n - 1; i++) {
-        decision(c, 105 + SIG_OFF[cat] + i, coeffs[i] != 0);
+        decision(c, cat == 5 ? 402 + SIG8C[i] : 105 + SIG_OFF[cat] + i,
+                 coeffs[i] != 0);
         if (coeffs[i]) {
-            decision(c, 166 + SIG_OFF[cat] + i, i == last);
+            decision(c, cat == 5 ? 417 + LAST8C[i]
+                                 : 166 + SIG_OFF[cat] + i, i == last);
             if (i == last)
                 break;
         }
     }
+    int abs_base = cat == 5 ? 426 : 227 + ABS_OFF[cat];
     int num_eq1 = 0, num_gt1 = 0;
     for (int i = last; i >= 0; i--) {
         int v = coeffs[i];
         if (!v)
             continue;
         int mag = (v < 0 ? -v : v) - 1;
-        int c0 = 227 + ABS_OFF[cat]
+        int c0 = abs_base
                  + (num_gt1 ? 0 : (num_eq1 + 1 < 4 ? num_eq1 + 1 : 4));
-        int c1 = 227 + ABS_OFF[cat] + 5 + (num_gt1 < 4 ? num_gt1 : 4);
+        int c1 = abs_base + 5 + (num_gt1 < 4 ? num_gt1 : 4);
         int ctxs[2] = {c0, c1};
         ueg(c, ctxs, 2, 0, 14, mag, 0);
         bypass(c, v < 0);
@@ -488,6 +512,7 @@ long cabac_encode_p_slice(
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
     const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
     const int32_t *qpd,                                 /* (n,) or NULL */
+    const uint8_t *t8, int t8_mode,   /* transform_size_8x8_flag per MB */
     uint8_t *out, long cap)
 {
     int prev_nz = 0;
@@ -550,15 +575,50 @@ long cabac_encode_p_slice(
             cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
             m->cbp_l[my * mbw + mx] = cbp_l[k];
             m->cbp_c[my * mbw + mx] = cbp_c[k];
+            int t8v = 0;
+            if (t8_mode && cbp_l[k]) {
+                t8v = t8 ? t8[k] : 0;
+                int ta = mx - 1 >= 0 ? m->t8m[my * mbw + mx - 1] : 0;
+                int tb = my - 1 >= 0 ? m->t8m[(my - 1) * mbw + mx] : 0;
+                decision(&c, 399 + ta + tb, t8v);
+            }
+            m->t8m[my * mbw + mx] = (uint8_t)t8v;
             if (cbp_l[k] || cbp_c[k]) {
                 qp_delta_code(&c, qpd ? qpd[k] : 0, &prev_nz);
-                for (int blk = 0; blk < 16; blk++) {
-                    if (!((cbp_l[k] >> (blk / 4)) & 1))
-                        continue;
-                    int bx = BLKX[blk], by = BLKY[blk];
-                    int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
-                    int cbf = residual(&c, 2, inc, levels + (k * 16 + blk) * 16, 16);
-                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx] = (uint8_t)cbf;
+                if (t8v) {
+                    /* High 8x8: one cat-5 residual per coded 8x8 block;
+                     * input levels are the CAVLC interleaved-4x4 layout
+                     * (sub-block b carries scan positions 4j+b) */
+                    for (int q = 0; q < 4; q++) {
+                        int coded8 = (cbp_l[k] >> q) & 1;
+                        if (coded8) {
+                            int32_t co[64];
+                            int nz = 0;
+                            for (int i = 0; i < 64; i++) {
+                                co[i] = levels[(k * 16 + q * 4 + (i & 3))
+                                               * 16 + (i >> 2)];
+                                nz |= co[i] != 0;
+                            }
+                            if (!nz)
+                                return -3;  /* not representable in CABAC */
+                            residual(&c, 5, 0, co, 64);
+                        }
+                        for (int b = 0; b < 4; b++) {
+                            int blk = q * 4 + b;
+                            int bx = BLKX[blk], by = BLKY[blk];
+                            m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                                = (uint8_t)coded8;
+                        }
+                    }
+                } else {
+                    for (int blk = 0; blk < 16; blk++) {
+                        if (!((cbp_l[k] >> (blk / 4)) & 1))
+                            continue;
+                        int bx = BLKX[blk], by = BLKY[blk];
+                        int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
+                        int cbf = residual(&c, 2, inc, levels + (k * 16 + blk) * 16, 16);
+                        m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx] = (uint8_t)cbf;
+                    }
                 }
                 chroma_res(&c, m, mx, my, cbp_c[k], 0, dc_u + 4 * k,
                            dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);
@@ -591,6 +651,7 @@ long cabac_encode_i_slice(
     const int32_t *ac,                                  /* (n,16,15) */
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) */
     const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) */
+    int t8_mode,
     uint8_t *out, long cap)
 {
     if (mbh > MAXMB_H || mbw > MAXMB_W)
@@ -609,6 +670,12 @@ long cabac_encode_i_slice(
         decision(&c, 3 + ca + cb, !i4);
         if (i4) {
             m->is_inxn[my * mbw + mx] = 1;
+            if (t8_mode) {
+                /* transform_size_8x8_flag = 0 (no Intra_8x8 yet) */
+                int ta = mx - 1 >= 0 ? m->t8m[my * mbw + mx - 1] : 0;
+                int tb = my - 1 >= 0 ? m->t8m[(my - 1) * mbw + mx] : 0;
+                decision(&c, 399 + ta + tb, 0);
+            }
             for (int b = 0; b < 16; b++) {
                 int pf = i4_prev[16 * k + b];
                 decision(&c, 68, pf);
@@ -696,6 +763,7 @@ long cabac_encode_b_slice(
     const int32_t *levels,                              /* (n,16,16) masked */
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
     const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
+    int t8_mode,
     uint8_t *out, long cap)
 {
     if (mbh > MAXMB_H || mbw > MAXMB_W)
@@ -753,6 +821,12 @@ long cabac_encode_b_slice(
             cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
             m->cbp_l[my * mbw + mx] = cbp_l[k];
             m->cbp_c[my * mbw + mx] = cbp_c[k];
+            if (t8_mode && cbp_l[k]) {
+                /* our B cores stay 4x4: flag is always 0 */
+                int ta = mx - 1 >= 0 ? m->t8m[my * mbw + mx - 1] : 0;
+                int tb = my - 1 >= 0 ? m->t8m[(my - 1) * mbw + mx] : 0;
+                decision(&c, 399 + ta + tb, 0);
+            }
             if (cbp_l[k] || cbp_c[k]) {
                 decision(&c, 60, 0);    /* mb_qp_delta = 0 */
                 for (int blk = 0; blk < 16; blk++) {

@@ -461,7 +461,8 @@ long cavlc_parse_slice(
     int8_t *part,                      /* (n,) 0..3 P partition, -1 other */
     uint8_t *i4prev,                   /* (n,16) prev_..._pred_mode_flag */
     int8_t *i4rem,                     /* (n,16) rem mode, -1 when prev */
-    int8_t *qpd)                       /* (n,) raw mb_qp_delta */
+    int8_t *qpd,                       /* (n,) raw mb_qp_delta */
+    uint8_t *t8out)                    /* (n,) transform_size_8x8_flag */
 {
     if (mbh > MAXH || mbw > MAXW)
         return -6;
@@ -635,6 +636,13 @@ long cavlc_parse_slice(
             int cl = cbp & 15, cc = cbp >> 4;
             cbp_luma[k] = cl;
             cbp_chroma[k] = cc;
+            if (transform_8x8 && cl) {
+                int t8v = (int)br_u(r, 1);
+                if (t8v && !t8out)
+                    return -4;  /* decode fast path: no 8x8 recon yet */
+                if (t8out)
+                    t8out[k] = (uint8_t)t8v;
+            }
             if (cbp) {
                 int d = br_se(r);
                 qp += d;
@@ -780,7 +788,8 @@ long cavlc_parse_b_slice(
     int16_t *lvl16,                    /* (n,16,16) block decode order */
     int16_t *cdc,                      /* (n,2,4) */
     int16_t *cac,                      /* (n,2,4,15) */
-    int8_t *qpd)                       /* (n,) raw mb_qp_delta */
+    int8_t *qpd,                       /* (n,) raw mb_qp_delta */
+    int transform_8x8, uint8_t *t8out)
 {
     if (mbh > MAXH || mbw > MAXW)
         return -6;
@@ -831,6 +840,13 @@ long cavlc_parse_b_slice(
         int cl = cbp & 15, cc = cbp >> 4;
         cbp_luma[k] = cl;
         cbp_chroma[k] = cc;
+        if (transform_8x8 && cl) {
+            int t8v = (int)br_u(r, 1);
+            if (t8out)
+                t8out[k] = (uint8_t)t8v;
+            if (t8v)
+                return -4;  /* 8x8 B residual: not emitted by us */
+        }
         if (cbp) {
             int d = br_se(r);
             qp += d;

@@ -134,6 +134,7 @@ class CompressSession:
             self.log.warning(
                 f"--bframes {bframes} limits the DPB to 1 reference per "
                 f"list; --ref {p.ref} runs single-reference")
+        dct8x8 = bool(p.dct8x8)
         if p.nal_hrd in ("vbr", "cbr") and not (p.vbv_maxrate > 0
                                                 and p.vbv_bufsize > 0):
             # x264 refuses nal-hrd without VBV; we warn and drop it
@@ -158,6 +159,7 @@ class CompressSession:
             partitions="none" not in p.partitions
             and ("p8x8" in p.partitions or "p4x4" in p.partitions),
             i4x4="none" not in p.partitions and "i4x4" in p.partitions,
+            dct8x8=dct8x8,
             weightp=p.weightp,
             deblock=p.deblock,
             deblock_alpha=p.deblock_alpha, deblock_beta=p.deblock_beta,

@@ -52,7 +52,8 @@ def _p(a, dt):
 
 def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
                    levels, dc_u, dc_v, ac_u, ac_v, qpd=None,
-                   part=None, ref=None, nref=1) -> bytes:
+                   part=None, ref=None, nref=1, t8=None,
+                   t8_mode=False) -> bytes:
     """mvd: (n, 2) for an all-16x16 slice, or (n, 4, 2) quadrant-raster
     mvd slots with `part` (n,) in {0:16x16, 1:16x8, 2:8x16, 3:P_8x8}.
     ref (n,) + nref > 1 emit ref_idx bins (te/unary)."""
@@ -87,6 +88,11 @@ def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
         arr, p = _p(a, dt)
         holds.append(arr)
         ptrs.append(p)
+    if t8 is None:
+        t8 = np.zeros(n, np.uint8)
+    t8a, t8p = _p(t8, np.uint8)
+    holds.append(t8a)
+    ptrs += [t8p, ctypes.c_int(int(t8_mode))]
     sz = lib.cabac_encode_p_slice(
         qp, init_idc, mbh, mbw, *ptrs,
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
@@ -95,7 +101,8 @@ def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
 
 
 def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
-                   cbp_l, cbp_c, levels, dc_u, dc_v, ac_u, ac_v) -> bytes:
+                   cbp_l, cbp_c, levels, dc_u, dc_v, ac_u, ac_v,
+                   t8_mode=False) -> bytes:
     lib = _get_lib()
     n = mbh * mbw
     cap = max(1 << 16, n * 800)
@@ -110,7 +117,7 @@ def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
         holds.append(arr)
         ptrs.append(p)
     sz = lib.cabac_encode_b_slice(
-        qp, init_idc, mbh, mbw, *ptrs,
+        qp, init_idc, mbh, mbw, *ptrs, ctypes.c_int(int(t8_mode)),
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
     assert sz >= 0, f"native cabac failed: {sz}"
     return out[:sz].tobytes()
@@ -119,7 +126,7 @@ def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
 def encode_i_slice(qp, mbh, mbw, i16mode, cmode, acflag, cbp_c,
                    dc, ac, dc_u, dc_v, ac_u, ac_v,
                    use_i4=None, i4_prev=None, i4_rem=None, cbp4=None,
-                   levels4=None) -> bytes:
+                   levels4=None, t8_mode=False) -> bytes:
     """Mixed I16/I_NxN slice; the five i4 args may all be None (pure I16).
     levels4: (n, 16, 16) zigzag decode-order blocks, cbp-masked."""
     lib = _get_lib()
@@ -145,7 +152,7 @@ def encode_i_slice(qp, mbh, mbw, i16mode, cmode, acflag, cbp_c,
         holds.append(arr)
         ptrs.append(p)
     sz = lib.cabac_encode_i_slice(
-        qp, mbh, mbw, *ptrs,
+        qp, mbh, mbw, *ptrs, ctypes.c_int(int(t8_mode)),
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
     assert sz >= 0, f"native cabac failed: {sz}"
     return out[:sz].tobytes()

@@ -40,7 +40,8 @@ def _header_bytes(payload: np.ndarray, hdr_bits: int) -> bytes:
 
 
 def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
-                    mbh: int, mbw: int, qp: int, nref: int = 1) -> bytes | None:
+                    mbh: int, mbw: int, qp: int, nref: int = 1,
+                    t8_mode: bool = False) -> bytes | None:
     """Re-code one CAVLC slice RBSP (header + data) as a CABAC slice.
 
     payload: uint8 RBSP (unescaped).  slice_type: "I"/"P"/"B".  qp: the
@@ -55,7 +56,8 @@ def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
     hdr = _header_bytes(payload, hdr_bits)
 
     if slice_type == "B":
-        syn = native_parse.parse_b_slice(payload, hdr_bits, mbh, mbw, qp)
+        syn = native_parse.parse_b_slice(payload, hdr_bits, mbh, mbw, qp,
+                                         transform_8x8=t8_mode)
         if syn is None:
             return None
         mode = syn["mode"].astype(np.int32)
@@ -68,12 +70,12 @@ def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
             syn["cdc"][:, 0].astype(np.int32),
             syn["cdc"][:, 1].astype(np.int32),
             syn["cac"][:, 0].astype(np.int32),
-            syn["cac"][:, 1].astype(np.int32))
+            syn["cac"][:, 1].astype(np.int32), t8_mode=t8_mode)
         return hdr + body
 
     st = 0 if slice_type == "P" else 2
     syn = native_parse.parse_slice(payload, hdr_bits, st, mbh, mbw, qp,
-                                   nref, False, want_raw=True)
+                                   nref, t8_mode, want_raw=True)
     if syn is None:
         return None
     kinds = syn["mb_kind"]
@@ -98,7 +100,7 @@ def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
             syn["cac"][:, 1].astype(np.int32),
             qpd=syn["qpd"].astype(np.int32),
             part=np.maximum(syn["part"].astype(np.int32), 0),
-            ref=ref0, nref=nref)
+            ref=ref0, nref=nref, t8=syn.get("t8"), t8_mode=t8_mode)
         return hdr + body
 
     # I slice (mixed I16 / I_NxN)
@@ -120,5 +122,5 @@ def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
         syn["cdc"][:, 0].astype(np.int32),
         syn["cdc"][:, 1].astype(np.int32),
         syn["cac"][:, 0].astype(np.int32),
-        syn["cac"][:, 1].astype(np.int32), **kw)
+        syn["cac"][:, 1].astype(np.int32), t8_mode=t8_mode, **kw)
     return hdr + body

@@ -139,7 +139,7 @@ OPTION_TABLE: dict[str, tuple] = {
 # effect end to end.
 ACCEPTED_IGNORED = {
     "b-adapt", "b-pyramid", "open-gop", "intra-refresh",
-    "mixed-refs", "8x8dct", "psy-rd",
+    "mixed-refs", "psy-rd",
     "weightb", "direct", "chroma-me", "nr", "fast-pskip",
     "sliced-threads", "lookahead-threads",
     "deterministic", "cpu-independent",

@@ -54,10 +54,9 @@ class EncoderParams:
     interlaced: bool = False  # always False (progressive only)
 
     # --- profile / level ---
-    # default profile matches what the encoder can actually emit today
-    # (Baseline/Main); "high" becomes the default when the 8x8 transform
-    # lands end to end (x264 defaults to high, codec.c:904)
-    profile: str = "main"
+    # high: the 8x8 transform is in (per-MB decision on every P core,
+    # CAVLC + CABAC-transcode), matching x264's default (codec.c:904)
+    profile: str = "high"
     level_idc: int = 0       # 0 = auto
 
     # --- GOP structure ---
@@ -101,7 +100,7 @@ class EncoderParams:
     merange: int = 16
     subme: int = 7
     partitions: str = "p8x8,b8x8,i8x8,i4x4"
-    dct8x8: bool = False     # no 8x8 transform yet; see profile note above
+    dct8x8: bool = True      # x264 --8x8dct default (preset >= faster)
     trellis: int = 1
     psy_rd: float = 1.0
     psy_trellis: float = 0.0

@@ -102,10 +102,12 @@ def parse_slice(rbsp: np.ndarray, bitpos: int, slice_type: int,
         o["i4prev"] = np.zeros((n, 16), np.uint8)
         o["i4rem"] = np.zeros((n, 16), np.int8)
         o["qpd"] = np.zeros(n, np.int8)
-        for key in ("mvdq", "refq", "part", "i4prev", "i4rem", "qpd"):
+        o["t8"] = np.zeros(n, np.uint8)
+        for key in ("mvdq", "refq", "part", "i4prev", "i4rem", "qpd",
+                    "t8"):
             args.append(o[key].ctypes.data_as(ctypes.c_void_p))
     else:
-        args += [None] * 6
+        args += [None] * 7
     rc = lib.cavlc_parse_slice(*args)
     if rc != n:
         return None
@@ -113,7 +115,7 @@ def parse_slice(rbsp: np.ndarray, bitpos: int, slice_type: int,
 
 
 def parse_b_slice(rbsp: np.ndarray, bitpos: int, mbh: int, mbw: int,
-                  qp_init: int):
+                  qp_init: int, transform_8x8: bool = False):
     """Raw-syntax parse of one restricted B slice (16x16 modes only) for
     the entropy transcoder.  Returns a dict or None on fallback."""
     lib = _get_lib()
@@ -138,6 +140,9 @@ def parse_b_slice(rbsp: np.ndarray, bitpos: int, mbh: int, mbw: int,
     for key in ("mode", "mvd0", "mvd1", "cbp_luma", "cbp_chroma",
                 "lvl16", "cdc", "cac", "qpd"):
         args.append(o[key].ctypes.data_as(ctypes.c_void_p))
+    o["t8"] = np.zeros(n, np.uint8)
+    args.append(int(transform_8x8))
+    args.append(o["t8"].ctypes.data_as(ctypes.c_void_p))
     rc = lib.cavlc_parse_b_slice(*args)
     if rc != n:
         return None

@@ -680,13 +680,20 @@ def _exp2(x):
 
 
 def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool,
-                            decimate: bool = False, trellis: bool = False):
+                            decimate: bool = False, trellis: bool = False,
+                            t8: bool = False):
     """fdct+quant+zigzag and the decoder-exact recon residual.
 
     decimate (inter only): zero a whole MB's luma residual when its summed
     decimate score is < 6 (the reference's --no-dct-decimate default-on
     behaviour, codec.c option surface).
-    Returns (levels_zz (n,16,16), recon_res (n,16,16))."""
+    t8 (inter only): also evaluate the High-profile 8x8 transform per MB
+    (x264 --8x8dct, codec.c:904) and pick 4x4 vs 8x8 by SSD + lambda*rate;
+    the 8x8 levels are emitted in the CAVLC interleaved-4x4 layout
+    (§8.5.6: sub-block b carries 8x8-scan positions 4j+b), so every
+    downstream consumer (slots, nC, CBP) is layout-compatible.
+    Returns (levels_zz (n,16,16), recon_res (n,16,16), t8_flag (n,)|None).
+    """
     resid = src_mbs - pred_mbs
     blocks = mb_to_blocks(resid)
     coef = tj.fdct4x4(blocks)
@@ -700,8 +707,54 @@ def _luma_residual_pipeline(src_mbs, pred_mbs, qp, intra: bool,
         levels = jnp.where(keep, levels, 0)
         q = jnp.where(keep[..., None], q, 0)
     d = tj.dequant4x4(q, qp)
-    res = tj.idct4x4_core(d)
-    return levels, blocks_to_mb(res)
+    res = blocks_to_mb(tj.idct4x4_core(d))
+    if not t8 or intra:
+        return levels, res, None
+
+    # ---- 8x8 transform candidate ----
+    n = resid.shape[0]
+    # (n, 2, 2, 8, 8) quadrant blocks in cbp order (TL, TR, BL, BR)
+    b8 = resid.reshape(n, 2, 8, 2, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 4, 8, 8)
+    w8 = tj.fdct8x8(b8)
+    q8 = tj.quant8x8(w8, qp, intra=False)
+    zz8 = tj.zigzag8x8_scan(q8)                     # (n, 4, 64)
+    # interleaved-4x4 layout: sub-block b of 8x8 block k sits in 4x4 slot
+    # 4k+b and carries scan positions 4j+b
+    lv8 = zz8.reshape(n, 4, 16, 4).transpose(0, 1, 3, 2).reshape(n, 16, 16)
+    if decimate:
+        sc8 = _decimate_score(lv8).sum(axis=-1)
+        keep8 = (sc8 >= 6)[:, None, None]
+        lv8 = jnp.where(keep8, lv8, 0)
+        q8 = jnp.where(keep8[..., None], q8, 0)
+    res8 = tj.idct8x8_core(tj.dequant8x8(q8, qp))   # (n, 4, 8, 8)
+    res8_mb = res8.reshape(n, 2, 2, 8, 8).transpose(0, 1, 3, 2, 4) \
+        .reshape(n, 16, 16)
+
+    # decision: SSD against the true residual + lambda * rate proxy
+    def cost(levels_, res_):
+        ssd = ((res_ - resid) ** 2).sum(axis=(-1, -2))
+        a = jnp.abs(levels_)
+        bits = (2 * (a > 0).sum(axis=(-1, -2))
+                + (31 - _clz32(jnp.maximum(a, 1))).sum(axis=(-1, -2)))
+        return ssd, bits
+
+    qv = jnp.asarray(qp, jnp.int32)
+    lam2 = jnp.maximum(1, jnp.round(
+        0.9 * jnp.exp2((qv.astype(jnp.float32) - 12.0) / 3.0))
+        ).astype(jnp.int32)
+    lam2 = lam2 if lam2.ndim == 0 else lam2.reshape(n)
+    ssd4, bits4 = cost(levels, res)
+    ssd8, bits8 = cost(lv8, res8_mb)
+    flag8 = (ssd8 + lam2 * bits8) < (ssd4 + lam2 * bits4)
+    levels = jnp.where(flag8[:, None, None], lv8, levels)
+    res = jnp.where(flag8[:, None, None], res8_mb, res)
+    return levels, res, flag8
+
+
+def _clz32(x):
+    """Count leading zeros of positive int32 via float exponent bits."""
+    return 31 - jnp.log2(x.astype(jnp.float32)).astype(jnp.int32)
 
 
 def _chroma_residual_pipeline(src_c8, pred_c8, qpc, intra: bool, qp_dc=None):
@@ -748,7 +801,7 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
                         aq_strength=0.0, qpc_offset=0, decimate=True,
                         trellis=False, qp_off=None, wp=None,
-                        partitions=False):
+                        partitions=False, dct8x8=False):
     """Device P-frame encode (unjitted core). All planes int32, MB-multiple
     dims. Returns syntax tensors + recon planes (pre-deblock).
 
@@ -811,10 +864,9 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
             ((pred_y_pl * wp_w + 32) >> 6) + wp_o, 0, 255)
 
     pred = mbize(pred_y_pl)
-    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp_l,
-                                                intra=False,
-                                                decimate=decimate,
-                                                trellis=trellis)
+    levels, recon_res, t8_flag = _luma_residual_pipeline(
+        src_mbs, pred, qp_l, intra=False, decimate=decimate,
+        trellis=trellis, t8=dct8x8)
 
     # cbp luma per 8x8 quadrant (block coding order: blocks q*4..q*4+3)
     nz_blk = (levels != 0).any(axis=-1)             # (n, 16)
@@ -863,6 +915,8 @@ def encode_p_frame_core(src_y, src_u, src_v, ref_y, ref_u, ref_v, qp, qpc,
     if part is not None:
         out["part"] = part.reshape(n)
         out["mv8"] = mv8
+    if t8_flag is not None:
+        out["t8"] = t8_flag.reshape(n)
     if aq:
         coded = (cbp_luma != 0) | (cbp_chroma != 0)
         qp_real, qp_delta = realized_qp_chain(qp_mb, coded, qp)
@@ -1017,10 +1071,10 @@ def encode_b_frame_core(src_y, src_u, src_v,
                        jnp.where(mc_ == 2, p1v, biv))).astype(jnp.int32)
 
     pred = mbize(pred_y)
-    levels, recon_res = _luma_residual_pipeline(src_mbs, pred, qp,
-                                                intra=False,
-                                                decimate=decimate,
-                                                trellis=trellis)
+    levels, recon_res, _ = _luma_residual_pipeline(src_mbs, pred, qp,
+                                                   intra=False,
+                                                   decimate=decimate,
+                                                   trellis=trellis)
     nz_blk = (levels != 0).any(axis=-1)
     cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
     cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
@@ -1166,6 +1220,13 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         quad = ((out["cbp_luma"][:, None] >> (jnp.arange(16) // 4)) & 1).astype(bool)
         lv = jnp.where(quad[:, :, None], out["levels"], 0)
         tc_blk = (lv != 0).sum(-1)                       # (n, 16) block order
+        if "t8" in out:
+            # 8x8-transformed MBs: bS sees the 8x8 block's coded status on
+            # every covered 4x4 (the interleaved sub-split is not the
+            # decoder's block structure)
+            qtc = tc_blk.reshape(n, 4, 4).sum(-1)        # per-quadrant
+            tc8 = jnp.repeat(qtc[:, :, None], 4, axis=2).reshape(n, 16)
+            tc_blk = jnp.where(out["t8"][:, None].astype(bool), tc8, tc_blk)
         inv16 = jnp.zeros(16, jnp.int32).at[BLK_Y * 4 + BLK_X].set(
             jnp.arange(16, dtype=jnp.int32))
         raster = jnp.take(tc_blk, inv16, axis=1)
@@ -1184,8 +1245,12 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
         ref4 = jnp.zeros((4 * mbh, 4 * mbw), jnp.int32)
     qp_map = (out["qp_real"].reshape(mbh, mbw) if "qp_real" in out
               else jnp.full((mbh, mbw), qp, jnp.int32))
+    t8_4 = None
+    if not intra and "t8" in out:
+        t8mb = out["t8"].reshape(mbh, mbw).astype(bool)
+        t8_4 = jnp.repeat(jnp.repeat(t8mb, 4, 0), 4, 1)
     maps = build_maps(intra_map, tc4, mv4, ref4, qp_map, offA, offB,
-                      qpc_offset)
+                      qpc_offset, t8_4=t8_4)
     # slope-2 wavefront application (XLA): ~2*mbh + mbw vectorized scan
     # steps; replaced the sequential rolling-window Pallas kernel, which
     # cost 55 ms/frame at 1080p (8160 serial MB steps).  `interpret` is
@@ -1197,7 +1262,7 @@ def apply_loop_filter(out, qp, mbh, mbw, intra: bool,
 
 encode_p_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "aq_strength", "qpc_offset",
-    "decimate", "trellis", "partitions"))(encode_p_frame_core)
+    "decimate", "trellis", "partitions", "dct8x8"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "decimate", "trellis",
     "want_recon"))(encode_b_frame_core)

@@ -136,11 +136,12 @@ def p16_mv_pred(mv, ref=None):
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
                                    "deblock", "dbA", "dbB", "aq_strength",
-                                   "qpc_offset", "trellis", "partitions"))
+                                   "qpc_offset", "trellis", "partitions",
+                                   "dct8x8"))
 def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                    rng, subpel=True, me_backend="auto", deblock=False,
                    dbA=0, dbB=0, aq_strength=0.0, qpc_offset=0, trellis=False,
-                   qp_off=None, wp=None, partitions=False):
+                   qp_off=None, wp=None, partitions=False, dct8x8=False):
     """Fused device program phase 1: unpack uint8 frame -> P encode ->
     syntax slots.  Returns (slot_vals, slot_lens, nbits, recon planes, mv).
     The mv field stays on device — it is the colocated-motion input of the
@@ -158,10 +159,10 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                               rng, subpel, me_backend,
                               aq_strength=aq_strength, qpc_offset=qpc_offset,
                               trellis=trellis, qp_off=qp_off, wp=wp,
-                              partitions=partitions)
+                              partitions=partitions, dct8x8=dct8x8)
     nref = ref_y.shape[0] if ref_y.ndim == 3 else 1
     v, l = _finalize_p_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
-                            nref=nref)
+                            nref=nref, t8_mode=dct8x8)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB,
                            qpc_offset=qpc_offset)
     return v, l, l.sum(), *recon, out["mv"]
@@ -217,10 +218,11 @@ def b_mv_pred(mv, uses):
 
 
 @partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
-                                   "want_recon"))
+                                   "want_recon", "dct8x8"))
 def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
                    mvcol, qp, qpc, hdr_vals, hdr_lens,
-                   rng, subpel=True, me_backend="auto", want_recon=False):
+                   rng, subpel=True, me_backend="auto", want_recon=False,
+                   dct8x8=False):
     """Fused B-frame phase 1: unpack -> B encode -> syntax slots.
     Returns (slot_vals, slot_lens, nbits) — B is non-reference, so recon is
     only computed (and appended to the return) under want_recon, which the
@@ -236,13 +238,15 @@ def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
                               ref1_y, ref1_u, ref1_v, mvcol, qp, qpc,
                               rng, subpel, me_backend,
                               want_recon=want_recon)
-    v, l = _finalize_b_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+    v, l = _finalize_b_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
+                            t8_mode=dct8x8)
     if want_recon:
         return v, l, l.sum(), out["recon_y"], out["recon_u"], out["recon_v"]
     return v, l, l.sum()
 
 
-def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw):
+def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw,
+                     t8_mode: bool = False):
     """B-slice syntax tensors -> CAVLC slot arrays.
 
     mode: 0=B_Direct_16x16, 1=B_L0_16x16, 2=B_L1_16x16, 3=B_Bi_16x16
@@ -312,9 +316,11 @@ def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    # header slots: [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp, qpd]
-    hv = jnp.zeros((n, 8), jnp.uint32)
-    hl = jnp.zeros((n, 8), jnp.int32)
+    # header slots: [skip_run, mb_type, mvd0x, mvd0y, mvd1x, mvd1y, cbp,
+    # t8, qpd] — t8 is always 0 (B cores stay 4x4) but the bit must exist
+    # when the PPS enables the 8x8 mode
+    hv = jnp.zeros((n, 9), jnp.uint32)
+    hl = jnp.zeros((n, 9), jnp.int32)
     rv, rl = cj.ue_codes_j(runs)
     hv = hv.at[:, 0].set(rv)
     hl = hl.at[:, 0].set(rl)
@@ -333,8 +339,10 @@ def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw):
     bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
     hv = hv.at[:, 6].set(bv)
     hl = hl.at[:, 6].set(bl)
-    hv = hv.at[:, 7].set(1)
-    hl = hl.at[:, 7].set(jnp.where(cbp != 0, 1, 0))  # se(0) qp_delta
+    if t8_mode:
+        hl = hl.at[:, 7].set(jnp.where(cbp_luma != 0, 1, 0))
+    hv = hv.at[:, 8].set(1)
+    hl = hl.at[:, 8].set(jnp.where(cbp != 0, 1, 0))  # se(0) qp_delta
 
     mb_vals = jnp.concatenate([
         hv, vlu.reshape(n, -1), vcdu, vcdv,
@@ -360,10 +368,11 @@ def pack_phase(vals, lens, cap_words):
     return pack_slots(vals, lens, cap_words)
 
 
-@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend"))
+@partial(jax.jit, static_argnames=("rng", "subpel", "me_backend",
+                                   "dct8x8"))
 def encode_bgop_slots(rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
                       qps, qpcs, hdr_vals, hdr_lens, rng, subpel,
-                      me_backend="auto"):
+                      me_backend="auto", dct8x8=False):
     """Batched B-frame phase 1: Gb independent B frames in one program.
 
     B frames have no recon dependency on each other, so the scan carries
@@ -389,7 +398,7 @@ def encode_bgop_slots(rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
             a0v.astype(jnp.int32), a1y.astype(jnp.int32),
             a1u.astype(jnp.int32), a1v.astype(jnp.int32), mvc, qp, qpc,
             rng, subpel, me_backend, want_recon=False)
-        v, l = _finalize_b_core(out, hv, hl, mbh, mbw)
+        v, l = _finalize_b_core(out, hv, hl, mbh, mbw, t8_mode=dct8x8)
         return 0, (v, l)
 
     _, (vs, ls) = jax.lax.scan(
@@ -401,14 +410,14 @@ def encode_bgop_slots(rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
 @partial(jax.jit, static_argnames=("rng", "subpel",
                                    "me_backend", "deblock", "dbA", "dbB",
                                    "aq_strength", "qpc_offset", "trellis",
-                                   "partitions", "has_qp_off", "want_mv",
-                                   "want_recons"))
+                                   "partitions", "dct8x8", "has_qp_off",
+                                   "want_mv", "want_recons"))
 def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qps, qpcs,
                       hdr_vals, hdr_lens, rng, subpel,
                       me_backend="auto", deblock=False, dbA=0, dbB=0,
                       aq_strength=0.0, qpc_offset=0, trellis=False,
-                      partitions=False, qp_offs=None, has_qp_off=False,
-                      want_mv=False, want_recons=False):
+                      partitions=False, dct8x8=False, qp_offs=None,
+                      has_qp_off=False, want_mv=False, want_recons=False):
     """Batched P-frame encoding phase 1: G frames in ONE device program.
 
     A lax.scan carries the reconstruction between frames; each step encodes
@@ -445,8 +454,10 @@ def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qps, qpcs,
         out = encode_p_frame_core(sy, su, sv, *ref, qp, qpc, rng, subpel,
                                   me_backend, aq_strength=aq_strength,
                                   qpc_offset=qpc_offset, trellis=trellis,
-                                  qp_off=qo, partitions=partitions)
-        v, l = _finalize_p_core(out, hv, hl, mbh, mbw, nref=nref)
+                                  qp_off=qo, partitions=partitions,
+                                  dct8x8=dct8x8)
+        v, l = _finalize_p_core(out, hv, hl, mbh, mbw, nref=nref,
+                                t8_mode=dct8x8)
         rec = _maybe_deblock(out, qp, mbh, mbw, False, deblock, dbA, dbB,
                              qpc_offset=qpc_offset)
         if multi:
@@ -476,8 +487,8 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
                        hdr_vals, hdr_lens, rng, subpel, bucket_words,
                        me_backend="auto", deblock=False, dbA=0, dbB=0,
                        aq_strength=0.0, qpc_offset=0, trellis=False,
-                       partitions=False, qp_offs=None, want_mv=False,
-                       want_recons=False):
+                       partitions=False, dct8x8=False, qp_offs=None,
+                       want_mv=False, want_recons=False):
     """Batched P-frame encode + pack: phase-1 scan then per-frame top-level
     pack dispatches (see encode_pgop_slots for why packing is hoisted).
 
@@ -492,7 +503,7 @@ def encode_pgop_packed(frames_yuv, ref_y, ref_u, ref_v, qp, qpc,
     res = encode_pgop_slots(
         frames_yuv, ref_y, ref_u, ref_v, qps, qpcs, hdr_vals, hdr_lens,
         rng, subpel, me_backend, deblock, dbA, dbB,
-        aq_strength, qpc_offset, trellis, partitions,
+        aq_strength, qpc_offset, trellis, partitions, dct8x8,
         qp_offs=qp_offs, has_qp_off=qp_offs is not None, want_mv=want_mv,
         want_recons=want_recons)
     vs, ls = res[0], res[1]
@@ -517,7 +528,7 @@ def pack_batch(vs, ls, cap_words: int):
 
 def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
                       dbA: int = 0, dbB: int = 0, qpc_offset: int = 0,
-                      i4x4: bool = False):
+                      i4x4: bool = False, dct8x8: bool = False):
     """Returns a jitted fused I-frame phase-1 program for a geometry.
 
     Deliberately a PER-SESSION jitted closure, NOT a shared module-level
@@ -539,7 +550,8 @@ def encode_i_slots_fn(H: int, W: int, deblock: bool = False,
         su = src_yuv[ys:ys + cs].reshape(H // 2, W // 2).astype(jnp.int32)
         sv = src_yuv[ys + cs:].reshape(H // 2, W // 2).astype(jnp.int32)
         out = encode_i_frame_core(sy, su, sv, qp, qpc, i4x4)
-        v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16)
+        v, l = _finalize_i_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
+                                t8_mode=dct8x8)
         recon = _maybe_deblock(out, qp, H // 16, W // 16, True, deblock,
                                dbA, dbB, qpc_offset=qpc_offset)
         return v, l, l.sum(), *recon
@@ -563,7 +575,8 @@ def finalize_p(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
     return pack_slots(v, l, cap_words)
 
 
-def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
+def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1,
+                     t8_mode: bool = False):
     """P-slice syntax tensors -> (packed bytes, total_bits)."""
     n = mbh * mbw
     mv = out["mv"].reshape(mbh, mbw, 2)
@@ -639,7 +652,7 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    NS = 7 if part is None else 16
+    NS = 8 if part is None else 17
     hv = jnp.zeros((n, NS), jnp.uint32)
     hl = jnp.zeros((n, NS), jnp.int32)
     rv, rl = cj.ue_codes_j(runs)
@@ -663,7 +676,7 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
         hl = hl.at[:, 3].set(xl)
         hv = hv.at[:, 4].set(yv)
         hl = hl.at[:, 4].set(yl)
-        CBP_SLOT, QPD_SLOT = 5, 6
+        CBP_SLOT, T8_SLOT, QPD_SLOT = 5, 6, 7
     else:
         # [run, mb_type, sub0..3, (mvdx, mvdy) x 4 quad slots, cbp, qpd]
         tv_, tl_ = cj.ue_codes_j(part)
@@ -681,10 +694,17 @@ def _finalize_p_core(out, hdr_vals, hdr_lens, mbh, mbw, nref: int = 1):
             hl = hl.at[:, 6 + 2 * s].set(jnp.where(act, xl, 0))
             hv = hv.at[:, 7 + 2 * s].set(yv)
             hl = hl.at[:, 7 + 2 * s].set(jnp.where(act, yl, 0))
-        CBP_SLOT, QPD_SLOT = 14, 15
+        CBP_SLOT, T8_SLOT, QPD_SLOT = 14, 15, 16
     bv, bl = cj.ue_codes_j(jnp.asarray(CBP_TO_CODE_J)[0, cbp])
     hv = hv.at[:, CBP_SLOT].set(bv)
     hl = hl.at[:, CBP_SLOT].set(bl)
+    if t8_mode or "t8" in out:
+        # transform_size_8x8_flag (§7.3.5): coded only when luma cbp != 0.
+        # When the PPS enables the 8x8 mode every eligible coded MB must
+        # carry the bit, so paths without a device decision emit 0.
+        t8 = out.get("t8", jnp.zeros((n,), jnp.int32))
+        hv = hv.at[:, T8_SLOT].set(t8.astype(jnp.uint32))
+        hl = hl.at[:, T8_SLOT].set(jnp.where(cbp_luma != 0, 1, 0))
     if "qp_delta" in out:        # per-MB AQ: real se(mb_qp_delta) codes
         qv, ql = cj.se_codes_j(out["qp_delta"])
         hv = hv.at[:, QPD_SLOT].set(qv)
@@ -737,7 +757,8 @@ def finalize_i(out, hdr_vals, hdr_lens, mbh, mbw, cap_words):
     return pack_slots(v, l, cap_words)
 
 
-def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
+def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw,
+                     t8_mode: bool = False):
     """I-slice syntax tensors -> slot rows (mixed I16x16 / I_NxN MBs)."""
     n = mbh * mbw
     dc = out["dc"]
@@ -808,30 +829,34 @@ def _finalize_i_core(out, hdr_vals, hdr_lens, mbh, mbw):
     vcav = vcav.reshape(n, 4, S)
     lcav = jnp.where(has_cac, lcav.reshape(n, 4, S), 0)
 
-    # header slots: [mb_type, 16 x intra4x4 pred modes, cmode, cbp, qpd]
-    hv = jnp.zeros((n, 20), jnp.uint32)
-    hl = jnp.zeros((n, 20), jnp.int32)
+    # header slots: [mb_type, t8, 16 x intra4x4 pred modes, cmode, cbp,
+    # qpd] — t8 (transform_size_8x8_flag, always 0: no Intra_8x8 yet) is
+    # coded by I_NxN MBs when the PPS enables the 8x8 mode (§7.3.5)
+    hv = jnp.zeros((n, 21), jnp.uint32)
+    hl = jnp.zeros((n, 21), jnp.int32)
     tv, tl = cj.ue_codes_j(mb_type)
     hv = hv.at[:, 0].set(tv)
     hl = hl.at[:, 0].set(tl)
+    if t8_mode:
+        hl = hl.at[:, 1].set(jnp.where(use_i4, 1, 0))
     # prev_intra4x4_pred_mode_flag (+ rem): '1' (1 bit) or '0rrr' (4 bits)
     pmv = jnp.where(i4_prev, 1, i4_rem).astype(jnp.uint32)
     pml = jnp.where(use_i4[:, None], jnp.where(i4_prev, 1, 4), 0)
-    hv = hv.at[:, 1:17].set(pmv)
-    hl = hl.at[:, 1:17].set(pml.astype(jnp.int32))
+    hv = hv.at[:, 2:18].set(pmv)
+    hl = hl.at[:, 2:18].set(pml.astype(jnp.int32))
     cv, cl = cj.ue_codes_j(chroma_mode)
-    hv = hv.at[:, 17].set(cv)
-    hl = hl.at[:, 17].set(cl)
+    hv = hv.at[:, 18].set(cv)
+    hl = hl.at[:, 18].set(cl)
     # coded_block_pattern, me() intra mapping (I_NxN only)
     from ..bitstream.mb_syntax import CBP_TO_CODE
     code = jnp.asarray(CBP_TO_CODE[1])[cbp4 | (cbp_chroma << 4)]
     bv, bl = cj.ue_codes_j(code)
-    hv = hv.at[:, 18].set(bv)
-    hl = hl.at[:, 18].set(jnp.where(use_i4, bl, 0))
+    hv = hv.at[:, 19].set(bv)
+    hl = hl.at[:, 19].set(jnp.where(use_i4, bl, 0))
     # mb_qp_delta se(0): always for I16, only when cbp != 0 for I_NxN
     qpd_on = ~use_i4 | (cbp4 != 0) | (cbp_chroma != 0)
-    hv = hv.at[:, 19].set(1)
-    hl = hl.at[:, 19].set(jnp.where(qpd_on, 1, 0))
+    hv = hv.at[:, 20].set(1)
+    hl = hl.at[:, 20].set(jnp.where(qpd_on, 1, 0))
 
     mb_vals = jnp.concatenate([
         hv, vdc, vac.reshape(n, -1), vl4.reshape(n, -1), vcdu, vcdv,

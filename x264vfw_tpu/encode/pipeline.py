@@ -416,7 +416,7 @@ class BatchPipeline:
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, enc.pps.chroma_qp_index_offset,
-                cfg.trellis, enc.partitions, offs_d,
+                cfg.trellis, enc.partitions, enc.dct8x8, offs_d,
                 want_mv=want_bextras, want_recons=want_bextras)
 
         bucket = min(getattr(enc, "_bucket_words", 1 << 13), cap_words)
@@ -468,7 +468,8 @@ class BatchPipeline:
         vs, ls = F.encode_bgop_slots(
             rows, r0y, r0u, r0v, r1y, r1u, r1v, mvc, qps, qpcs,
             jnp.asarray(hvs), jnp.asarray(hls),
-            cfg.search_range, cfg.subpel, cfg.me_backend)
+            cfg.search_range, cfg.subpel, cfg.me_backend,
+            dct8x8=enc.dct8x8)
         bucket = min(getattr(enc, "_bucket_words", 1 << 13), cap_words)
         datas, nbits = F.pack_batch(vs, ls, bucket)
         group = _BGroup(self, vs, ls, datas, nbits, hdr_bits,
@@ -490,7 +491,8 @@ class BatchPipeline:
             p, hb, qp = args
             body = cabac_transcode.transcode_slice(
                 p, int(hb), slice_type, enc.mbh, enc.mbw, int(qp),
-                nref=nref)
+                nref=nref,
+                t8_mode=bool(enc.pps.transform_8x8_mode_flag))
             if body is None:
                 raise RuntimeError(
                     f"CABAC transcode rejected an own {slice_type} slice")

@@ -54,6 +54,9 @@ class EncoderConfig:
     weightp: int = 0         # explicit weighted prediction for P (0 = off)
     chroma_qp_offset: int = 0  # PPS chroma_qp_index_offset (x264 flag)
     i4x4: bool = False
+    # High-profile 8x8 transform for P luma residuals (x264 --8x8dct,
+    # codec.c:904); per-MB 4x4-vs-8x8 decision in the device pipeline
+    dct8x8: bool = False
     # P-frame inter partitions 16x8/8x16/8x8 (x264 --partitions surface,
     # codec.c:887).  Effective on the device encoder when nref == 1 and
     # entropy is CAVLC (CABAC partition binarization lands separately).

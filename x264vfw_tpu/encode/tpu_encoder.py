@@ -42,10 +42,18 @@ class TpuEncoder:
         assert cfg.width % 2 == 0 and cfg.height % 2 == 0
         self.mbw = (cfg.width + 15) // 16
         self.mbh = (cfg.height + 15) // 16
+        # 8x8 transform (High profile, x264 --8x8dct codec.c:904): the
+        # per-MB 4x4-vs-8x8 decision runs on every P core; B cores stay
+        # 4x4 and I stays I16/I4x4 — all legal per-MB choices under one
+        # High PPS (every eligible MB still codes its flag bit)
+        self._want_dct8 = bool(getattr(cfg, "dct8x8", False))
+        from ..bitstream.params import PROFILE_HIGH
         self.sps = SPS(
-            profile_idc=PROFILE_MAIN if (cfg.cabac or cfg.bframes)
-            else PROFILE_BASELINE,
-            constraint_set0=0 if (cfg.cabac or cfg.bframes) else 1,
+            profile_idc=PROFILE_HIGH if self._want_dct8
+            else (PROFILE_MAIN if (cfg.cabac or cfg.bframes)
+                  else PROFILE_BASELINE),
+            constraint_set0=0 if (cfg.cabac or cfg.bframes
+                                  or self._want_dct8) else 1,
             constraint_set1=1,
             level_idc=_level_for(cfg.width, cfg.height, cfg.fps_num, cfg.fps_den),
             log2_max_frame_num_minus4=4,
@@ -68,13 +76,15 @@ class TpuEncoder:
         # inter partitions are searched at 8x8 granularity with a
         # single reference; multi-ref keeps P16x16 per MB
         self.partitions = bool(cfg.partitions) and self.nref == 1
+        self.dct8x8 = self._want_dct8
         self.pps = PPS(entropy_coding_mode_flag=1 if cfg.cabac else 0,
                        pic_init_qp_minus26=cfg.qp - 26,
                        weighted_pred_flag=1 if cfg.weightp > 0 else 0,
                        num_ref_idx_l0_default_active_minus1=self.nref - 1,
                        chroma_qp_index_offset=min(max(cfg.chroma_qp_offset,
                                                       -12), 12),
-                       deblocking_filter_control_present_flag=1)
+                       deblocking_filter_control_present_flag=1,
+                       transform_8x8_mode_flag=1 if self._want_dct8 else 0)
         self.dpb: list = []             # device (y,u,v), newest first
         self._wp: tuple | None = None   # current P frame's (w, o) or None
         self._wp_prev = None            # pooled previous input luma
@@ -235,7 +245,7 @@ class TpuEncoder:
                 cfg.search_range, cfg.subpel, bucket, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, self.pps.chroma_qp_index_offset,
-                cfg.trellis, self.partitions)
+                cfg.trellis, self.partitions, self.dct8x8)
             nb = np.asarray(nbits)
             need_words = (int(nb.max()) + 31) // 32 + 2
             if need_words <= bucket or bucket >= cap_words:
@@ -308,7 +318,7 @@ class TpuEncoder:
                 self._i_full = device_finalize.encode_i_slots_fn(
                     H, W, cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                     qpc_offset=self.pps.chroma_qp_index_offset,
-                    i4x4=cfg.i4x4)
+                    i4x4=cfg.i4x4, dct8x8=self.dct8x8)
             sv_, sl_, nbits, ry, ru, rv = self._i_full(
                 src_d, self.qp, self.qpc,
                 jnp.asarray(hv.astype(np.uint32)),
@@ -324,7 +334,8 @@ class TpuEncoder:
                 cfg.search_range, cfg.subpel, cfg.me_backend,
                 cfg.deblock, cfg.deblock_alpha, cfg.deblock_beta,
                 cfg.aq_strength, self.pps.chroma_qp_index_offset,
-                cfg.trellis, partitions=self.partitions)
+                cfg.trellis, partitions=self.partitions,
+                dct8x8=self.dct8x8)
             self.last_mv = mv
         self.ref = (ry, ru, rv)
         self.frame_idx += 1
@@ -418,7 +429,8 @@ class TpuEncoder:
                                   wp=None if self._wp is None else
                                   (jnp.asarray(self._wp[0], jnp.int32),
                                    jnp.asarray(self._wp[1], jnp.int32)),
-                                  partitions=self.partitions)
+                                  partitions=self.partitions,
+                                  dct8x8=self.dct8x8)
             self.last_mv = outj["mv"]
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
@@ -656,7 +668,7 @@ class TpuEncoder:
             jnp.asarray(hv.astype(np.uint32)),
             jnp.asarray(hl.astype(np.int32)),
             cfg.search_range, cfg.subpel, cfg.me_backend,
-            want_recon=self.measure)
+            want_recon=self.measure, dct8x8=self.dct8x8)
         sv_, sl_, nbits = res[:3]
         self._last_b_recon = res[3:6] if self.measure else None
         nb = int(nbits)
@@ -802,7 +814,7 @@ class TpuEncoder:
                         H, W, cfg.deblock, cfg.deblock_alpha,
                         cfg.deblock_beta,
                         qpc_offset=self.pps.chroma_qp_index_offset,
-                        i4x4=cfg.i4x4)
+                        i4x4=cfg.i4x4, dct8x8=self.dct8x8)
                 sv_, sl_, nbits, ry, ru, rv = self._i_full(
                     src_d, self.qp, self.qpc,
                     jnp.asarray(hv.astype(np.uint32)),
@@ -835,7 +847,8 @@ class TpuEncoder:
                     cfg.trellis,
                     None if qp_off is None
                     else jnp.asarray(qp_off, jnp.int32),
-                    wp_dev, partitions=self.partitions)
+                    wp_dev, partitions=self.partitions,
+                    dct8x8=self.dct8x8)
                 self.last_mv = mv
             # phase 2: pack with a right-sized capacity bucket (pow2) so the
             # word-fill work scales with the actual bitstream, not worst case
@@ -874,7 +887,8 @@ class TpuEncoder:
         hdr_bits = int(np.asarray(hl).sum())
         body = cabac_transcode.transcode_slice(
             np.asarray(payload), hdr_bits, slice_type, self.mbh, self.mbw,
-            self.qp, nref=getattr(self, "_cur_nref", 1))
+            self.qp, nref=getattr(self, "_cur_nref", 1),
+            t8_mode=bool(self.pps.transform_8x8_mode_flag))
         if body is None:
             raise RuntimeError(
                 "CABAC transcode rejected an own-encoder CAVLC slice "

@@ -62,7 +62,7 @@ def _qp_avg_params(qp_p, qp_q, offA, offB, alpha_t, beta_t):
 
 
 def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
-               chroma_qp_offset: int):
+               chroma_qp_offset: int, t8_4=None):
     """Edge-parameter maps for one frame.
 
     intra_mb (mbh, mbw) bool; tc4 (4mbh, 4mbw) int32 total_coeff per 4x4;
@@ -102,6 +102,11 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
     bsv = bs_between(p_int, q_int, tc_p, tc_q, mv_p, mv_q_,
                      ref_p, ref_q, mb_edge_v)           # (4mbh, 4mbw)
     bsv = bsv.at[:, 0].set(0)                           # frame left edge
+    if t8_4 is not None:
+        # 8x8-transformed MBs: luma internal edges 4 and 12 are not
+        # filtered (§8.7); both sides of such an edge are the same MB
+        int_v = ((bx % 4 == 1) | (bx % 4 == 3))[None, :]
+        bsv = jnp.where(int_v & t8_4, 0, bsv)
 
     qp_q_mb = qp_map                                     # (mbh, mbw)
     qp_p_mb = jnp.concatenate([qp_map[:, :1], qp_map[:, :-1]], axis=1)
@@ -132,6 +137,10 @@ def build_maps(intra_mb, tc4, mv4, ref4, qp_map, offA: int, offB: int,
     bsh = bs_between(p_int_h, intra4, tc_p_h, tc4, mv_p_h, mv4,
                      ref_p_h, ref4, mb_edge_h)
     bsh = bsh.at[0, :].set(0)                            # frame top edge
+    if t8_4 is not None:
+        by_ = jnp.arange(4 * intra_mb.shape[0])
+        int_h = ((by_ % 4 == 1) | (by_ % 4 == 3))[:, None]
+        bsh = jnp.where(int_h & t8_4, 0, bsh)
     qp_p_mb_h = jnp.concatenate([qp_map[:1, :], qp_map[:-1, :]], axis=0)
     qq_h = jnp.repeat(qp_map, 4, 0)                      # (4mbh, mbw)
     qp_prev_h = jnp.repeat(qp_p_mb_h, 4, 0)

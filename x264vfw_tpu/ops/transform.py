@@ -197,3 +197,113 @@ def zigzag_unscan(scanned: jnp.ndarray) -> jnp.ndarray:
     inv = jnp.asarray(np.argsort(tnp.ZIGZAG_4x4), dtype=jnp.int32)
     out = jnp.take(scanned, inv, axis=-1)
     return out.reshape(*scanned.shape[:-1], 4, 4)
+
+
+# --- 8x8 transform family (High profile) -------------------------------
+# int32 ranges: |W8| <= ~2e4 for 8-bit residuals, |W8|*MF8 <= 4.3e8 < 2^31.
+
+DEQUANT8_TABLE = tnp.DEQUANT8_TABLE.astype(np.int32)   # (6,8,8), x16 scale
+QUANT8_TABLE = tnp.QUANT8_TABLE.astype(np.int32)       # (6,8,8)
+
+
+def _fdct8_1d(x, axis_last: bool):
+    ix = (lambda k: x[..., :, k]) if axis_last else (lambda k: x[..., k, :])
+    p = [ix(k) for k in range(8)]
+    s07, s16, s25, s34 = p[0] + p[7], p[1] + p[6], p[2] + p[5], p[3] + p[4]
+    a0, a1, a2, a3 = s07 + s34, s16 + s25, s07 - s34, s16 - s25
+    d07, d16, d25, d34 = p[0] - p[7], p[1] - p[6], p[2] - p[5], p[3] - p[4]
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    outs = [a0 + a1, a4 + (a7 >> 2), a2 + (a3 >> 1), a5 + (a6 >> 2),
+            a0 - a1, a6 - (a5 >> 2), (a2 >> 1) - a3, (a4 >> 2) - a7]
+    return jnp.stack(outs, axis=-1 if axis_last else -2)
+
+
+def fdct8x8(x: jnp.ndarray) -> jnp.ndarray:
+    """Forward 8x8 integer transform; x: (..., 8, 8) int32 residual."""
+    return _fdct8_1d(_fdct8_1d(x.astype(jnp.int32), True), False)
+
+
+def quant8x8(w: jnp.ndarray, qp, intra: bool) -> jnp.ndarray:
+    """Mirror of transform_np.quant8x8 (derived MF8, dead-zone, 16-bit
+    dequant-range clamp)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    qbits = 16 + qp // 6
+    mf = jnp.take(jnp.asarray(QUANT8_TABLE), qp % 6, axis=0)
+    f = (jnp.int32(1) << qbits) // (3 if intra else 6)
+    if qp.ndim:
+        mf = mf.reshape(qp.shape + (8, 8))
+        f = f[..., None, None]
+        qbits = qbits[..., None, None]
+    # |w|*mf <= 4.3e8: keep the product in int64 via two int32 halves is
+    # unnecessary — it fits int32? 4.3e8 < 2^31 yes, but w*mf intermediate
+    # uses int64 on TPU only if asked; stay in int64-free range by int32
+    aw = jnp.abs(w)
+    level = ((aw * mf) + f) >> qbits
+    ls = jnp.take(jnp.asarray(DEQUANT8_TABLE), qp % 6, axis=0)
+    dv = qp // 6
+    if qp.ndim:
+        ls = ls.reshape(qp.shape + (8, 8))
+        dv = dv[..., None, None]
+    gain = jnp.where(dv >= 6, ls << jnp.maximum(dv - 6, 0),
+                     jnp.maximum(ls >> jnp.maximum(6 - dv, 0), 1))
+    level = jnp.minimum(level, 32767 // jnp.maximum(gain, 1))
+    return jnp.sign(w) * level
+
+
+def dequant8x8(coef: jnp.ndarray, qp) -> jnp.ndarray:
+    """§8.5.13.1 with flat scaling lists (matches transform_np.dequant8x8)."""
+    qp = jnp.asarray(qp, jnp.int32)
+    ls = jnp.take(jnp.asarray(DEQUANT8_TABLE), qp % 6, axis=0)
+    dv = qp // 6
+    if qp.ndim:
+        ls = ls.reshape(qp.shape + (8, 8))
+        dv = dv[..., None, None]
+    c = coef.astype(jnp.int32)
+    hi = (c * ls) << jnp.maximum(dv - 6, 0)
+    lo = (c * ls + (jnp.int32(1) << jnp.maximum(5 - dv, 0))) >> \
+        jnp.maximum(6 - dv, 0)
+    return jnp.where(dv >= 6, hi, lo)
+
+
+def _idct8_1d(p, axis_last: bool):
+    ix = (lambda k: p[..., :, k]) if axis_last else (lambda k: p[..., k, :])
+    c = [ix(k) for k in range(8)]
+    a0 = c[0] + c[4]
+    a2 = c[0] - c[4]
+    a4 = (c[2] >> 1) - c[6]
+    a6 = (c[6] >> 1) + c[2]
+    b0, b2, b4, b6 = a0 + a6, a2 + a4, a2 - a4, a0 - a6
+    a1 = -c[3] + c[5] - c[7] - (c[7] >> 1)
+    a3 = c[1] + c[7] - c[3] - (c[3] >> 1)
+    a5 = -c[1] + c[7] + c[5] + (c[5] >> 1)
+    a7 = c[3] + c[5] + c[1] + (c[1] >> 1)
+    b1 = (a7 >> 2) + a1
+    b3 = a3 + (a5 >> 2)
+    b5 = (a3 >> 2) - a5
+    b7 = a7 - (a1 >> 2)
+    outs = [b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+            b6 - b1, b4 - b3, b2 - b5, b0 - b7]
+    return jnp.stack(outs, axis=-1 if axis_last else -2)
+
+
+def idct8x8_core(d: jnp.ndarray) -> jnp.ndarray:
+    """Inverse 8x8 transform (§8.5.12.3): rows, then columns, (x+32)>>6."""
+    r = _idct8_1d(_idct8_1d(d.astype(jnp.int32), True), False)
+    return (r + 32) >> 6
+
+
+ZIGZAG_8x8 = tnp.ZIGZAG_8x8.astype(np.int32)
+
+
+def zigzag8x8_scan(blocks: jnp.ndarray) -> jnp.ndarray:
+    flat = blocks.reshape(*blocks.shape[:-2], 64)
+    return jnp.take(flat, jnp.asarray(ZIGZAG_8x8), axis=-1)
+
+
+def zigzag8x8_unscan(scanned: jnp.ndarray) -> jnp.ndarray:
+    inv = jnp.asarray(np.argsort(tnp.ZIGZAG_8x8), dtype=jnp.int32)
+    out = jnp.take(scanned, inv, axis=-1)
+    return out.reshape(*scanned.shape[:-1], 8, 8)

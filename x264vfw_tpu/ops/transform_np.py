@@ -362,3 +362,120 @@ def zigzag8x8_scan(blocks: np.ndarray) -> np.ndarray:
     """(..., 8, 8) raster -> (..., 64) scan order."""
     flat = blocks.reshape(blocks.shape[:-2] + (64,))
     return flat[..., ZIGZAG_8x8]
+
+
+# --- 8x8 forward transform + quant (High profile encode side) ---
+
+def _fdct8_1d(x: np.ndarray, axis_last: bool) -> np.ndarray:
+    """One 8-point forward stage of the H.264 8x8 integer transform (the
+    published JM/x264 butterfly; conformance depends only on the INVERSE
+    §8.5.12.3 — this forward is the matched encoder-side choice)."""
+    ix = (lambda k: x[..., :, k]) if axis_last else (lambda k: x[..., k, :])
+    p = [ix(k) for k in range(8)]
+    s07, s16, s25, s34 = p[0] + p[7], p[1] + p[6], p[2] + p[5], p[3] + p[4]
+    a0, a1, a2, a3 = s07 + s34, s16 + s25, s07 - s34, s16 - s25
+    d07, d16, d25, d34 = p[0] - p[7], p[1] - p[6], p[2] - p[5], p[3] - p[4]
+    a4 = d16 + d25 + (d07 + (d07 >> 1))
+    a5 = d07 - d34 - (d25 + (d25 >> 1))
+    a6 = d07 + d34 - (d16 + (d16 >> 1))
+    a7 = d16 - d25 + (d34 + (d34 >> 1))
+    outs = [a0 + a1, a4 + (a7 >> 2), a2 + (a3 >> 1), a5 + (a6 >> 2),
+            a0 - a1, a6 - (a5 >> 2), (a2 >> 1) - a3, (a4 >> 2) - a7]
+    return np.stack(outs, axis=-1 if axis_last else -2)
+
+
+def fdct8x8(x: np.ndarray) -> np.ndarray:
+    """Forward 8x8 integer transform. x: (..., 8, 8) int residual."""
+    w = _fdct8_1d(x.astype(np.int64), True)
+    return _fdct8_1d(w, False).astype(np.int32)
+
+
+def _derive_quant8_mf() -> np.ndarray:
+    """MF8[qp%6][class] = round(2^24 / (n_c * V8[m][c])) where n_c is the
+    per-class diagonal of (forward o linear-inverse) — computed here
+    numerically, so the quantizer is derived, not transcribed.  With the
+    DEQUANT8_TABLE's x16 weightScale and the idct's >>6, the composite
+    gain is exactly 1 (verified by test_transform.test_quant8_roundtrip)."""
+    lin = np.zeros((64, 64))
+    idx = np.arange(8)
+    for p in range(64):
+        e = np.zeros((8, 8))
+        e.flat[p] = 1.0
+        # float version of the inverse stages (halves are exact dyadics)
+        def one(q, axis_last):
+            ixf = (lambda k: q[..., :, k]) if axis_last else \
+                (lambda k: q[..., k, :])
+            c = [ixf(k) for k in range(8)]
+            a0 = c[0] + c[4]
+            a2 = c[0] - c[4]
+            a4 = c[2] / 2 - c[6]
+            a6 = c[6] / 2 + c[2]
+            b0, b2, b4, b6 = a0 + a6, a2 + a4, a2 - a4, a0 - a6
+            a1 = -c[3] + c[5] - c[7] - c[7] / 2
+            a3 = c[1] + c[7] - c[3] - c[3] / 2
+            a5 = -c[1] + c[7] + c[5] + c[5] / 2
+            a7 = c[3] + c[5] + c[1] + c[1] / 2
+            b1 = a7 / 4 + a1
+            b3 = a3 + a5 / 4
+            b5 = a3 / 4 - a5
+            b7 = a7 - a1 / 4
+            return np.stack([b0 + b7, b2 + b5, b4 + b3, b6 + b1,
+                             b6 - b1, b4 - b3, b2 - b5, b0 - b7],
+                            axis=-1 if axis_last else -2)
+
+        def fone(q, axis_last):
+            ixf = (lambda k: q[..., :, k]) if axis_last else \
+                (lambda k: q[..., k, :])
+            c = [ixf(k) for k in range(8)]
+            s07, s16, s25, s34 = c[0] + c[7], c[1] + c[6], c[2] + c[5], \
+                c[3] + c[4]
+            a0, a1, a2, a3 = s07 + s34, s16 + s25, s07 - s34, s16 - s25
+            d07, d16, d25, d34 = c[0] - c[7], c[1] - c[6], c[2] - c[5], \
+                c[3] - c[4]
+            a4 = d16 + d25 + (d07 + d07 / 2)
+            a5 = d07 - d34 - (d25 + d25 / 2)
+            a6 = d07 + d34 - (d16 + d16 / 2)
+            a7 = d16 - d25 + (d34 + d34 / 2)
+            return np.stack(
+                [a0 + a1, a4 + a7 / 4, a2 + a3 / 2, a5 + a6 / 4,
+                 a0 - a1, a6 - a5 / 4, a2 / 2 - a3, a4 / 4 - a7],
+                axis=-1 if axis_last else -2)
+
+        y = fone(fone(one(one(e, True), False), True), False)
+        lin[:, p] = y.ravel()
+    del idx
+    n_pos = np.diag(lin)                       # exactly diagonal
+    n_cls = np.array([n_pos[_D8_CLASS == c][0] for c in range(6)])
+    v8 = DEQUANT8_TABLE.reshape(6, 64)[:, [int(np.nonzero(_D8_CLASS == c)[0][0])
+                                           for c in range(6)]] / 16.0
+    return np.round((1 << 24) / (n_cls[None, :] * v8)).astype(np.int32)
+
+
+QUANT8_MF = _derive_quant8_mf()                 # (6, 6) [qp%6][class]
+QUANT8_TABLE = QUANT8_MF[:, _D8_CLASS].reshape(6, 8, 8)
+
+
+def quant8x8(w: np.ndarray, qp: np.ndarray | int, intra: bool) -> np.ndarray:
+    """Forward 8x8 quant (JM dead-zone): sign * ((|w|*MF8 + f) >> qbits8),
+    qbits8 = 16 + qp/6; levels clamped so dequantized coefficients stay
+    within the decoder's 16-bit IDCT range."""
+    qp = np.asarray(qp, dtype=np.int32)
+    qbits = 16 + (qp // 6).astype(np.int64)
+    mf = QUANT8_TABLE[qp % 6].astype(np.int64)
+    f = (np.int64(1) << qbits) // (3 if intra else 6)
+    if np.ndim(qbits):
+        f = f[..., None, None]
+        qbits = qbits[..., None, None]
+    w64 = w.astype(np.int64)
+    level = (np.abs(w64) * mf + f) >> qbits
+    ls = DEQUANT8_TABLE[qp % 6].astype(np.int64)
+    dv = (qp // 6).astype(np.int64)
+    if np.ndim(dv):
+        dv = dv[..., None, None]
+        gain = np.where(dv >= 6, ls << np.maximum(dv - 6, 0),
+                        np.maximum(ls >> np.maximum(6 - dv, 0), 1))
+    else:
+        gain = (ls << (int(dv) - 6)) if int(dv) >= 6 else \
+            np.maximum(ls >> (6 - int(dv)), 1)
+    level = np.minimum(level, 32767 // np.maximum(gain, 1))
+    return (np.sign(w64) * level).astype(np.int32)

@@ -36,7 +36,7 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
                              dbA: int = 0, dbB: int = 0, qpc_offset: int = 0,
                              aq_strength: float = 0.0, trellis: bool = False,
                              partitions: bool = False, i4x4: bool = False,
-                             qp_p=None, qpc_p=None):
+                             qp_p=None, qpc_p=None, dct8x8: bool = False):
     """One GOP -> packed slice payload bytes, fully on device.
 
     frames_yuv: (G, H*W*3//2) uint8; frame 0 is the IDR, rest are P.
@@ -60,7 +60,8 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
 
     sy0, su0, sv0 = unpack(frames_yuv[0])
     i_out = encode_i_frame_core(sy0, su0, sv0, qp, qpc, i4x4)
-    vi, li = _finalize_i_core(i_out, hdr_vals[0], hdr_lens[0], mbh, mbw)
+    vi, li = _finalize_i_core(i_out, hdr_vals[0], hdr_lens[0], mbh, mbw,
+                              t8_mode=dct8x8)
     data0, nbits0 = pack_slots(vi, li, bucket_words)
     ref0 = _maybe_deblock(i_out, qp, mbh, mbw, True, deblock, dbA, dbB,
                           qpc_offset=qpc_offset)
@@ -71,8 +72,8 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
         out = encode_p_frame_core(sy, su, sv, *ref, qp_p, qpc_p, rng, subpel,
                                   me_backend, qpc_offset=qpc_offset,
                                   aq_strength=aq_strength, trellis=trellis,
-                                  partitions=partitions)
-        v, l = _finalize_p_core(out, hv, hl, mbh, mbw)
+                                  partitions=partitions, dct8x8=dct8x8)
+        v, l = _finalize_p_core(out, hv, hl, mbh, mbw, t8_mode=dct8x8)
         data, nbits = pack_slots(v, l, bucket_words)
         new_ref = _maybe_deblock(out, qp_p, mbh, mbw, False, deblock, dbA,
                                  dbB, qpc_offset=qpc_offset)
@@ -89,16 +90,16 @@ def encode_gop_packed_device(frames_yuv, qp, qpc, H: int, W: int,
          static_argnames=("H", "W", "rng", "bucket_words", "subpel",
                           "me_backend", "deblock", "dbA", "dbB",
                           "qpc_offset", "aq_strength", "trellis",
-                          "partitions", "i4x4"))
+                          "partitions", "i4x4", "dct8x8"))
 def _sharded_gop_program(gops, qp, qpc, hdr_vals, hdr_lens, H, W, rng,
                          bucket_words, subpel, me_backend, deblock, dbA,
                          dbB, qpc_offset, aq_strength=0.0, trellis=False,
                          partitions=False, i4x4=False, qp_p=None,
-                         qpc_p=None):
+                         qpc_p=None, dct8x8=False):
     fn = jax.vmap(lambda g, hv, hl: encode_gop_packed_device(
         g, qp, qpc, H, W, hv, hl, rng, bucket_words, subpel, me_backend,
         deblock, dbA, dbB, qpc_offset, aq_strength, trellis, partitions,
-        i4x4, qp_p=qp_p, qpc_p=qpc_p))
+        i4x4, qp_p=qp_p, qpc_p=qpc_p, dct8x8=dct8x8))
     data, nbits = fn(gops, hdr_vals, hdr_lens)
     # global rate statistic: one scalar allreduce across the mesh — the
     # distributed rate controller's input (real entropy bits, not a proxy)
@@ -118,7 +119,8 @@ def encode_gops_sharded_packed(gops: np.ndarray, qp: int, qpc: int,
                                trellis: bool = False,
                                partitions: bool = False, i4x4: bool = False,
                                qp_p: int | None = None,
-                               qpc_p: int | None = None):
+                               qpc_p: int | None = None,
+                               dct8x8: bool = False):
     """Shard (n_gops, G, H*W*3//2) uint8 GOPs over the mesh 'dp' axis and
     encode each to packed slice payloads on its own device.
 
@@ -140,7 +142,7 @@ def encode_gops_sharded_packed(gops: np.ndarray, qp: int, qpc: int,
             gops_d, qp, qpc, hv_d, hl_d, H, W, rng, bucket_words, subpel,
             me_backend, deblock, dbA, dbB, qpc_offset,
             float(aq_strength), trellis, partitions, i4x4,
-            qp_p=qp_p, qpc_p=qpc_p)
+            qp_p=qp_p, qpc_p=qpc_p, dct8x8=dct8x8)
     return np.asarray(data), np.asarray(nbits), int(total)
 
 
@@ -245,7 +247,8 @@ class GopShardPipeline:
             qpc_offset=henc.pps.chroma_qp_index_offset,
             aq_strength=cfg.aq_strength, trellis=cfg.trellis,
             partitions=bool(cfg.partitions), i4x4=cfg.i4x4,
-            qp_p=qp_p, qpc_p=qpc_p)
+            qp_p=qp_p, qpc_p=qpc_p,
+            dct8x8=bool(henc.pps.transform_8x8_mode_flag))
 
         tx = None
         if cfg.cabac:
@@ -263,7 +266,9 @@ class GopShardPipeline:
                 if tx is not None:
                     hb = int(hdr_lens[g, k].sum())
                     body = tx(payload, hb, ftype, henc.mbh,
-                              henc.mbw, qp_used, nref=1)
+                              henc.mbw, qp_used, nref=1,
+                              t8_mode=bool(
+                                  henc.pps.transform_8x8_mode_flag))
                     if body is None:
                         raise RuntimeError("CABAC transcode rejected a "
                                            "sharded-GOP slice")
@@ -360,7 +365,8 @@ def encode_clip_gop_parallel(frames: list, cfg, mesh: Mesh | None = None,
         deblock=cfg.deblock, dbA=cfg.deblock_alpha, dbB=cfg.deblock_beta,
         qpc_offset=henc.pps.chroma_qp_index_offset,
         aq_strength=cfg.aq_strength, trellis=cfg.trellis,
-        partitions=bool(cfg.partitions), i4x4=cfg.i4x4)
+        partitions=bool(cfg.partitions), i4x4=cfg.i4x4,
+        dct8x8=bool(henc.pps.transform_8x8_mode_flag))
 
     tx = None
     if cfg.cabac:
@@ -379,7 +385,9 @@ def encode_clip_gop_parallel(frames: list, cfg, mesh: Mesh | None = None,
             if tx is not None:
                 hb = int(hdr_lens[g, k].sum())
                 body = tx(payload, hb, "I" if k == 0 else "P",
-                          henc.mbh, henc.mbw, henc.qp, nref=1)
+                          henc.mbh, henc.mbw, henc.qp, nref=1,
+                          t8_mode=bool(
+                              henc.pps.transform_8x8_mode_flag))
                 if body is None:
                     raise RuntimeError("CABAC transcode rejected a "
                                        "sharded-GOP slice")
