@@ -135,10 +135,11 @@ class H264Decoder:
 
     # -------------------------------------------------- batched fast path
     _BATCH_G = 8
-    # batching wins where per-dispatch latency dominates; at 1080p the
-    # gather-based MC compute dominates instead and the scan's rolling
-    # DPB carry makes batches a net loss (measured 0.46 vs 0.79 fps), so
-    # large frames stay on the per-picture dispatch
+    # batching amortizes dispatch latency for small frames; at 1080p the
+    # GOP scan still loses to per-picture dispatch even with the
+    # static-shift MC (the scan body runs ~25x slower than the same core
+    # standalone — XLA:TPU scan pathology, measured r5), so large frames
+    # stay on the per-picture path
     _BATCH_MAX_MBS = 5120
 
     def _try_decode_batch(self, nals: list, start: int) -> int:

@@ -189,6 +189,152 @@ def _mc_chroma(ref_c, mv_grid, ref_grid, mbh, mbw):
             + (8 - dx) * dy * C + dx * dy * D + 32) >> 6
 
 
+def _mc_luma_shift(luma_planes, mv_grid, ref_grid, mbh, mbw, K: int):
+    """Masked static-shift luma MC (the encoder's alignment formulation).
+
+    Per-sample gathers cost ~1 s/frame at 1080p (the round-4 decode
+    bottleneck); here every candidate offset is a static slice of 4-row
+    reference bands accumulated under per-column masks — one band pass
+    per shift instead of one gather per sample.  Requires every integer
+    mv component in [-K, K] (the caller buckets K from the parsed motion
+    field and falls back to the gather path beyond it).
+    """
+    R = luma_planes.shape[0]
+    Hp, Wp = luma_planes.shape[2], luma_planes.shape[3]
+    gh, gw = 16 * mbh, 16 * mbw
+    nb = 4 * mbh                     # 4-row bands (one 4x4 block row each)
+    mvp = mv_grid.astype(jnp.int32)
+    refb = jnp.maximum(ref_grid.astype(jnp.int32), 0)
+    mvi = mvp >> 2
+    fid = (mvp[..., 1] & 3) * 4 + (mvp[..., 0] & 3)
+    op1 = jnp.take(jnp.asarray(_QP1), fid, axis=0)       # (nb, 4mbw, 3)
+    op2 = jnp.take(jnp.asarray(_QP2), fid, axis=0)
+    Mg = K + 1                       # operand x/y offsets reach -1
+
+    def off(op):
+        p = op[..., 0]
+        ox = jnp.clip(mvi[..., 0] + op[..., 1], -Mg, K)
+        oy = jnp.clip(mvi[..., 1] + op[..., 2], -Mg, K)
+        return p, ox, oy
+
+    p1, x1, y1 = off(op1)
+    p2, x2, y2 = off(op2)
+
+    # per-pixel-column maps (4-px block granularity along x)
+    def cmap(a):
+        return jnp.repeat(a, 4, axis=1)[:, None, :]      # (nb, 1, gw)
+
+    p1c, x1c, y1c = cmap(p1), cmap(x1), cmap(y1)
+    p2c, x2c, y2c = cmap(p2), cmap(x2), cmap(y2)
+    rc = cmap(refb)
+
+    bh = 4 + 2 * Mg
+    # (R, 4, nb, bh, gw + 2Mg) reference bands, built as bh STRIDED row
+    # slices (band b row i = plane row 4b - Mg + i): a per-band stack
+    # would unroll nb dynamic slices and blow up compile time at 1080p
+    r0 = PAD - Mg
+    c0 = PAD - Mg
+    gwb = gw + 2 * Mg
+    bands = jnp.stack([
+        luma_planes[:, :, r0 + i: r0 + i + 4 * nb: 4, c0: c0 + gwb]
+        for i in range(bh)], axis=3)     # (R, 4, nb, bh, gwb)
+
+    shifts = jnp.arange(2 * Mg, dtype=jnp.int32) - Mg    # [-Mg, K]
+
+    def h_step(carry, s):
+        a1, a2 = carry
+        for r in range(R):
+            for p in range(4):
+                sl = jax.lax.dynamic_slice(
+                    bands[r, p], (0, 0, Mg + s), (nb, bh, gw))
+                a1 = a1 + jnp.where((x1c == s) & (p1c == p) & (rc == r),
+                                    sl, 0)
+                a2 = a2 + jnp.where((x2c == s) & (p2c == p) & (rc == r),
+                                    sl, 0)
+        return (a1, a2), None
+
+    z = jnp.zeros((nb, bh, gw), jnp.int16)
+    (A1, A2), _ = jax.lax.scan(h_step, (z, z), shifts)
+
+    def v_step(carry, s):
+        b1, b2 = carry
+        s1 = jax.lax.dynamic_slice(A1, (0, Mg + s, 0), (nb, 4, gw))
+        s2 = jax.lax.dynamic_slice(A2, (0, Mg + s, 0), (nb, 4, gw))
+        return (b1 + jnp.where(y1c == s, s1, 0),
+                b2 + jnp.where(y2c == s, s2, 0)), None
+
+    z4 = jnp.zeros((nb, 4, gw), jnp.int16)
+    (B1, B2), _ = jax.lax.scan(v_step, (z4, z4), shifts)
+    pred = (B1.astype(jnp.int32) + B2.astype(jnp.int32) + 1) >> 1
+    return pred.reshape(gh, gw)
+
+
+def _mc_chroma_shift(ref_c, mv_grid, ref_grid, mbh, mbw, K: int):
+    """Masked static-shift chroma MC (eighth-pel bilinear, §8.4.2.2.2) —
+    the decode twin of the encoder's banded chroma alignment."""
+    R, Hcp, Wcp = ref_c.shape
+    ch, cw = 8 * mbh, 8 * mbw
+    nb = 4 * mbh                     # 2-row chroma bands per 4x4 block row
+    mvp = mv_grid.astype(jnp.int32)
+    refb = jnp.maximum(ref_grid.astype(jnp.int32), 0)
+    ci = mvp >> 3
+    f = mvp & 7
+    clo = -(K // 2) - 2
+    chi = K // 2 + 1
+    nc = chi - clo + 1
+
+    def cmap(a):
+        return jnp.repeat(a, 2, axis=1)[:, None, :]      # (nb, 1, cw)
+
+    cxc = cmap(jnp.clip(ci[..., 0], clo, chi))
+    cyc = cmap(jnp.clip(ci[..., 1], clo, chi))
+    fxc = cmap(f[..., 0])
+    fyc = cmap(f[..., 1])
+    rc = cmap(refb)
+
+    bhc = 2 + nc + 1
+    rc0 = PADC + clo
+    cc0 = PADC + clo
+    cwb = cw + nc + 1
+    bands = jnp.stack([
+        ref_c[:, rc0 + i: rc0 + i + 2 * nb: 2, cc0: cc0 + cwb]
+        for i in range(bhc)], axis=2)    # (R, nb, bhc, cwb)
+
+    cshifts = jnp.arange(nc, dtype=jnp.int32) + clo
+
+    def ch_step(carry, s):
+        A, B = carry
+        for r in range(R):
+            sl0 = jax.lax.dynamic_slice(bands[r], (0, 0, s - clo),
+                                        (nb, bhc, cw))
+            sl1 = jax.lax.dynamic_slice(bands[r], (0, 0, s - clo + 1),
+                                        (nb, bhc, cw))
+            m = (cxc == s) & (rc == r)
+            A = A + jnp.where(m, sl0, 0)
+            B = B + jnp.where(m, sl1, 0)
+        return (A, B), None
+
+    zc = jnp.zeros((nb, bhc, cw), jnp.int16)
+    (A, B), _ = jax.lax.scan(ch_step, (zc, zc), cshifts)
+
+    def cv_step(acc, s):
+        a0 = jax.lax.dynamic_slice(A, (0, s - clo, 0), (nb, 2, cw)) \
+            .astype(jnp.int32)
+        b0 = jax.lax.dynamic_slice(B, (0, s - clo, 0), (nb, 2, cw)) \
+            .astype(jnp.int32)
+        a1 = jax.lax.dynamic_slice(A, (0, s - clo + 1, 0), (nb, 2, cw)) \
+            .astype(jnp.int32)
+        b1 = jax.lax.dynamic_slice(B, (0, s - clo + 1, 0), (nb, 2, cw)) \
+            .astype(jnp.int32)
+        bil = ((8 - fxc) * (8 - fyc) * a0 + fxc * (8 - fyc) * b0
+               + (8 - fxc) * fyc * a1 + fxc * fyc * b1 + 32) >> 6
+        return acc + jnp.where(cyc == s, bil, 0), None
+
+    zp = jnp.zeros((nb, 2, cw), jnp.int32)
+    pred, _ = jax.lax.scan(cv_step, zp, cshifts)
+    return pred.reshape(ch, cw)
+
+
 # ------------------------------------------------------------------- intra
 def _i16_pred(top, left, tl, mode, availT, availL):
     """(16,16) Intra_16x16 prediction; top/left (16,), tl scalar int32."""
@@ -293,12 +439,12 @@ def _i4_chain(L, res_mb, modes16, availT, availL, availTR):
 
 # -------------------------------------------------------------- frame core
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cqpo", "offA", "offB",
-                                   "deblock", "ib"))
+                                   "deblock", "ib", "mck"))
 def decode_frame_core(mb_kind, qp_map, i16mode, cmode, i4modes,
                       dc16, ac15, lvl16, cdc, cac, mv4, ref4,
                       intra_idx, luma_planes, refs_u, refs_v,
                       mbh: int, mbw: int, cqpo: int, offA: int, offB: int,
-                      deblock: bool, ib: int):
+                      deblock: bool, ib: int, mck: int = 0):
     """One frame's reconstruction from parsed syntax.  Returns (y, u, v)
     int32 planes at padded (16mbh, 16mbw) dims.
 
@@ -321,9 +467,17 @@ def decode_frame_core(mb_kind, qp_map, i16mode, cmode, i4modes,
         .reshape(4 * mbh, 4 * mbw, 2)
     ref_grid = ref4.reshape(mbh, mbw, 4, 4).transpose(0, 2, 1, 3) \
         .reshape(4 * mbh, 4 * mbw)
-    pred_y = _mc_luma(luma_planes, mv_grid, ref_grid, mbh, mbw)
-    pred_u = _mc_chroma(refs_u, mv_grid, ref_grid, mbh, mbw)
-    pred_v = _mc_chroma(refs_v, mv_grid, ref_grid, mbh, mbw)
+    if mck:
+        # masked static-shift MC (mck = the motion bucket the caller
+        # proved from the parsed mv field); gathers only as fallback
+        pred_y = _mc_luma_shift(luma_planes, mv_grid, ref_grid, mbh, mbw,
+                                mck)
+        pred_u = _mc_chroma_shift(refs_u, mv_grid, ref_grid, mbh, mbw, mck)
+        pred_v = _mc_chroma_shift(refs_v, mv_grid, ref_grid, mbh, mbw, mck)
+    else:
+        pred_y = _mc_luma(luma_planes, mv_grid, ref_grid, mbh, mbw)
+        pred_u = _mc_chroma(refs_u, mv_grid, ref_grid, mbh, mbw)
+        pred_v = _mc_chroma(refs_v, mv_grid, ref_grid, mbh, mbw)
     y = jnp.clip(pred_y + res_y, 0, 255)
     u = jnp.clip(pred_u + res_u, 0, 255)
     v = jnp.clip(pred_v + res_v, 0, 255)
@@ -420,6 +574,36 @@ def _bucket(count, n):
     return n
 
 
+
+
+def _narrow(a):
+    """int8 view of a syntax tensor when its range allows: the syntax
+    upload is the decode path's host->device traffic (13 MB/frame at
+    1080p as int16 — the bottleneck on low-bandwidth links); levels fit
+    int8 at normal QPs.  Dtype participates in the trace signature, so
+    the device programs specialize automatically."""
+    a = np.asarray(a)
+    if a.dtype == np.int16 and a.size and abs(int(a.max(initial=0))) < 128 \
+            and abs(int(a.min(initial=0))) < 128:
+        return a.astype(np.int8)
+    return a
+
+def _mc_bucket(mv4s, nref: int) -> int:
+    """Static K for the masked-shift MC (0 = gather fallback): smallest
+    bucket covering every integer mv component; multi-ref beyond 2 stays
+    on the gather path (the shift passes scale with R)."""
+    if nref > 2:
+        return 0
+    m = 0
+    for a in mv4s:
+        if a.size:
+            m = max(m, int(np.abs(a).max()) >> 2)
+    for K in (8, 16):
+        if m <= K:
+            return K
+    return 0
+
+
 def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
     """Device fast path for one slice.  Returns a Frame or None (caller
     falls back to the host decoder).  `top` is the H264Decoder; the DPB
@@ -462,17 +646,20 @@ def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
     idx = np.full(max(ib, 1), -1, np.int32)
     idx[:intra_list.size] = intra_list
 
+    mck = _mc_bucket([syn["mv4"]], p["nref"]) if refs else 0
     y, u, v = decode_frame_core(
         jnp.asarray(kinds), jnp.asarray(syn["qp_map"]),
         jnp.asarray(syn["i16mode"]), jnp.asarray(syn["cmode"]),
         jnp.asarray(syn["i4modes"]),
-        jnp.asarray(syn["dc16"]), jnp.asarray(syn["ac15"]),
-        jnp.asarray(syn["lvl16"]), jnp.asarray(syn["cdc"].reshape(n, 2, 2, 2)),
-        jnp.asarray(syn["cac"]), jnp.asarray(syn["mv4"]),
+        jnp.asarray(_narrow(syn["dc16"])), jnp.asarray(_narrow(syn["ac15"])),
+        jnp.asarray(_narrow(syn["lvl16"])),
+        jnp.asarray(_narrow(syn["cdc"]).reshape(n, 2, 2, 2)),
+        jnp.asarray(_narrow(syn["cac"])), jnp.asarray(syn["mv4"]),
         jnp.asarray(syn["ref4"]), jnp.asarray(idx[:max(ib, 1)]),
         luma_planes, refs_u, refs_v,
         mbh=mbh, mbw=mbw, cqpo=pps.chroma_qp_index_offset,
-        offA=p["offA"], offB=p["offB"], deblock=p["deblock"], ib=ib)
+        offA=p["offA"], offB=p["offB"], deblock=p["deblock"], ib=ib,
+        mck=mck)
 
     fr = _syntax_frame(syn, mbh, mbw, h, nal_type, refs)
     fr.y = np.asarray(y)
@@ -485,22 +672,23 @@ def try_decode_slice(top, rbsp, bitpos, sps, pps, h, nal_type):
 def _frame_core_from_planes(mb_kind, qp_map, i16mode, cmode, i4modes,
                             dc16, ac15, lvl16, cdc, cac, mv4, ref4,
                             intra_idx, luma_planes, refs_u, refs_v,
-                            mbh, mbw, cqpo, offA, offB, deblock, ib):
+                            mbh, mbw, cqpo, offA, offB, deblock, ib,
+                            mck=0):
     """Un-jitted body of decode_frame_core (shared by the GOP scan)."""
     return decode_frame_core.__wrapped__(
         mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15, lvl16,
         cdc, cac, mv4, ref4, intra_idx, luma_planes, refs_u, refs_v,
         mbh=mbh, mbw=mbw, cqpo=cqpo, offA=offA, offB=offB,
-        deblock=deblock, ib=ib)
+        deblock=deblock, ib=ib, mck=mck)
 
 
 @partial(jax.jit, static_argnames=("mbh", "mbw", "cqpo", "offA", "offB",
-                                   "deblock", "ib", "nref"))
+                                   "deblock", "ib", "nref", "mck"))
 def decode_gop_core(mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15,
                     lvl16, cdc, cac, mv4, ref4, intra_idx, is_idr,
                     dpb_luma, dpb_u, dpb_v,
                     mbh: int, mbw: int, cqpo: int, offA: int, offB: int,
-                    deblock: bool, ib: int, nref: int):
+                    deblock: bool, ib: int, nref: int, mck: int = 0):
     """Decode G consecutive frames in ONE dispatch (the decode analogue of
     the encoder's GOP scan): a lax.scan carries a rolling DPB of PREPARED
     MC planes; each step reconstructs one frame, preps its planes on
@@ -515,7 +703,7 @@ def decode_gop_core(mb_kind, qp_map, i16mode, cmode, i4modes, dc16, ac15,
         (kind, qp, i16m, cm, i4m, d16, a15, l16, cd, ca, mv, rf, ii) = xs
         y, u, v = _frame_core_from_planes(
             kind, qp, i16m, cm, i4m, d16, a15, l16, cd, ca, mv, rf, ii,
-            dl, du, dv, mbh, mbw, cqpo, offA, offB, deblock, ib)
+            dl, du, dv, mbh, mbw, cqpo, offA, offB, deblock, ib, mck=mck)
         nl, nu, nv = prep_ref_planes.__wrapped__(y, u, v)
         dl = jnp.concatenate([nl[None], dl[:-1]])
         du = jnp.concatenate([nu[None], du[:-1]])
@@ -609,8 +797,10 @@ def decode_gop_device(top, parsed: list, sps, pps):
     dpb0 = list(top.dpb[:nref])
 
     def stack(key, dtype):
-        return jnp.asarray(np.stack([np.asarray(p["syn"][key], dtype)
-                                     for p in parsed]))
+        arr = np.stack([np.asarray(p["syn"][key], dtype) for p in parsed])
+        if dtype == np.int16 and key != "mv4":
+            arr = _narrow(arr)
+        return jnp.asarray(arr)
 
     kinds = np.stack([p["syn"]["mb_kind"] for p in parsed])
     counts = [int((p["syn"]["mb_kind"] >= 5).sum()) for p in parsed]
@@ -643,19 +833,20 @@ def decode_gop_device(top, parsed: list, sps, pps):
         dv = du
 
     p0 = parsed[0]
+    mck = _mc_bucket([p["syn"]["mv4"] for p in parsed], nref)
     ys, us, vs = decode_gop_core(
         jnp.asarray(kinds), stack("qp_map", np.int32),
         stack("i16mode", np.int32), stack("cmode", np.int32),
         stack("i4modes", np.int8), stack("dc16", np.int16),
         stack("ac15", np.int16), stack("lvl16", np.int16),
-        jnp.asarray(np.stack([p["syn"]["cdc"].reshape(n, 2, 2, 2)
-                              for p in parsed])),
+        jnp.asarray(_narrow(np.stack([p["syn"]["cdc"].reshape(n, 2, 2, 2)
+                                      for p in parsed]))),
         stack("cac", np.int16), stack("mv4", np.int16),
         stack("ref4", np.int8), jnp.asarray(idx[:, :max(ib, 1)]),
         jnp.asarray(is_idr), dl, du, dv,
         mbh=mbh, mbw=mbw, cqpo=pps.chroma_qp_index_offset,
         offA=p0["offA"], offB=p0["offB"], deblock=p0["deblock"],
-        ib=ib, nref=nref)
+        ib=ib, nref=nref, mck=mck)
     ys = np.asarray(ys)
     us = np.asarray(us)
     vs = np.asarray(vs)
