@@ -121,8 +121,9 @@ def main():
             output=os.path.join(td, "c2.mkv"))
     configs.append({"name": "720p_cabac_b_deblock_mkv",
                     "fps": round(fps, 2), "kbps": round(kbps),
-                    "config": "default params: CABAC + B-frames + ref 3 + "
-                              "deblock + mbtree, CRF 23, MKV"})
+                    "config": "default params: CABAC + B-frames + 8x8dct "
+                              "+ deblock + mbtree (B caps the DPB at 1 "
+                              "ref), CRF 23, MKV"})
 
     # ---- config 3: 1080p medium two-pass (subpel ME + trellis + AQ) ----
     fr1080 = make_clip(1920, 1080, 4)
@@ -138,8 +139,9 @@ def main():
             cmdline=f"--pass 2 --bitrate 6000 --stats {stats}")
     configs.append({"name": "1080p_default_2pass",
                     "fps": round(fps, 2), "kbps": round(kbps),
-                    "config": "default (CABAC+B+ref3+trellis+AQ+mbtree), "
-                              "ABR 6000kbps closed-loop pass 2"})
+                    "config": "default (CABAC+B+8x8dct+trellis+AQ+mbtree,"
+                              " single-ref under B), ABR 6000kbps "
+                              "closed-loop pass 2"})
     pass2_fps = fps
 
     # ---- headline: 1080p default config, one-pass CRF ----
@@ -147,8 +149,9 @@ def main():
     headline = fps
     configs.append({"name": "1080p_default_crf",
                     "fps": round(fps, 2), "kbps": round(kbps),
-                    "config": "default params (CABAC + B + ref 3 + mbtree), "
-                              "CRF 23, session API"})
+                    "config": "default params (CABAC + B + 8x8dct + "
+                              "mbtree, single-ref under B), CRF 23, "
+                              "session API"})
 
     # ---- device capacity: batched CAVLC device pipeline (no ingest) ----
     from x264vfw_tpu.encode.ref_encoder import EncoderConfig
