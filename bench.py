@@ -8,8 +8,8 @@ chained through the recon so the measurement cannot overlap itself).
 
 Output: ONE JSON line.
   value / vs_baseline : 1080p session throughput at the DEFAULT config
-      (CABAC + B-frames + ref 3 + mbtree lookahead, the x264-medium
-      analogue) against the 300 fps/chip north star (BASELINE.md).
+      (CABAC + B-frames + 8x8dct + mbtree lookahead; B caps the DPB at
+      one reference) against the 300 fps/chip north star (BASELINE.md).
   configs             : per-config {name, fps, kbps, config} entries.
 """
 

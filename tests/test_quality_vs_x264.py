@@ -88,3 +88,61 @@ def test_bdrate_vs_x264():
     print(f"BD-rate vs x264 (matched features): {bd * 100:+.1f}%")
     # round-2 gate; ratchet toward the +5% north star (BASELINE.md)
     assert bd < 0.25, f"BD-rate {bd * 100:+.1f}% exceeds the +25% gate"
+
+
+def test_bdrate_default_config_vs_stock_medium():
+    """DEFAULT session config vs UNRESTRICTED stock x264 medium
+    (tune psnr — psy/AQ off on both sides for a PSNR comparison).
+
+    Measured reality (round 5, tools/quality_report.py on the real TPU,
+    640x360 x 64 frames):
+      - textured/natural content:  +64% BD-rate
+      - dual-motion synthetic pan: +222% (the B path is the gap: B
+        frames are 16x16-single-ref with no partitions/8x8/direct-
+        temporal, and cost MORE bits than P on complex motion)
+      - same content P-only (bframes=0): pan gap shrinks ~2x
+    The north star is +5%; this gate holds the measured level so
+    regressions fail loudly while the gap is being closed.  The full
+    640x360 measurement stays in tools/quality_report.py (too slow for
+    the CPU-mesh suite)."""
+    from x264vfw_tpu.api import CompressSession
+    from x264vfw_tpu.config.params import EncoderParams
+    import os
+    import sys
+    sys.path.insert(0, os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "tools"))
+    from quality_report import make_texture_clip
+    w, h, n = 320, 192, 16
+    clip = make_texture_clip(w, h, n)
+    fsz, csz = w * h, w * h // 4
+    ours_r, ours_p, x_r, x_p = [], [], [], []
+    for qp in (24, 28, 32):
+        s = CompressSession(EncoderParams(),
+                            extra_cmdline=f"--qp {qp} --keyint 100 "
+                                          f"--aq-mode 0")
+        s.begin(w, h)
+        bs = b""
+        for i in range(n):
+            bs += s.compress((clip[i, :fsz].reshape(h, w),
+                              clip[i, fsz:fsz + csz].reshape(h // 2, w // 2),
+                              clip[i, fsz + csz:].reshape(h // 2, w // 2)),
+                             "i420")
+        bs += s.end()["tail"]
+        dec = oracle.decode_h264(bs)
+        ours_r.append(len(bs) * 8 / n)
+        ours_p.append(oracle.psnr(dec[:, :fsz],
+                                  clip[:n, :fsz].astype(np.float64)))
+        xbs = oracle.encode_x264(clip[:n], n, w, h, qp=qp, preset="medium",
+                                 x264opts="keyint=100:tune=psnr:"
+                                          "log-level=none")
+        xdec = oracle.decode_h264_planes(xbs)
+        x_r.append(len(xbs) * 8 / n)
+        x_p.append(oracle.psnr(xdec[0].reshape(n, -1),
+                               clip[:n, :fsz].astype(np.float64)))
+    bd = bd_rate(x_r, x_p, ours_r, ours_p)
+    print(f"\nDEFAULT config BD-rate vs stock x264 medium (tune psnr): "
+          f"{bd * 100:+.1f}%  (north star +5%)")
+    assert bd < 0.60, (
+        f"default-config BD-rate {bd * 100:+.1f}% regressed past the "
+        f"measured +60% level (north star +5%)")

@@ -763,7 +763,7 @@ long cabac_encode_b_slice(
     const int32_t *levels,                              /* (n,16,16) masked */
     const int32_t *dc_u, const int32_t *dc_v,           /* (n,4) masked */
     const int32_t *ac_u, const int32_t *ac_v,           /* (n,4,15) masked */
-    int t8_mode,
+    int t8_mode, const uint8_t *t8,
     uint8_t *out, long cap)
 {
     if (mbh > MAXMB_H || mbw > MAXMB_W)
@@ -821,23 +821,49 @@ long cabac_encode_b_slice(
             cbp_code(&c, m, mx, my, cbp_l[k], cbp_c[k]);
             m->cbp_l[my * mbw + mx] = cbp_l[k];
             m->cbp_c[my * mbw + mx] = cbp_c[k];
+            int t8v = 0;
             if (t8_mode && cbp_l[k]) {
-                /* our B cores stay 4x4: flag is always 0 */
+                t8v = t8 ? t8[k] : 0;
                 int ta = mx - 1 >= 0 ? m->t8m[my * mbw + mx - 1] : 0;
                 int tb = my - 1 >= 0 ? m->t8m[(my - 1) * mbw + mx] : 0;
-                decision(&c, 399 + ta + tb, 0);
+                decision(&c, 399 + ta + tb, t8v);
             }
+            m->t8m[my * mbw + mx] = (uint8_t)t8v;
             if (cbp_l[k] || cbp_c[k]) {
                 decision(&c, 60, 0);    /* mb_qp_delta = 0 */
-                for (int blk = 0; blk < 16; blk++) {
-                    if (!((cbp_l[k] >> (blk / 4)) & 1))
-                        continue;
-                    int bx = BLKX[blk], by = BLKY[blk];
-                    int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
-                    int cbf = residual(&c, 2, inc,
-                                       levels + (k * 16 + blk) * 16, 16);
-                    m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
-                        = (uint8_t)cbf;
+                if (t8v) {
+                    for (int q = 0; q < 4; q++) {
+                        int coded8 = (cbp_l[k] >> q) & 1;
+                        if (coded8) {
+                            int32_t co[64];
+                            int nz = 0;
+                            for (int i = 0; i < 64; i++) {
+                                co[i] = levels[(k * 16 + q * 4 + (i & 3))
+                                               * 16 + (i >> 2)];
+                                nz |= co[i] != 0;
+                            }
+                            if (!nz)
+                                return -3;
+                            residual(&c, 5, 0, co, 64);
+                        }
+                        for (int b = 0; b < 4; b++) {
+                            int blk = q * 4 + b;
+                            int bx = BLKX[blk], by = BLKY[blk];
+                            m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                                = (uint8_t)coded8;
+                        }
+                    }
+                } else {
+                    for (int blk = 0; blk < 16; blk++) {
+                        if (!((cbp_l[k] >> (blk / 4)) & 1))
+                            continue;
+                        int bx = BLKX[blk], by = BLKY[blk];
+                        int inc = cbf_inc_luma4(m, mx, my, bx, by, 0);
+                        int cbf = residual(&c, 2, inc,
+                                           levels + (k * 16 + blk) * 16, 16);
+                        m->cbf4[(4 * my + by) * 4 * mbw + 4 * mx + bx]
+                            = (uint8_t)cbf;
+                    }
                 }
                 chroma_res(&c, m, mx, my, cbp_c[k], 0, dc_u + 4 * k,
                            dc_v + 4 * k, ac_u + 60 * k, ac_v + 60 * k);

@@ -844,8 +844,6 @@ long cavlc_parse_b_slice(
             int t8v = (int)br_u(r, 1);
             if (t8out)
                 t8out[k] = (uint8_t)t8v;
-            if (t8v)
-                return -4;  /* 8x8 B residual: not emitted by us */
         }
         if (cbp) {
             int d = br_se(r);

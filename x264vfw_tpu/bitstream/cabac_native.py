@@ -102,7 +102,7 @@ def encode_p_slice(qp, init_idc, mbh, mbw, skip, mvd, cbp_l, cbp_c,
 
 def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
                    cbp_l, cbp_c, levels, dc_u, dc_v, ac_u, ac_v,
-                   t8_mode=False) -> bytes:
+                   t8_mode=False, t8=None) -> bytes:
     lib = _get_lib()
     n = mbh * mbw
     cap = max(1 << 16, n * 800)
@@ -116,8 +116,12 @@ def encode_b_slice(qp, init_idc, mbh, mbw, skip, mode, mvd0, mvd1,
         arr, p = _p(a, dt)
         holds.append(arr)
         ptrs.append(p)
+    if t8 is None:
+        t8 = np.zeros(n, np.uint8)
+    t8a, t8p = _p(t8, np.uint8)
+    holds.append(t8a)
     sz = lib.cabac_encode_b_slice(
-        qp, init_idc, mbh, mbw, *ptrs, ctypes.c_int(int(t8_mode)),
+        qp, init_idc, mbh, mbw, *ptrs, ctypes.c_int(int(t8_mode)), t8p,
         out.ctypes.data_as(ctypes.c_void_p), ctypes.c_long(cap))
     assert sz >= 0, f"native cabac failed: {sz}"
     return out[:sz].tobytes()

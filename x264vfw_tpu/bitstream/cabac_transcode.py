@@ -70,7 +70,8 @@ def transcode_slice(payload: np.ndarray, hdr_bits: int, slice_type: str,
             syn["cdc"][:, 0].astype(np.int32),
             syn["cdc"][:, 1].astype(np.int32),
             syn["cac"][:, 0].astype(np.int32),
-            syn["cac"][:, 1].astype(np.int32), t8_mode=t8_mode)
+            syn["cac"][:, 1].astype(np.int32), t8_mode=t8_mode,
+            t8=syn.get("t8"))
         return hdr + body
 
     st = 0 if slice_type == "P" else 2

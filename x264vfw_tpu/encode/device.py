@@ -977,7 +977,8 @@ def encode_b_frame_core(src_y, src_u, src_v,
                         ref1_y, ref1_u, ref1_v,
                         mvcol, qp, qpc,
                         rng=8, subpel=True, me_backend="auto",
-                        decimate=True, trellis=False, want_recon=False):
+                        decimate=True, trellis=False, want_recon=False,
+                        dct8x8=False):
     """Device B-frame encode: independent L0/L1 motion searches, per-MB
     {L0, L1, Bi} mode decision (default bi-prediction §8.4.2.3.2:
     (p0 + p1 + 1) >> 1), then a second phase flipping MBs to spatial
@@ -1071,10 +1072,9 @@ def encode_b_frame_core(src_y, src_u, src_v,
                        jnp.where(mc_ == 2, p1v, biv))).astype(jnp.int32)
 
     pred = mbize(pred_y)
-    levels, recon_res, _ = _luma_residual_pipeline(src_mbs, pred, qp,
-                                                   intra=False,
-                                                   decimate=decimate,
-                                                   trellis=trellis)
+    levels, recon_res, t8_flag = _luma_residual_pipeline(
+        src_mbs, pred, qp, intra=False, decimate=decimate,
+        trellis=trellis, t8=dct8x8)
     nz_blk = (levels != 0).any(axis=-1)
     cbp_q = nz_blk.reshape(n, 4, 4).any(axis=-1)
     cbp_luma = (cbp_q * (1 << jnp.arange(4))).sum(axis=-1).astype(jnp.int32)
@@ -1103,6 +1103,8 @@ def encode_b_frame_core(src_y, src_u, src_v,
         "dc_u": dc_u, "dc_v": dc_v,
         "ac_u": ac_u, "ac_v": ac_v,
     }
+    if t8_flag is not None:
+        out["t8"] = t8_flag.reshape(-1)
     if want_recon:
         # decoder-exact B reconstruction (pre-deblock), same cbp masking
         # as the P path — used for PSNR/SSIM telemetry (b_psnr/b_ssim,
@@ -1265,6 +1267,6 @@ encode_p_frame = partial(jax.jit, static_argnames=(
     "decimate", "trellis", "partitions", "dct8x8"))(encode_p_frame_core)
 encode_b_frame = partial(jax.jit, static_argnames=(
     "rng", "subpel", "me_backend", "decimate", "trellis",
-    "want_recon"))(encode_b_frame_core)
+    "want_recon", "dct8x8"))(encode_b_frame_core)
 encode_i_frame = partial(jax.jit, static_argnames=("i4x4",))(
     encode_i_frame_core)

@@ -237,7 +237,7 @@ def encode_b_slots(src_yuv, ref0_y, ref0_u, ref0_v, ref1_y, ref1_u, ref1_v,
     out = encode_b_frame_core(sy, su, sv, ref0_y, ref0_u, ref0_v,
                               ref1_y, ref1_u, ref1_v, mvcol, qp, qpc,
                               rng, subpel, me_backend,
-                              want_recon=want_recon)
+                              want_recon=want_recon, dct8x8=dct8x8)
     v, l = _finalize_b_core(out, hdr_vals, hdr_lens, H // 16, W // 16,
                             t8_mode=dct8x8)
     if want_recon:
@@ -340,6 +340,8 @@ def _finalize_b_core(out, hdr_vals, hdr_lens, mbh, mbw,
     hv = hv.at[:, 6].set(bv)
     hl = hl.at[:, 6].set(bl)
     if t8_mode:
+        hv = hv.at[:, 7].set(out.get("t8", jnp.zeros((n,), jnp.int32))
+                             .astype(jnp.uint32))
         hl = hl.at[:, 7].set(jnp.where(cbp_luma != 0, 1, 0))
     hv = hv.at[:, 8].set(1)
     hl = hl.at[:, 8].set(jnp.where(cbp != 0, 1, 0))  # se(0) qp_delta
@@ -397,7 +399,7 @@ def encode_bgop_slots(rows, r0y, r0u, r0v, r1y, r1u, r1v, mvcols,
             sy, su, sv, a0y.astype(jnp.int32), a0u.astype(jnp.int32),
             a0v.astype(jnp.int32), a1y.astype(jnp.int32),
             a1u.astype(jnp.int32), a1v.astype(jnp.int32), mvc, qp, qpc,
-            rng, subpel, me_backend, want_recon=False)
+            rng, subpel, me_backend, want_recon=False, dct8x8=dct8x8)
         v, l = _finalize_b_core(out, hv, hl, mbh, mbw, t8_mode=dct8x8)
         return 0, (v, l)
 
