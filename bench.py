@@ -8,8 +8,8 @@ chained through the recon so the measurement cannot overlap itself).
 
 Output: ONE JSON line.
   value / vs_baseline : 1080p session throughput at the DEFAULT config
-      (CABAC + B-frames + 8x8dct + mbtree lookahead; B caps the DPB at
-      one reference) against the 300 fps/chip north star (BASELINE.md).
+      (CABAC + B-frames + 8x8dct + ref 3 anchors + mbtree lookahead)
+      against the 300 fps/chip north star (BASELINE.md).
   configs             : per-config {name, fps, kbps, config} entries.
 """
 
@@ -122,8 +122,8 @@ def main():
     configs.append({"name": "720p_cabac_b_deblock_mkv",
                     "fps": round(fps, 2), "kbps": round(kbps),
                     "config": "default params: CABAC + B-frames + 8x8dct "
-                              "+ deblock + mbtree (B caps the DPB at 1 "
-                              "ref), CRF 23, MKV"})
+                              "+ deblock + mbtree (P anchors ref 3, B one "
+                              "per list), CRF 23, MKV"})
 
     # ---- config 3: 1080p medium two-pass (subpel ME + trellis + AQ) ----
     fr1080 = make_clip(1920, 1080, 4)
@@ -140,7 +140,7 @@ def main():
     configs.append({"name": "1080p_default_2pass",
                     "fps": round(fps, 2), "kbps": round(kbps),
                     "config": "default (CABAC+B+8x8dct+trellis+AQ+mbtree,"
-                              " single-ref under B), ABR 6000kbps "
+                              " ref-3 P anchors), ABR 6000kbps "
                               "closed-loop pass 2"})
     pass2_fps = fps
 
@@ -150,7 +150,7 @@ def main():
     configs.append({"name": "1080p_default_crf",
                     "fps": round(fps, 2), "kbps": round(kbps),
                     "config": "default params (CABAC + B + 8x8dct + "
-                              "mbtree, single-ref under B), CRF 23, "
+                              "mbtree, ref-3 P anchors), CRF 23, "
                               "session API"})
 
     # ---- device capacity: batched CAVLC device pipeline (no ingest) ----

@@ -128,12 +128,12 @@ class CompressSession:
                 "P partitions are searched per 8x8 block with a single "
                 f"reference; --ref {p.ref} keeps P16x16 per MB")
         if bframes > 0 and p.ref > 1:
-            # the B scheduler keeps one reference per list
-            # (tpu_encoder.TpuEncoder.nref); say so instead of silently
-            # downgrading (round-4 verdict weak #2)
-            self.log.warning(
-                f"--bframes {bframes} limits the DPB to 1 reference per "
-                f"list; --ref {p.ref} runs single-reference")
+            # P anchors search the full --ref DPB; B frames use the two
+            # adjacent anchors (one reference per list), like x264's
+            # default B handling without b-pyramid
+            self.log.info(
+                f"--bframes {bframes} with --ref {p.ref}: P anchors use "
+                f"{p.ref} references, B frames one per list")
         dct8x8 = bool(p.dct8x8)
         if p.nal_hrd in ("vbr", "cbr") and not (p.vbv_maxrate > 0
                                                 and p.vbv_bufsize > 0):

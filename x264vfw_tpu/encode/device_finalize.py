@@ -165,7 +165,23 @@ def encode_p_slots(src_yuv, ref_y, ref_u, ref_v, qp, qpc, hdr_vals, hdr_lens,
                             nref=nref, t8_mode=dct8x8)
     recon = _maybe_deblock(out, qp, H // 16, W // 16, False, deblock, dbA, dbB,
                            qpc_offset=qpc_offset)
-    return v, l, l.sum(), *recon, out["mv"]
+    n = (H // 16) * (W // 16)
+    return v, l, l.sum(), *recon, colocated_mv(out, n)
+
+
+def colocated_mv(out, n):
+    """Colocated-motion field handed to the next mini-GOP's B frames
+    (spatial direct colZeroFlag, §8.4.1.2.2).  colZeroFlag additionally
+    requires refIdxCol == 0, so MBs the anchor predicted from ref_idx > 0
+    are reported with a large mv — the B core's |mv| <= 1 test then stays
+    a conservative lower bound of the decoder's derivation (partitioned
+    MBs are already conservative: the core reports their per-component
+    max |mv| over the quadrants)."""
+    mv = out["mv"].reshape(n, 2)
+    if "ref_idx" in out:
+        mv = jnp.where((out["ref_idx"].reshape(n) != 0)[:, None],
+                       jnp.int32(1 << 12), mv)
+    return mv
 
 
 def b_mv_pred(mv, uses):
@@ -471,7 +487,7 @@ def encode_pgop_slots(frames_yuv, ref_y, ref_u, ref_v, qps, qpcs,
             new_ref = rec
         outs = (v, l)
         if want_mv:
-            outs += (out["mv"].reshape(mbh * mbw, 2),)  # (n,2) mvcol shape
+            outs += (colocated_mv(out, mbh * mbw),)  # (n,2) mvcol shape
         if want_recons:
             # per-frame recon stack (uint8: 4x smaller pull/HBM than int32)
             # — the B mini-GOP batch reads anchors' recons as references

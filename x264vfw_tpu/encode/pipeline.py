@@ -309,9 +309,8 @@ class BatchPipeline:
         qpc_b = int(tnp.chroma_qp(qp_b, enc.pps.chroma_qp_index_offset))
         fn_final = enc.frame_num
         for gi, (anchor, bs) in enumerate(groups):
-            r0 = (prev_ref if gi == 0 else
-                  tuple(r[gi - 1] for r in recons))
-            r1 = tuple(r[gi] for r in recons)
+            r0 = prev_ref if gi == 0 else recons[gi - 1]
+            r1 = recons[gi]
             for (by, bu, bv, boff, bd) in bs:
                 enc.poc = 2 * (bd - enc.poc_base)
                 enc.qp = qp_b
@@ -340,9 +339,10 @@ class BatchPipeline:
         """Dispatch a list of P display frames as one batched device
         program; payload AUs come back as _Lazy handles.
 
-        items: (y, u, v, qp_off, d).  Returns (aus, recon_stacks, mv_list
-        [, fn_after]) where recon_stacks/mv_list are device arrays (only
-        when want_bextras)."""
+        items: (y, u, v, qp_off, d).  Returns (aus, rec_list, mv_list
+        [, fn_after]) where rec_list is a per-anchor list of device
+        (y, u, v) recon tuples and mv_list the per-anchor colocated
+        motion fields (only when want_bextras)."""
         enc = self.enc
         cfg = enc.cfg
         H, W = enc.mbh * 16, enc.mbw * 16
@@ -354,6 +354,7 @@ class BatchPipeline:
 
         # multi-ref warmup: encode per-frame while the DPB grows
         start = 0
+        rec_list: list = []          # per-anchor recon tuples (B refs)
         while (enc.nref > 1 and len(enc.dpb) < enc.nref
                and start < len(items)):
             y, u, v, off, d = items[start]
@@ -364,11 +365,13 @@ class BatchPipeline:
             fn_after.append(enc.frame_num)
             if want_bextras:
                 mv_list.append(enc.last_mv)
+                rec_list.append(tuple(jnp.asarray(p).astype(jnp.uint8)
+                                      for p in enc.ref))
             start += 1
         if start == len(items):
             if want_bextras:
-                return aus, recon_stacks, mv_list, fn_after
-            return aus, recon_stacks, mv_list
+                return aus, rec_list, mv_list, fn_after
+            return aus, rec_list, mv_list
 
         items = items[start:]
         qps = qps[start:]
@@ -432,6 +435,8 @@ class BatchPipeline:
             mvs = res[5]
             recon_stacks = res[6:9]
             mv_list += [mvs[g] for g in range(G)]
+            rec_list += [tuple(r[g] for r in recon_stacks)
+                         for g in range(G)]
 
         group = _PGroup(self, res[0], res[1],
                         lambda b: dispatch(b)[:2], hdr_bits,
@@ -439,8 +444,8 @@ class BatchPipeline:
                         nref=getattr(enc, "_cur_nref", 1))
         aus += [_Lazy(group, g) for g in range(G)]
         if want_bextras:
-            return aus, recon_stacks, mv_list, fn_after
-        return aus, recon_stacks, mv_list
+            return aus, rec_list, mv_list, fn_after
+        return aus, rec_list, mv_list
 
     def _b_batch(self, b_items: list, b_hdrs: list, qp_b: int,
                  qpc_b: int) -> list:

@@ -59,8 +59,9 @@ class TpuEncoder:
             log2_max_frame_num_minus4=4,
             pic_order_cnt_type=0 if cfg.bframes else 2,
             log2_max_pic_order_cnt_lsb_minus4=4,
-            max_num_ref_frames=(2 if cfg.bframes
-                                else max(1, min(cfg.num_ref_frames, 4))),
+            max_num_ref_frames=(
+                max(2, min(cfg.num_ref_frames, 4)) if cfg.bframes
+                else max(1, min(cfg.num_ref_frames, 4))),
             pic_width_in_mbs_minus1=self.mbw - 1,
             pic_height_in_map_units_minus1=self.mbh - 1,
         )
@@ -69,10 +70,13 @@ class TpuEncoder:
             self.sps.frame_crop_right_offset = (self.mbw * 16 - cfg.width) // 2
             self.sps.frame_crop_bottom_offset = (self.mbh * 16 - cfg.height) // 2
         _apply_vui(self.sps, cfg)
-        # multi-reference P (x264 --ref): DPB depth; B-frames keep 1 ref
-        # per list (their ref handling is a separate path)
-        self.nref = (1 if cfg.bframes
-                     else max(1, min(cfg.num_ref_frames, 4)))
+        # multi-reference P (x264 --ref): DPB depth.  Composes with
+        # B-frames: P anchors search over the whole DPB while B frames
+        # keep one reference per list (the two adjacent anchors — default
+        # RefPicList ordering makes list0[0] the previous anchor and
+        # list1[0] the future one regardless of DPB depth; the B slice
+        # header overrides the active counts to 1/1).
+        self.nref = max(1, min(cfg.num_ref_frames, 4))
         # inter partitions are searched at 8x8 granularity with a
         # single reference; multi-ref keeps P16x16 per MB
         self.partitions = bool(cfg.partitions) and self.nref == 1
@@ -431,7 +435,8 @@ class TpuEncoder:
                                    jnp.asarray(self._wp[1], jnp.int32)),
                                   partitions=self.partitions,
                                   dct8x8=self.dct8x8)
-            self.last_mv = outj["mv"]
+            self.last_mv = device_finalize.colocated_mv(
+                outj, self.mbh * self.mbw)
         out = {k: np.asarray(v2) for k, v2 in outj.items()
                if not k.startswith("recon")}
         hw = self._slice_header_codes(
